@@ -1,0 +1,150 @@
+package graft
+
+import graft.core._
+import graft.extract.{Extractor, HtmlExtractor, PdfTokenizer}
+import graft.gen.CorpusGen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dual-implementation equality: graft.extract.Extractor (Spark-side) vs
+  * RefOracle (naive independent impl) over the deterministic corpus —
+  * SURVEY.md §5 primary invariant: per-doc sequence equality on
+  * (kind, text, media_ref, order).
+  */
+class ExtractorSpec extends AnyFunSuite {
+
+  private def key(o: OutSpan) = (o.kind, o.text, o.media_ref, o.order)
+
+  test("extractor matches oracle on 2000-doc corpus (seed 42)") {
+    val docs = CorpusGen.corpus(42L, 2000)
+    var checked = 0
+    docs.foreach { d =>
+      val got = Extractor.extract(d)
+      val want = RefOracle.extract(d)
+      assert(got.outSpans.map(key) == want.outSpans.map(key),
+        s"outSpans mismatch for ${d.doc_id}:\n got=${got.outSpans.take(8)}\nwant=${want.outSpans.take(8)}")
+      assert(got.chunks == want.chunks, s"chunks mismatch for ${d.doc_id}")
+      checked += 1
+    }
+    assert(checked == 2000)
+  }
+
+  test("extractor matches oracle on a second seed (corpus-shape independence)") {
+    CorpusGen.corpus(7L, 500).foreach { d =>
+      assert(Extractor.extract(d).outSpans.map(key) ==
+             RefOracle.extract(d).outSpans.map(key), d.doc_id)
+    }
+  }
+
+  test("permutation invariance: shuffling a doc's spans never changes output") {
+    val r = new java.util.Random(123)
+    CorpusGen.corpus(42L, 300).foreach { d =>
+      val base = Extractor.extract(d).outSpans.map(key)
+      val shuffled = new scala.util.Random(r).shuffle(d.spans)
+      assert(Extractor.extract(d.copy(spans = shuffled)).outSpans.map(key)
+        == base, d.doc_id)
+    }
+  }
+
+  test("empty / degenerate docs are total") {
+    assert(Extractor.extract(InputDoc("empty", Vector.empty)).outSpans.isEmpty)
+    assert(Extractor.extract(InputDoc("nullspans", null)).outSpans.isEmpty)
+    val weird = InputDoc("w", Vector(
+      Span("pdf", null, null, 0), Span("pdf", "", null, 1),
+      Span("text", null, null, 2), Span("html", null, null, 3),
+      Span("image", null, null, 4)))
+    val out = Extractor.extract(weird).outSpans
+    assert(out.map(_.kind) == Vector("text", "image"))
+    assert(out.map(_.order) == Vector(0, 1))
+    assert(RefOracle.extract(weird).outSpans.map(key) == out.map(key))
+  }
+
+  test("chunk ids: unique, format, numbering order (setup.sql:238-239)") {
+    val re = "^.+_p\\d+_c\\d+$".r
+    CorpusGen.corpus(42L, 500).foreach { d =>
+      val cs = Extractor.extract(d).chunks
+      assert(cs.map(_.chunk_id).distinct.size == cs.size, d.doc_id)
+      cs.foreach(c => assert(re.matches(c.chunk_id), c.chunk_id))
+      // numbering follows (page, x0, y0) sort, 1-based, global per doc
+      val sorted = cs.sortBy(c => (c.page, c.bbox_x0, c.bbox_y0, c.bbox_y1, c.text))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.chunk_id.endsWith(s"_c${i + 1}"), s"${d.doc_id} ${c.chunk_id}")
+      }
+    }
+  }
+
+  test("counts: media preserved bijectively; text spans passthrough") {
+    CorpusGen.corpus(42L, 800).foreach { d =>
+      val out = Extractor.extract(d).outSpans
+      val inMedia = d.spans.filter(s => ExtractionSpec.MediaKinds(s.kind))
+      val outMedia = out.filter(o => ExtractionSpec.MediaKinds(o.kind))
+      assert(inMedia.map(_.media_ref).sorted ==
+             outMedia.map(_.media_ref).sorted, d.doc_id)
+      assert(d.spans.count(_.kind == "text") == out.count(_.kind == "text"))
+    }
+  }
+
+  test("pdf reading order: top-to-bottom, left-to-right (streamlit_app.py:426)") {
+    // one page, three boxes: top-left, top-right (same y), bottom
+    val payload = Seq(
+      "PG 612 792",
+      "TX 300 700 50 10 right",
+      "TX 50 700 50 10 left",
+      "TX 50 100 50 10 bottom").mkString("\n")
+    val d = InputDoc("ro", Vector(Span("pdf", payload, null, 0)))
+    val texts = Extractor.extract(d).outSpans.map(_.text)
+    assert(texts == Vector("left\n", "right\n", "bottom\n"))
+  }
+
+  test("page numbering continues across pdf spans of one doc") {
+    val d = InputDoc("mp", Vector(
+      Span("pdf", "PG 612 792\nTX 10 700 50 10 a", null, 0),
+      Span("image", null, "media://x", 1),
+      Span("pdf", "PG 612 792\nTX 10 700 50 10 b", null, 2)))
+    val chunks = Extractor.extract(d).chunks
+    assert(chunks.map(_.page).sorted == Vector(1, 2))
+    assert(RefOracle.extract(d).chunks.map(_.page).sorted == Vector(1, 2))
+    // media interleaved by offset between the two pdf spans
+    assert(Extractor.extract(d).outSpans.map(_.kind) ==
+           Vector("pdf", "image", "pdf"))
+  }
+
+  test("degenerate page dims fall back to 612x792 (streamlit_app.py:182-189)") {
+    val d = InputDoc("dd", Vector(
+      Span("pdf", "TX 10 700 50 10 before-pg\nPG 0 0\nTX 10 1 50 10 x", null, 0)))
+    val cs = Extractor.extract(d).chunks
+    assert(cs.forall(c => c.page_width == 612.0 && c.page_height == 792.0))
+    assert(cs.map(_.page).sorted == Vector(1, 2))
+  }
+
+  test("line and box grouping: newline-per-line get_text semantics (setup.sql:91)") {
+    val payload = Seq(
+      "PG 612 792",
+      "TX 50 700 30 10 hello ",      // line 1, run 1
+      "TX 80 700 30 10 world",       // line 1, run 2 (touching)
+      "TX 50 688 60 10 second line"  // line 2 (gap 2 <= 5 → same box)
+    ).mkString("\n")
+    val d = InputDoc("lb", Vector(Span("pdf", payload, null, 0)))
+    val out = Extractor.extract(d).outSpans
+    assert(out.size == 1)
+    assert(out.head.text == "hello world\nsecond line\n")
+  }
+
+  test("html boilerplate stripping (north-rule extension)") {
+    val html = "<html><body><nav><a href=x>Home Products About</a></nav>" +
+      "<p>This is the long main content paragraph of the page body.</p>" +
+      "<p>tiny</p>" +
+      "<footer>copyright notice twenty twenty six</footer></body></html>"
+    val blocks = HtmlExtractor.extract(html)
+    assert(blocks ==
+      Vector("This is the long main content paragraph of the page body."))
+  }
+
+  test("html entity decoding order: &amp;lt; stays &lt;") {
+    assert(HtmlExtractor.decodeEntities("&amp;lt; &lt; a&amp;b") == "&lt; < a&b")
+  }
+
+  test("pdf escape/unescape roundtrip") {
+    val s = "a\nb\\c \\n d\\"
+    assert(PdfTokenizer.unescape(PdfTokenizer.escape(s)) == s)
+  }
+}

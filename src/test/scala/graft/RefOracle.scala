@@ -1,0 +1,236 @@
+package graft
+
+import graft.core._
+
+/** Independent, naive, single-threaded implementation of
+  * [[graft.core.ExtractionSpec]] — the dual-implementation oracle
+  * (SURVEY.md §5). Written deliberately differently from
+  * [[graft.extract.Extractor]]: split-based parsing, fixpoint cluster
+  * merging, immutable collections. Any divergence between the two is a
+  * bug in one of them.
+  */
+object RefOracle {
+
+  // ---------- pdf payload ----------
+
+  private case class ORun(x0: Double, y0: Double, x1: Double, y1: Double,
+                          text: String)
+  private case class OPage(page: Int, w: Double, h: Double, runs: List[ORun])
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length && s.charAt(i + 1) == 'n') {
+        sb += '\n'; i += 2
+      } else if (s.charAt(i) == '\\' && i + 1 < s.length &&
+                 s.charAt(i + 1) == '\\') {
+        sb += '\\'; i += 2
+      } else if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        sb += '\\'; sb += s.charAt(i + 1); i += 2
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def num(s: String): Option[Double] =
+    try Some(s.toDouble) catch { case _: Exception => None }
+
+  private def tokenizePdf(payload: String, firstPage: Int): List[OPage] = {
+    if (payload == null) return Nil
+    var pages = List.empty[OPage]
+    var pageNo = firstPage - 1
+    for (line <- payload.split("\n", -1) if line.nonEmpty) {
+      val parts = line.split(" ", 6).toList
+      parts match {
+        case "PG" :: rest =>
+          pageNo += 1
+          val w = rest.headOption.flatMap(num).filter(_ > 0)
+            .getOrElse(ExtractionSpec.DefaultPageWidth)
+          val h = rest.drop(1).headOption.flatMap(num).filter(_ > 0)
+            .getOrElse(ExtractionSpec.DefaultPageHeight)
+          pages = OPage(pageNo, w, h, Nil) :: pages
+        case "TX" :: xs :: ys :: ws :: hs :: txt :: Nil
+            if num(xs).nonEmpty && num(ys).nonEmpty && num(ws).nonEmpty &&
+               num(hs).nonEmpty =>
+          val text = unesc(txt)
+          if (text.nonEmpty) {
+            if (pages.isEmpty) {
+              pageNo += 1
+              pages = OPage(pageNo, ExtractionSpec.DefaultPageWidth,
+                            ExtractionSpec.DefaultPageHeight, Nil) :: pages
+            }
+            val x = num(xs).get; val y = num(ys).get
+            val w = math.max(num(ws).get, 0.0)
+            val h = math.max(num(hs).get, 0.0)
+            val p = pages.head
+            pages = p.copy(runs = p.runs :+ ORun(x, y, x + w, y + h, text)) ::
+              pages.tail
+          }
+        case _ => // skip malformed / unknown
+      }
+    }
+    pages.reverse
+  }
+
+  // ---------- layout: fixpoint clustering ----------
+
+  /** Merge clusters until no pair satisfies `joinable`. */
+  private def fixpoint[A](items: List[List[A]],
+                          joinable: (List[A], List[A]) => Boolean)
+      : List[List[A]] = {
+    var groups = items
+    var changed = true
+    while (changed) {
+      changed = false
+      val out = scala.collection.mutable.ListBuffer.empty[List[A]]
+      for (g <- groups) {
+        out.indexWhere(h => joinable(g, h)) match {
+          case -1 => out += g
+          case k  => out(k) = out(k) ++ g; changed = true
+        }
+      }
+      groups = out.toList
+    }
+    groups
+  }
+
+  private def boxesOf(p: OPage): List[TextBox] = {
+    def runJoin(a: List[ORun], b: List[ORun]): Boolean =
+      a.exists(r1 => b.exists { r2 =>
+        val vov = math.min(r1.y1, r2.y1) - math.max(r1.y0, r2.y0)
+        val hgap = math.max(r1.x0, r2.x0) - math.min(r1.x1, r2.x1)
+        vov > 0.5 * math.min(r1.y1 - r1.y0, r2.y1 - r2.y0) &&
+          hgap <= 1.5 * math.max(r1.y1 - r1.y0, r2.y1 - r2.y0)
+      })
+    val lineGroups = fixpoint(p.runs.map(List(_)), runJoin)
+    case class OLine(x0: Double, y0: Double, x1: Double, y1: Double,
+                     text: String)
+    val lines = lineGroups.map { g =>
+      val rs = g.sortBy(r => (r.x0, r.y0, r.text))
+      OLine(rs.map(_.x0).min, rs.map(_.y0).min, rs.map(_.x1).max,
+            rs.map(_.y1).max, rs.map(_.text).mkString)
+    }
+    def lineJoin(a: List[OLine], b: List[OLine]): Boolean =
+      a.exists(l1 => b.exists { l2 =>
+        val hov = math.min(l1.x1, l2.x1) - math.max(l1.x0, l2.x0)
+        val vgap = math.max(l1.y0, l2.y0) - math.min(l1.y1, l2.y1)
+        hov > 0 && vgap <= 0.5 * math.min(l1.y1 - l1.y0, l2.y1 - l2.y0)
+      })
+    fixpoint(lines.map(List(_)), lineJoin).map { g =>
+      val ls = g.sortBy(l => (-l.y1, l.x0, l.text))
+      TextBox(p.page, ls.map(_.x0).min, ls.map(_.y0).min,
+              ls.map(_.x1).max, ls.map(_.y1).max, p.w, p.h,
+              ls.map(_.text + "\n").mkString)
+    }
+  }
+
+  // ---------- html ----------
+
+  /** Naive re-implementation of the HtmlExtractor spec via a char walk. */
+  private def htmlBlocks(s: String): List[String] = {
+    if (s == null) return Nil
+    case class Block(raw: String, link: Int, content: Int, boiler: Boolean)
+    var blocks = List.empty[Block]
+    var raw = new StringBuilder
+    var link = 0; var content = 0; var boiler = false
+    var linkD = 0; var boilD = 0
+    def flush(): Unit = {
+      blocks = Block(raw.toString, link, content, boiler) :: blocks
+      raw = new StringBuilder; link = 0; content = 0; boiler = false
+    }
+    def decode(t: String): String =
+      t.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+        .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && s.startsWith("<!--", i)) {
+        val e = s.indexOf("-->", i + 4); i = if (e < 0) s.length else e + 3
+      } else if (s.charAt(i) == '<') {
+        val gt = s.indexOf('>', i + 1)
+        val inner = if (gt > i) s.substring(i + 1, gt) else ""
+        val closing = inner.startsWith("/")
+        val nm0 = (if (closing) inner.drop(1) else inner)
+          .takeWhile(_.isLetterOrDigit).toLowerCase
+        if (gt > i && nm0.nonEmpty) {
+          val selfClose = inner.endsWith("/")
+          if (HtmlBlockTags(nm0)) flush()
+          if (HtmlBoilerTags(nm0)) {
+            flush()
+            if (closing) boilD = math.max(0, boilD - 1)
+            else if (!selfClose) boilD += 1
+          }
+          if (nm0 == "a") {
+            if (closing) linkD = math.max(0, linkD - 1)
+            else if (!selfClose) linkD += 1
+          }
+          i = gt + 1
+        } else {
+          raw += '<'; content += 1; if (linkD > 0) link += 1
+          if (boilD > 0) boiler = true
+          i += 1
+        }
+      } else {
+        val nx = s.indexOf('<', i)
+        val end = if (nx < 0) s.length else nx
+        val txt = decode(s.substring(i, end))
+        raw ++= txt
+        val nonWs = txt.count(!_.isWhitespace)
+        content += nonWs
+        if (linkD > 0) link += nonWs
+        if (boilD > 0 && nonWs > 0) boiler = true
+        i = end
+      }
+    }
+    flush()
+    blocks.reverse.flatMap { b =>
+      val norm = b.raw.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      if (!b.boiler && norm.length >= 25 && b.link * 3 <= b.content)
+        Some(norm)
+      else None
+    }
+  }
+
+  private val HtmlBlockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th", "tr",
+    "table", "ul", "ol", "article", "section", "main", "title",
+    "blockquote", "pre", "body", "br")
+  private val HtmlBoilerTags = Set(
+    "nav", "header", "footer", "aside", "script", "style", "form",
+    "noscript")
+
+  // ---------- per-document ----------
+
+  def extract(doc: InputDoc): DocResult = {
+    val spans = Option(doc.spans).getOrElse(Seq.empty)
+      .sortBy(s => (s.offset, s.kind, Option(s.media_ref).getOrElse(""),
+                    Option(s.text).getOrElse("")))
+    var outs = List.empty[OutSpan]
+    var boxes = List.empty[TextBox]
+    var page = 0
+    for (s <- spans) s.kind match {
+      case "pdf" =>
+        val pages = tokenizePdf(s.text, page + 1)
+        if (pages.nonEmpty) page = pages.map(_.page).max
+        val bs = pages.flatMap(boxesOf)
+          .sortBy(b => (b.page, -b.y0, b.x0, b.x1, b.text))
+        outs = outs ++ bs.map(b => OutSpan(doc.doc_id, "pdf", b.text, null, -1))
+        boxes = boxes ++ bs
+      case "html" =>
+        outs = outs ++
+          htmlBlocks(s.text).map(t => OutSpan(doc.doc_id, "html", t, null, -1))
+      case "text" =>
+        outs = outs :+
+          OutSpan(doc.doc_id, "text", Option(s.text).getOrElse(""), null, -1)
+      case k =>
+        outs = outs :+ OutSpan(doc.doc_id, k, null, s.media_ref, -1)
+    }
+    val ordered = outs.zipWithIndex.map { case (o, i) => o.copy(order = i) }
+    val chunks = boxes.sortBy(b => (b.page, b.x0, b.y0, b.y1, b.text))
+      .zipWithIndex.map { case (b, i) =>
+        Chunk(s"${doc.doc_id}_p${b.page}_c${i + 1}", doc.doc_id, b.page,
+              b.text, b.x0, b.y0, b.x1, b.y1, b.pageWidth, b.pageHeight)
+      }
+    DocResult(doc.doc_id, ordered, chunks)
+  }
+}
