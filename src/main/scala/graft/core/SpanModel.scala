@@ -113,3 +113,25 @@ object ExtractionSpec {
   def chunkIdOrder: Ordering[TextBox] =
     Ordering.by(b => (b.page, b.x0, b.y0, b.y1, b.text))
 }
+
+/** Unified per-emission output row — one extraction pass produces one
+  * table; the `spans` view is (doc_id, kind, text, media_ref, order) and
+  * the `chunks` view is the rows where chunk_id is non-null (pdf text
+  * boxes, ≅ reference document_chunks). One pass, one write: at 10^12-doc
+  * scale the views are column-pruned reads of the same files.
+  */
+case class ExtractedRow(
+  doc_id: String, kind: String, text: String, media_ref: String, order: Int,
+  chunk_id: String, chunk_n: Option[Int], page: Option[Int],
+  bbox_x0: Option[Double], bbox_y0: Option[Double],
+  bbox_x1: Option[Double], bbox_y1: Option[Double],
+  page_width: Option[Double], page_height: Option[Double])
+
+/** Per-partition lineage/metrics sidecar row (north-rule requirement;
+  * generalizes the reference's processed-count counter, setup.sql:259-274).
+  */
+case class PartitionMetrics(
+  run_id: String, group: Int, partition_id: Int, task_attempt: Long,
+  doc_count: Long, span_count: Long, out_span_count: Long,
+  chunk_count: Long, text_spans: Long, media_spans: Long,
+  bytes_in: Long, duration_ms: Long, status: String)

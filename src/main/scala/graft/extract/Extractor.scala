@@ -15,12 +15,19 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Extractor {
 
-  def extract(doc: InputDoc): DocResult = {
+  /** An emission before global numbering: a box (pdf) or a plain span. */
+  private final case class Emit(kind: String, text: String,
+                                media_ref: String, box: TextBox)
+
+  /** One pass over the document → unified rows (spans + chunk columns).
+    * Emission order IS the output `order`; chunk numbering is assigned by
+    * the (page, x0, y0) sort over the same boxes (setup.sql:238-239).
+    */
+  def extractRows(doc: InputDoc): Vector[ExtractedRow] = {
     val spans =
       if (doc.spans == null) Vector.empty
       else doc.spans.sorted(ExtractionSpec.spanOrdering)
-    val outs = new ArrayBuffer[OutSpan]
-    val allBoxes = new ArrayBuffer[TextBox]
+    val emits = new ArrayBuffer[Emit]
     var pageCounter = 0 // document-global, 1-based across pdf spans
 
     spans.foreach { s =>
@@ -28,34 +35,51 @@ object Extractor {
         case "pdf" =>
           val pages = PdfTokenizer.tokenize(s.text, pageCounter + 1)
           if (pages.nonEmpty) pageCounter = pages.last.page
-          val boxes = pages.flatMap(Layout.boxesOf)
-            .sorted(ExtractionSpec.readingOrder)
-          boxes.foreach { b =>
-            outs += OutSpan(doc.doc_id, "pdf", b.text, null, -1)
-          }
-          allBoxes ++= boxes
+          pages.flatMap(Layout.boxesOf).sorted(ExtractionSpec.readingOrder)
+            .foreach(b => emits += Emit("pdf", b.text, null, b))
         case "html" =>
-          HtmlExtractor.extract(s.text).foreach { block =>
-            outs += OutSpan(doc.doc_id, "html", block, null, -1)
-          }
+          HtmlExtractor.extract(s.text)
+            .foreach(block => emits += Emit("html", block, null, null))
         case "text" =>
-          outs += OutSpan(doc.doc_id, "text",
-            if (s.text == null) "" else s.text, null, -1)
+          emits += Emit("text", if (s.text == null) "" else s.text, null, null)
         case _ => // media passthrough, ordered by offset via spanOrdering
-          outs += OutSpan(doc.doc_id, s.kind, null, s.media_ref, -1)
+          emits += Emit(s.kind, null, s.media_ref, null)
       }
     }
 
-    val ordered = outs.iterator.zipWithIndex
-      .map { case (o, i) => o.copy(order = i) }.toVector
+    // chunk numbering: 1-based over all boxes sorted by chunkIdOrder
+    val boxEmits = emits.iterator.zipWithIndex.filter(_._1.box != null).toArray
+    val chunkN = new java.util.HashMap[Int, Int] // emit index -> n
+    boxEmits.sortBy { case (e, _) =>
+      val b = e.box; (b.page, b.x0, b.y0, b.y1, b.text)
+    }.iterator.zipWithIndex.foreach { case ((_, ei), i) =>
+      chunkN.put(ei, i + 1)
+    }
 
-    val chunks = allBoxes.sorted(ExtractionSpec.chunkIdOrder)
-      .iterator.zipWithIndex.map { case (b, i) =>
-        val n = i + 1 // 1-based global-per-doc numbering (setup.sql:238-239)
-        Chunk(s"${doc.doc_id}_p${b.page}_c$n", doc.doc_id, b.page, b.text,
-              b.x0, b.y0, b.x1, b.y1, b.pageWidth, b.pageHeight)
-      }.toVector
+    emits.iterator.zipWithIndex.map { case (e, i) =>
+      if (e.box != null) {
+        val b = e.box
+        val n = chunkN.get(i)
+        ExtractedRow(doc.doc_id, e.kind, e.text, e.media_ref, i,
+          s"${doc.doc_id}_p${b.page}_c$n", Some(n), Some(b.page),
+          Some(b.x0), Some(b.y0), Some(b.x1), Some(b.y1),
+          Some(b.pageWidth), Some(b.pageHeight))
+      } else {
+        ExtractedRow(doc.doc_id, e.kind, e.text, e.media_ref, i,
+          null, None, None, None, None, None, None, None, None)
+      }
+    }.toVector
+  }
 
-    DocResult(doc.doc_id, ordered, chunks)
+  /** Typed views for the tests / oracle comparison. */
+  def extract(doc: InputDoc): DocResult = {
+    val rows = extractRows(doc)
+    val outs = rows.map(r =>
+      OutSpan(r.doc_id, r.kind, r.text, r.media_ref, r.order))
+    val chunks = rows.filter(_.chunk_n.isDefined).sortBy(_.chunk_n.get)
+      .map(r => Chunk(r.chunk_id, r.doc_id, r.page.get, r.text,
+        r.bbox_x0.get, r.bbox_y0.get, r.bbox_x1.get, r.bbox_y1.get,
+        r.page_width.get, r.page_height.get))
+    DocResult(doc.doc_id, outs, chunks)
   }
 }

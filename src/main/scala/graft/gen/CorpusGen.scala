@@ -192,4 +192,13 @@ object CorpusGen {
   /** All docs [0, n) — driver-side (tests). */
   def corpus(seed: Long, n: Int): Vector[InputDoc] =
     (0 until n).map(i => doc(seed, i.toLong)).toVector
+
+  /** Distributed generation: each task generates its own index range —
+    * no driver materialization, scales to any n.
+    */
+  def dataset(spark: org.apache.spark.sql.SparkSession, n: Long, seed: Long)
+      : org.apache.spark.sql.Dataset[InputDoc] = {
+    import spark.implicits._
+    spark.range(n).map(i => doc(seed, i))
+  }
 }

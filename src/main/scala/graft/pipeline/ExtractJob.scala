@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import graft.core._
+import graft.extract.Extractor
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+import scala.jdk.CollectionConverters._
+
+/** The extraction pipeline: one distributed `mapPartitions` stage over the
+  * interleaved spans table — the Spark replacement for the reference's
+  * sequential per-document cursor loop (/root/reference/setup.sql:225-260),
+  * which bounds the reference at ~1/30–1/60 doc/s per CALL regardless of
+  * warehouse size (README.md:268).
+  *
+  * Scale design (SURVEY.md §4):
+  *  - NO shuffle in the hot path except the skew-salting repartition;
+  *    extraction is embarrassingly parallel per document, ordering is
+  *    computed in-memory per doc (the reference's ROW_NUMBER window
+  *    degenerates to a local index).
+  *  - SKEW: a cheap cost proxy (`sum(length(span.text))`, computed as a
+  *    codegen'd Catalyst `aggregate`) routes pathological docs to their
+  *    own hash space; normal docs hash-partition uniformly. One giant doc
+  *    occupies one task that the scheduler backfills around.
+  *  - CHECKPOINT/RESUME: docs are bucketed by `xxhash64(doc_id)` into
+  *    `groups` sequential sub-jobs; each group's output directory is
+  *    written with overwrite semantics and committed to the manifest
+  *    atomically ([[Checkpoint]]) — exactly-once per group, idempotent
+  *    re-runs. At 10^12 docs, `groups` bounds the blast radius of a
+  *    failure to 1/groups of the input.
+  *  - METRICS/LINEAGE: each task appends a [[PartitionMetrics]] row via an
+  *    accumulator; the driver dedupes retries (keeps the max attempt) and
+  *    writes the sidecar table.
+  */
+object ExtractJob {
+
+  case class Config(
+    outDir: String,
+    runId: String = "run",
+    groups: Int = 8,               // checkpoint granularity
+    partitions: Int = 0,           // 0 = 4 x defaultParallelism
+    bigDocBytes: Long = 1L << 20)  // cost-proxy threshold for skew isolation
+
+  case class RunReport(runId: String, groupsRun: Seq[Int],
+                       groupsSkipped: Seq[Int], docsProcessed: Long,
+                       elapsedMs: Long)
+
+  /** Extract an iterator of docs, streaming (iterator-to-iterator — no
+    * partition materialization), recording per-partition metrics.
+    */
+  private def extractPartition(
+      docs: Iterator[InputDoc], group: Int, runId: String,
+      acc: CollectionAccumulator[PartitionMetrics])
+      : Iterator[ExtractedRow] = {
+    val tc = TaskContext.get()
+    val t0 = System.nanoTime()
+    var nDocs = 0L; var nSpans = 0L; var nOut = 0L; var nChunks = 0L
+    var nText = 0L; var nMedia = 0L; var bytesIn = 0L
+    new Iterator[ExtractedRow] {
+      private var cur: Iterator[ExtractedRow] = Iterator.empty
+      private var done = false
+      override def hasNext: Boolean = {
+        while (!cur.hasNext && docs.hasNext) {
+          val d = docs.next()
+          nDocs += 1
+          if (d.spans != null) {
+            nSpans += d.spans.size
+            d.spans.foreach(s => if (s.text != null) bytesIn += s.text.length)
+          }
+          val rows = Extractor.extractRows(d)
+          nOut += rows.size
+          rows.foreach { r =>
+            if (r.chunk_id != null) nChunks += 1
+            if (r.kind == "text") nText += 1
+            if (ExtractionSpec.MediaKinds(r.kind)) nMedia += 1
+          }
+          cur = rows.iterator
+        }
+        val h = cur.hasNext
+        if (!h && !done) {
+          done = true
+          acc.add(PartitionMetrics(runId, group,
+            if (tc == null) -1 else tc.partitionId(),
+            if (tc == null) -1L else tc.taskAttemptId(),
+            nDocs, nSpans, nOut, nChunks, nText, nMedia, bytesIn,
+            (System.nanoTime() - t0) / 1000000L, "committed"))
+        }
+        h
+      }
+      override def next(): ExtractedRow = cur.next()
+    }
+  }
+
+  def run(spark: SparkSession, docs: Dataset[InputDoc], cfg: Config)
+      : RunReport = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val nPart = if (cfg.partitions > 0) cfg.partitions
+                else spark.sparkContext.defaultParallelism * 4
+    val committed = Checkpoint.committedGroups(cfg.outDir)
+    val acc = new CollectionAccumulator[PartitionMetrics]
+    spark.sparkContext.register(acc, "graft.extract.metrics")
+
+    // group assignment + skew cost proxy, both codegen'd column exprs —
+    // no data pass beyond the scan itself
+    val withGroup = docs
+      .withColumn("_group",
+        pmod(xxhash64(col("doc_id")), lit(cfg.groups)).cast("int"))
+      .withColumn("_cost",
+        coalesce(aggregate(col("spans"), lit(0L),
+          (a, s) => a + coalesce(length(s.getField("text")).cast("long"),
+                                 lit(0L))), lit(0L)))
+
+    var docsProcessed = 0L
+    val groupsRun = Seq.newBuilder[Int]
+    val groupsSkipped = Seq.newBuilder[Int]
+
+    (0 until cfg.groups).foreach { g =>
+      if (committed.contains(g)) groupsSkipped += g
+      else {
+        val gT0 = System.currentTimeMillis()
+        val gDocs = withGroup.filter(col("_group") === g)
+        // skew isolation: big docs get the full 64-bit hash (≈ singleton
+        // partitions among nPart); normal docs hash into [0, nPart)
+        val salted = gDocs.withColumn("_salt",
+            when(col("_cost") >= cfg.bigDocBytes,
+                 xxhash64(col("doc_id"), lit(1)))
+              .otherwise(pmod(xxhash64(col("doc_id")), lit(nPart))))
+          .repartition(nPart, col("_salt"))
+          .select("doc_id", "spans").as[InputDoc]
+        val out = salted.mapPartitions(it =>
+          extractPartition(it, g, cfg.runId, acc))
+        out.write.mode("overwrite")
+          .parquet(s"${cfg.outDir}/data/group=$g")
+        val gDocCount = {
+          // metrics rows for this group (accumulator is cumulative)
+          val rows = acc.value.asScala.filter(_.group == g)
+          rows.groupBy(_.partition_id)
+            .map(_._2.maxBy(_.task_attempt).doc_count).sum
+        }
+        docsProcessed += gDocCount
+        Checkpoint.commitGroup(cfg.outDir, g, cfg.runId, gDocCount,
+          System.currentTimeMillis() - gT0)
+        groupsRun += g
+      }
+    }
+
+    // metrics sidecar: dedupe task retries (keep max attempt per partition)
+    val metrics = acc.value.asScala
+      .groupBy(m => (m.group, m.partition_id))
+      .map(_._2.maxBy(_.task_attempt)).toSeq
+    if (metrics.nonEmpty) {
+      spark.createDataset(metrics).write.mode("append")
+        .parquet(s"${cfg.outDir}/metrics")
+    }
+    RunReport(cfg.runId, groupsRun.result(), groupsSkipped.result(),
+      docsProcessed, System.currentTimeMillis() - t0)
+  }
+
+  /** Read back the unified output table (all committed groups). */
+  def readOutput(spark: SparkSession, outDir: String): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$outDir/data")
+      .drop("group")
+      .as[ExtractedRow]
+  }
+
+  /** The `spans` view — the correctness-invariant columns. */
+  def spansView(spark: SparkSession, outDir: String) =
+    readOutput(spark, outDir)
+      .select("doc_id", "kind", "text", "media_ref", "order")
+
+  /** The `chunks` view ≅ reference document_chunks (setup.sql:109-124),
+    * extracted_at filled at read of the view-materialization (P13).
+    */
+  def chunksView(spark: SparkSession, outDir: String) =
+    readOutput(spark, outDir).where(col("chunk_id").isNotNull)
+      .select(col("chunk_id"), col("doc_id"), col("page"), col("text"),
+        col("bbox_x0"), col("bbox_y0"), col("bbox_x1"), col("bbox_y1"),
+        col("page_width"), col("page_height"))
+}

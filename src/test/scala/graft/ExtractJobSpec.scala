@@ -1,0 +1,139 @@
+package graft
+
+import graft.core._
+import graft.gen.CorpusGen
+import graft.pipeline.{Checkpoint, ExtractJob}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft-$name")
+    deleteOnExitRec(p)
+    p.toString
+  }
+  private def deleteOnExitRec(p: Path): Unit = p.toFile.deleteOnExit()
+
+  private val N = 600
+
+  private def oracleByDoc: Map[String, Seq[(String, String, String, Int)]] =
+    CorpusGen.corpus(42L, N).map { d =>
+      d.doc_id -> RefOracle.extract(d).outSpans
+        .map(o => (o.kind, o.text, o.media_ref, o.order))
+    }.toMap
+
+  test("pipeline output matches oracle per-doc sequences (any partitioning)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val out = tmpDir("e2e")
+    val docs = CorpusGen.dataset(spark, N, 42L)
+    val report = ExtractJob.run(spark, docs,
+      ExtractJob.Config(out, runId = "t1", groups = 4, partitions = 16))
+    assert(report.groupsRun == Seq(0, 1, 2, 3))
+    assert(report.docsProcessed == N)
+
+    val got = ExtractJob.spansView(spark, out).collect()
+      .groupBy(_.getString(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(4)).toSeq
+          .map(r => (r.getString(1), r.getString(2), r.getString(3),
+                     r.getInt(4)))
+      }
+    val want = oracleByDoc
+    // empty-output docs appear in `want` with empty seqs but not in `got`
+    want.foreach { case (id, seq) =>
+      assert(got.getOrElse(id, Seq.empty) == seq, s"mismatch for $id")
+    }
+    assert(got.keySet.subsetOf(want.keySet))
+  }
+
+  test("resume recomputes exactly the missing group, no duplicates") {
+    val out = tmpDir("resume")
+    val docs = CorpusGen.dataset(spark, N, 42L)
+    ExtractJob.run(spark, docs,
+      ExtractJob.Config(out, runId = "r1", groups = 4, partitions = 8))
+    val before = ExtractJob.spansView(spark, out).count()
+
+    // simulate a lost group commit
+    Files.delete(java.nio.file.Paths.get(out, "_checkpoint", "group_2.json"))
+    val report2 = ExtractJob.run(spark, docs,
+      ExtractJob.Config(out, runId = "r2", groups = 4, partitions = 8))
+    assert(report2.groupsRun == Seq(2))
+    assert(report2.groupsSkipped == Seq(0, 1, 3))
+    val after = ExtractJob.spansView(spark, out).count()
+    assert(after == before, "re-run must not duplicate rows")
+
+    // full re-run with all groups committed: nothing recomputed
+    val report3 = ExtractJob.run(spark, docs,
+      ExtractJob.Config(out, runId = "r3", groups = 4, partitions = 8))
+    assert(report3.groupsRun.isEmpty)
+    assert(ExtractJob.spansView(spark, out).count() == before)
+  }
+
+  test("partitioning independence: 2 vs 32 partitions give identical output") {
+    val outA = tmpDir("p2"); val outB = tmpDir("p32")
+    val docs = CorpusGen.dataset(spark, 300, 42L)
+    ExtractJob.run(spark, docs,
+      ExtractJob.Config(outA, runId = "a", groups = 2, partitions = 2))
+    ExtractJob.run(spark, docs,
+      ExtractJob.Config(outB, runId = "b", groups = 2, partitions = 32))
+    val a = ExtractJob.spansView(spark, outA).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getInt(4))).sortBy(_.toString)
+    val b = ExtractJob.spansView(spark, outB).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getInt(4))).sortBy(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("metrics sidecar: per-partition lineage rows cover all docs") {
+    val out = tmpDir("metrics")
+    val docs = CorpusGen.dataset(spark, 300, 42L)
+    ExtractJob.run(spark, docs,
+      ExtractJob.Config(out, runId = "m1", groups = 2, partitions = 8))
+    val m = spark.read.parquet(s"$out/metrics")
+    import org.apache.spark.sql.functions._
+    val agg = m.agg(sum("doc_count"), sum("chunk_count"),
+                    sum("out_span_count")).collect()(0)
+    assert(agg.getLong(0) == 300)
+    val chunkRows = ExtractJob.chunksView(spark, out).count()
+    assert(agg.getLong(1) == chunkRows)
+    assert(agg.getLong(2) == ExtractJob.spansView(spark, out).count())
+    assert(m.select("status").distinct().collect()
+      .map(_.getString(0)).toSet == Set("committed"))
+  }
+
+  test("chunks view matches oracle chunks (document_chunks semantics)") {
+    val out = tmpDir("chunks")
+    val docs = CorpusGen.dataset(spark, 300, 42L)
+    ExtractJob.run(spark, docs,
+      ExtractJob.Config(out, runId = "c1", groups = 2, partitions = 8))
+    val got = ExtractJob.chunksView(spark, out).collect().map { r =>
+      Chunk(r.getString(0), r.getString(1), r.getInt(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getDouble(9))
+    }.groupBy(_.doc_id)
+    CorpusGen.corpus(42L, 300).foreach { d =>
+      val want = RefOracle.extract(d).chunks
+      val g = got.getOrElse(d.doc_id, Array.empty[Chunk])
+        .sortBy(_.chunk_n).toSeq
+      assert(g == want, s"chunks mismatch for ${d.doc_id}")
+    }
+  }
+
+  private implicit class ChunkN(c: Chunk) {
+    def chunk_n: Int = c.chunk_id.substring(c.chunk_id.lastIndexOf('c') + 1).toInt
+  }
+}
