@@ -1,13 +1,357 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.extract.Extractor
+import graft.functions.Position
+import graft.gen.CorpusGen
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator map.
+  *
+  * Naming convention:
+  *  - `ex_*`  extraction-engine queries over the deterministic generated
+  *            spans corpus (not SQL-expressible → rows-only check; the
+  *            real correctness gate is the dual-implementation oracle in
+  *            `sbt -batch test`).
+  *  - `q_*`   SQL-oracled queries over the driver testdata tables; every
+  *            one has an exact DuckDB twin in [[oracleSql]].
+  *  - `dd_*` / `sim_*` / `mm_*`  dedup / similarity / multimodal
+  *            training-data ops (rows-only unless stated).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------- shared helpers ----------
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic corpus sized from the sf tier (4 docs per documents
+    * row: sf0.001→2k, sf0.1→20k), generated distributed.
+    */
+  def corpusFor(spark: SparkSession, dir: String): Dataset[InputDoc] = {
+    val nDocs = t(spark, dir, "documents").count() * 4
+    CorpusGen.dataset(spark, nDocs, 42L)
+  }
+
+  /** Extraction as a query (no write): corpus → flatMap extract → rows. */
+  def extractedRows(spark: SparkSession, dir: String): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    corpusFor(spark, dir).flatMap(d => Extractor.extractRows(d))
+  }
+
+  /** Flagship: full extraction over the sf0.001-sized corpus, chunks
+    * enriched with the 9-cell position (P16/P17). Driver smoke-checks
+    * rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val rows = extractedRows(spark, "/root/testdata/sf0.001").toDF()
+    rows.where(col("chunk_id").isNotNull)
+      .withColumn("position", Position.positionStruct(
+        col("bbox_x0"), col("bbox_y0"), col("bbox_x1"), col("bbox_y1"),
+        col("page_width"), col("page_height")))
+      .select("chunk_id", "doc_id", "page", "text",
+              "position.position_description", "position.relative_x",
+              "position.relative_y")
+  }
+
+  // ---------- the queries ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // === extraction engine (rows-only; oracle = sbt test dual-impl) ===
+    "ex_spans" -> ((s, dir) => {
+      extractedRows(s, dir)
+        .select("doc_id", "kind", "text", "media_ref", "order")
+    }),
+    "ex_chunks" -> ((s, dir) => {
+      extractedRows(s, dir).toDF().where(col("chunk_id").isNotNull)
+        .withColumn("position_description", Position.positionDescription(
+          col("bbox_x0"), col("bbox_y0"), col("bbox_x1"), col("bbox_y1"),
+          col("page_width"), col("page_height")))
+        .select("chunk_id", "doc_id", "page", "text", "bbox_x0", "bbox_y0",
+                "bbox_x1", "bbox_y1", "page_width", "page_height",
+                "position_description")
+    }),
+    "ex_catalog" -> ((s, dir) => {
+      // Q1 document-catalog aggregate (streamlit_app.py:402-412) over the
+      // extraction output
+      extractedRows(s, dir).toDF().where(col("chunk_id").isNotNull)
+        .groupBy("doc_id")
+        .agg(max("page").as("total_pages"), count(lit(1)).as("chunk_count"))
+        .orderBy("doc_id")
+    }),
+
+    // === SQL-oracled operator queries (DuckDB twins below) ===
+    "q_doc_catalog" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             max("n_chars").as("max_chars"),
+             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source")),
+    "q_reading_order" -> ((s, dir) => {
+      // Q2 reading-order semantics (y desc, x asc) on a derived bbox table
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_partkey").asc,
+                 col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("reading_pos", row_number().over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("reading_pos"))
+        .orderBy("l_orderkey", "reading_pos")
+    }),
+    "q_chunk_ids" -> ((s, dir) => {
+      // P10/P11 chunk-id synthesis: row_number + concat (setup.sql:238-239)
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("n", row_number().over(w))
+        .select(concat(col("l_orderkey"), lit("_p"), col("l_linenumber"),
+                       lit("_c"), col("n")).as("chunk_id"),
+                col("l_orderkey"), col("n"))
+        .orderBy("l_orderkey", "n")
+    }),
+    "q_position_cells" -> ((s, dir) => {
+      // P16/P17 9-cell position over derived bboxes; p_size<=5 rows get
+      // degenerate dims to exercise the 612x792 fallback
+      val p = t(s, dir, "part")
+      val x0 = (pmod(col("p_partkey"), lit(90)) * 6.0).cast("double")
+      val y0 = (pmod(col("p_partkey"), lit(77)) * 10.0).cast("double")
+      val x1 = x0 + 40.0; val y1 = y0 + 12.0
+      val w = when(col("p_size") <= 5, 0.0).otherwise(612.0)
+      val h = when(col("p_size") <= 5, -1.0).otherwise(792.0)
+      p.select(col("p_partkey"),
+          Position.positionDescription(x0, y0, x1, y1, w, h).as("pos_desc"),
+          round(Position.relX(x0, x1, w) * 100, 1).as("rel_x"),
+          round(Position.relY(y0, y1, h) * 100, 1).as("rel_y"))
+        .orderBy("p_partkey")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      // P3 incremental anti-join (setup.sql:222): new docs = all docs
+      // minus the already-processed set (here: doc_id % 3 == 0)
+      val d = t(s, dir, "documents")
+      val processed = d.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select("doc_id")
+      d.join(processed, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "documents").select("lang").distinct().orderBy("lang")),
+    "q_topk" -> ((s, dir) =>
+      // Q5 top-k + Q6 equality filter pushdown
+      t(s, dir, "documents").where(col("lang") === "en")
+        .select("doc_id", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(20)),
+    "q_doc_stats" -> ((s, dir) =>
+      // Q3 per-doc summary stats
+      t(s, dir, "documents").where(col("source") === "src1")
+        .agg(count(lit(1)).as("n"), max("n_chars").as("max_chars"),
+             min("doc_id").as("first_doc"))),
+    "q_preview" -> ((s, dir) =>
+      // Q7 result shaping / truncation
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.preview(col("text"), 50).as("preview"))
+        .orderBy("doc_id").limit(100)),
+    "q_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedupKeepers(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("digest")),
+    "q_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          round(TextOps.meanTokenLen(col("text")), 4).as("mean_tok_len"))
+        .orderBy("doc_id")),
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.stopwordHits(col("text")).as("stop_hits"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "q_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.langIdGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = broadcast(e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv")))
+      e.crossJoin(q)
+        .select(col("vec_id"),
+          round(Dedup.cosine(col("embedding").cast("array<double>"),
+                             col("qv").cast("array<double>")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(20)
+    }),
+
+    // === dedup / similarity / multimodal (rows-only) ===
+    "dd_minhash_lsh" -> ((s, dir) => {
+      // near-dup discovery: corpus + 20 injected exact dups (id+1000000)
+      // must surface the injected pairs with est_jaccard 1.0
+      val d = t(s, dir, "documents").select("doc_id", "text").limit(300)
+      val dups = d.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashLshPairs(d.union(dups), "doc_id", "text",
+        w = 3, k = 64, bands = 16).orderBy("id_a", "id_b")
+    }),
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents").limit(500), "doc_id", "text",
+        maxHamming = 12)
+        .orderBy("id_a", "id_b")),
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").limit(300), "doc_id", "text",
+        w = 2, minSim = 0.2)
+        .orderBy("id_a", "id_b")),
+    "dd_embedding_neardup" -> ((s, dir) => {
+      // random embeddings have no natural near-dups (max cos ~0.45) —
+      // inject 20 jittered copies (id+1000000) the op must recover
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dups = e.orderBy("vec_id").limit(20)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.001f)))
+      Dedup.embeddingNearDupPairs(e.union(dups), "vec_id", "embedding",
+        minSim = 0.99, nPlanes = 6).orderBy("id_a", "id_b")
+    }),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = Similarity.ivfIndex(e, "vec_id", "embedding", nCells = 16)
+      val centroids = e.orderBy(col("vec_id").asc).limit(16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val query = centroids.head._2
+      Similarity.ivfTopK(idx, "vec_id", "embedding", centroids, query,
+        k = 20, nProbe = 4)
+    }),
+    "mm_decode" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      Multimodal.decodeStage(s, Multimodal.fakeMediaTable(s, n, 42L))
+        .toDF().drop("feature").orderBy("media_ref")
+    }),
+    "mm_frames" -> ((s, dir) => {
+      val n = math.min(t(s, dir, "documents").count(), 500L)
+      Multimodal.frameSamplePlan(
+        Multimodal.decodeStage(s, Multimodal.fakeMediaTable(s, n, 42L)),
+        stepMs = 5000L).orderBy("media_ref", "sample_ms")
+    })
+  )
+
+  // ---------- DuckDB twins ----------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_doc_catalog" ->
+      """SELECT source, count(*) AS n_docs, max(n_chars) AS max_chars,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_reading_order" ->
+      """SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_extendedprice DESC, l_partkey ASC, l_linenumber ASC)
+           AS reading_pos
+         FROM lineitem ORDER BY l_orderkey, reading_pos""",
+    "q_chunk_ids" ->
+      """SELECT l_orderkey || '_p' || l_linenumber || '_c' || n AS chunk_id,
+                l_orderkey, n
+         FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber ASC) AS INTEGER) AS n
+               FROM lineitem)
+         ORDER BY l_orderkey, n""",
+    "q_position_cells" ->
+      """WITH b AS (
+           SELECT p_partkey,
+             CAST((p_partkey % 90) * 6.0 AS DOUBLE) AS x0,
+             CAST((p_partkey % 77) * 10.0 AS DOUBLE) AS y0,
+             CAST((p_partkey % 90) * 6.0 + 40.0 AS DOUBLE) AS x1,
+             CAST((p_partkey % 77) * 10.0 + 12.0 AS DOUBLE) AS y1,
+             CASE WHEN p_size <= 5 THEN 612.0 ELSE 612.0 END AS w_eff,
+             CASE WHEN p_size <= 5 THEN 792.0 ELSE 792.0 END AS h_eff
+           FROM part),
+         r AS (
+           SELECT p_partkey,
+             (x0 + x1) / 2 / w_eff AS rx, (y0 + y1) / 2 / h_eff AS ry
+           FROM b)
+         SELECT p_partkey,
+           (CASE WHEN ry > 0.67 THEN 'top'
+                 WHEN ry < 0.33 THEN 'bottom' ELSE 'middle' END
+            || '-' ||
+            CASE WHEN rx < 0.33 THEN 'left'
+                 WHEN rx > 0.67 THEN 'right' ELSE 'center' END) AS pos_desc,
+           round(rx * 100, 1) AS rel_x, round(ry * 100, 1) AS rel_y
+         FROM r ORDER BY p_partkey""",
+    "q_anti_join" ->
+      """SELECT doc_id, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM documents
+                              WHERE doc_id % 3 = 0)
+         ORDER BY doc_id""",
+    "q_distinct" -> "SELECT DISTINCT lang FROM documents ORDER BY lang",
+    "q_topk" ->
+      """SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+         ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+    "q_doc_stats" ->
+      """SELECT count(*) AS n, max(n_chars) AS max_chars,
+                min(doc_id) AS first_doc
+         FROM documents WHERE source = 'src1'""",
+    "q_preview" ->
+      """SELECT doc_id, substr(text, 1, 50) AS preview FROM documents
+         ORDER BY doc_id LIMIT 100""",
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keeper_id,
+                count(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY digest""",
+    "q_token_stats" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           round(CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                      AS DOUBLE) / len(string_split(text, ' ')), 4)
+             AS mean_tok_len
+         FROM documents ORDER BY doc_id""",
+    "q_quality" ->
+      """WITH s AS (
+           SELECT doc_id, text, ' ' || text || ' ' AS padded,
+             len(string_split(text, ' ')) AS n_toks,
+             CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+         hits AS (
+           SELECT doc_id, n_toks, n_chars,
+             CAST(len(string_split(padded, ' the ')) - 1
+                + len(string_split(padded, ' a ')) - 1
+                + len(string_split(padded, ' of ')) - 1
+                + len(string_split(padded, ' and ')) - 1
+                + len(string_split(padded, ' to ')) - 1
+                + len(string_split(padded, ' in ')) - 1
+                + len(string_split(padded, ' is ')) - 1 AS BIGINT)
+               AS stop_hits
+           FROM s)
+         SELECT doc_id, stop_hits,
+           round((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN (CAST(n_chars - (n_toks - 1) AS DOUBLE) / n_toks)
+                       BETWEEN 2.5 AND 12.0 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN stop_hits > 0 THEN 0.3 ELSE 0.0 END), 1) AS quality
+         FROM hits ORDER BY doc_id""",
+    "q_langid" ->
+      """SELECT doc_id,
+           CASE
+             WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+             WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+             WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+               OR ' ' || lower(text) || ' ' LIKE '% los %'
+               OR ' ' || lower(text) || ' ' LIKE '% una %' THEN 'es'
+             WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+               OR ' ' || lower(text) || ' ' LIKE '% und %'
+               OR ' ' || lower(text) || ' ' LIKE '% ist %' THEN 'de'
+             WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+               OR ' ' || lower(text) || ' ' LIKE '% les %'
+               OR ' ' || lower(text) || ' ' LIKE '% une %' THEN 'fr'
+             ELSE 'en'
+           END AS lang_guess
+         FROM documents ORDER BY doc_id""",
+    "q_cosine_topk" ->
+      """SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6)
+             AS score
+         FROM embeddings e,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         ORDER BY score DESC, e.vec_id ASC LIMIT 20"""
+  )
 }

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale training-data pipelines:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. Designed for the 100 TB case:
+  *
+  *  - exact dedup is a single hash aggregate on a 64/128-bit digest (no
+  *    text shuffle — only the digest + id move);
+  *  - MinHash/LSH shuffles (band, signature) pairs, never full texts;
+  *    candidate pairs are verified within buckets only;
+  *  - SimHash reduces each doc to 64 bits; banding on 16-bit sub-keys
+  *    finds all pairs within Hamming distance 3 without an O(n^2) join.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per identical
+    * `textCol` (md5 digest groupBy — the text itself never shuffles when
+    * the caller passes a digest column). ≅ reference Q4 distinct, upgraded.
+    */
+  def exactDedupKeepers(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("digest"))
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  // ---------- shingles ----------
+
+  /** w-word shingles of a whitespace-tokenized text, as an array column.
+    * sequence+transform: pure Catalyst, no UDF.
+    */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    when(n >= w,
+      transform(sequence(lit(0), n - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array())
+  }
+
+  /** n-gram Jaccard similarity pairs: explode distinct shingles, self-join
+    * on shingle, count common, Jaccard = common / (|A| + |B| - common).
+    * Returns pairs with sim >= minSim, idA < idB. Scale note: the join is
+    * on the shingle hash (64-bit), not the shingle text; frequent-shingle
+    * skew is bounded by `maxShingleFreq` (drop stop-shingles — standard
+    * practice, mirrors suffix-array dedup pipelines).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        w: Int, minSim: Double,
+                        maxShingleFreq: Long = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(wordShingles(col(textCol), w))).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val filtered = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("f"))
+        .where(col("f") <= maxShingleFreq).select("sh"), Seq("sh"))
+    val common = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a")
+                 .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .where(col("jaccard") >= minSim)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** k-permutation MinHash signature over word shingles, as an array
+    * column: sig[j] = min over shingles of xxhash64(shingle, seed_j).
+    * Pure Catalyst (transform + array_min over the shingle array).
+    */
+  def minhashSignature(text: Column, w: Int, k: Int): Column = {
+    val shingles = wordShingles(text, w)
+    val sig = transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(shingles, s => xxhash64(s, j))))
+    when(size(shingles) > 0, sig).otherwise(null)
+  }
+
+  /** MinHash LSH candidate pairs: split the k-long signature into `bands`
+    * bands of k/bands rows; docs sharing any band hash are candidates.
+    * Emits distinct candidate pairs (id_a < id_b) with their estimated
+    * Jaccard (fraction of equal signature positions).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 5, k: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigDf = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), w, k).as("sig"))
+      .where(col("sig").isNotNull)
+    val banded = sigDf.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(k).cast("double"))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over whitespace tokens: each token votes its
+    * xxhash64 bits weighted +-1; the sign vector is the fingerprint.
+    * Pure Catalyst: aggregate over a 64-slot vote array.
+    */
+  def simhash(text: Column): Column = {
+    val toks = split(text, " ")
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, bit) => a + when(call_function("shiftright", h, bit)
+            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming` (default 3): band the 64
+    * bits into 4 x 16-bit keys; by pigeonhole any pair within distance 3
+    * shares at least one exact 16-bit band → equi-join on (band, key),
+    * then verify with bit_count. No O(n^2) pass.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        call_function("shiftright", col("fp"), b * 16).bitwiseAND(65535L))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ---------- embedding near-dup ----------
+
+  /** Cosine similarity of two float-array columns (zip_with + aggregate —
+    * codegen'd, no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(transform(a, x => x * x),
+      lit(0.0), (s, v) => s + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x),
+      lit(0.0), (s, v) => s + v))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs with cosine >= minSim, bucketed by random
+    * hyperplane LSH (`nPlanes` sign bits from deterministic hash-based
+    * hyperplanes) so the join is bucket-local, not O(n^2). Exact cosine
+    * verifies candidates. Recall is probabilistic (raise nProbes/lower
+    * nPlanes for more).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            minSim: Double, nPlanes: Int = 8): DataFrame = {
+    val sketch = Similarity.hyperplaneSketch(col(vecCol), nPlanes)
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+                      sketch.as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= minSim)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>). Brute-force cosine top-k as the exact baseline; a
+  * random-hyperplane LSH-bucketed variant as the scale path (bucket-local
+  * candidate generation instead of a full scan per query).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane sketch: nPlanes sign bits.
+    * Plane p's normal component for dimension i is a hash-derived value
+    * in [-0.5, 0.5): (xxhash64(p * 131071 + i) % 1024) / 1024 - 0.5.
+    * Pure Catalyst; identical across runs and partitionings.
+    */
+  def hyperplaneSketch(vec: Column, nPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val dotp = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
+            val h = xxhash64(p * 131071 + i.cast("long"))
+            x.cast("double") *
+              ((pmod(h, lit(1024L)).cast("double") / 1024.0) - 0.5)
+          }),
+          lit(0.0), (s, v) => s + v)
+        when(dotp > 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Exact brute-force cosine top-k for a single query vector: broadcast
+    * the query as a literal array, one codegen'd scan, TakeOrderedAndProject
+    * for the top-k (no full sort, no shuffle of vectors).
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    df.select(col(idCol),
+        Dedup.cosine(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of `nCells`
+    * deterministic centroids (the centroids are the first nCells vectors
+    * by id — a deterministic "training sample"), broadcast the centroids,
+    * search only the query's `nProbe` nearest cells.
+    *
+    * At 100 TB the cell assignment is a broadcast-join scan (one pass),
+    * and each query touches nProbe/nCells of the data.
+    */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nCells: Int)
+      : DataFrame = {
+    val centroids = df.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    df.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("cell_id"),
+        Dedup.cosine(col(vecCol).cast("array<double>"),
+                     col("centroid").cast("array<double>")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("sim").desc,
+                                               col("cell_id").asc)))
+      .where(col("rk") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** ANN top-k through the IVF index: probe the nProbe cells nearest to
+    * the query, brute-force within them.
+    */
+  def ivfTopK(indexed: DataFrame, idCol: String, vecCol: String,
+              centroids: Array[(Long, Array[Float])],
+              query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val probeCells = centroids
+      .sortBy { case (id, c) => (-cos(c, query), id) }
+      .take(nProbe).map(_._1)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    indexed.where(col("cell_id").isin(probeCells: _*))
+      .select(col(idCol),
+        Dedup.cosine(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

