@@ -1,0 +1,69 @@
+package graft
+
+import graft.pipeline.ExtractJob
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+/** One scaling measurement in its own JVM (launched by [[Bench]]).
+  *
+  * Prints two lines:
+  * {{{
+  *   OVERHEAD <sec>     fixed per-job wall time: the same job machinery
+  *                      (scan+shuffle+write+commit+metrics) over a
+  *                      100-doc input — work content ~0
+  *   RESULT <docs/sec>  best-of-reps full-job throughput on the real input
+  * }}}
+  * The parent reports raw efficiency and fixed-overhead-adjusted
+  * efficiency ((T_low-F_low)/(T_high-F_high))/ratio — at production scale
+  * a job runs minutes-to-hours and the ~2s driver-side fixed cost
+  * vanishes; at bench scale it doesn't, so it is measured and reported,
+  * never hidden.
+  *
+  * Args: cores inputDir nDocs reps.
+  */
+object BenchChild {
+  def main(args: Array[String]): Unit = {
+    val Array(coresS, inputDir, nDocsS, repsS) = args
+    val cores = coresS.toInt; val nDocs = nDocsS.toLong; val reps = repsS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-child-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def deleteRec(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(deleteRec)
+      p.delete()
+    }
+    def runJob(input: org.apache.spark.sql.Dataset[graft.core.InputDoc],
+               tag: String): Double = {
+      val out = Files.createTempDirectory(s"graft-bench-$tag").toString
+      val t0 = System.nanoTime()
+      ExtractJob.run(spark, input, ExtractJob.Config(
+        out, runId = tag, groups = 1, partitions = cores * 3))
+      val sec = (System.nanoTime() - t0) / 1e9
+      deleteRec(new java.io.File(out))
+      sec
+    }
+
+    val docs = spark.read.parquet(inputDir).as[graft.core.InputDoc]
+    // warmup: JIT-compile the whole path (2 small jobs)
+    runJob(graft.gen.CorpusGen.dataset(spark, 3000, 7L), "warm1")
+    runJob(graft.gen.CorpusGen.dataset(spark, 3000, 8L), "warm2")
+    // fixed-overhead probe: same machinery, ~zero work
+    val overhead = (1 to 3).map(i =>
+      runJob(graft.gen.CorpusGen.dataset(spark, 100, 9L + i), s"oh$i")).min
+    println(f"OVERHEAD $overhead%.3f")
+    val bestSec = (1 to reps).map(_ => runJob(docs, s"run")).min
+    println(f"RESULT ${nDocs / bestSec}%.1f")
+    println(f"SECONDS $bestSec%.3f")
+    spark.stop()
+  }
+}

@@ -40,11 +40,12 @@ object ExtractJob {
     runId: String = "run",
     groups: Int = 8,               // checkpoint granularity
     partitions: Int = 0,           // 0 = 4 x defaultParallelism
-    bigDocBytes: Long = 1L << 20)  // cost-proxy threshold for skew isolation
+    bigDocBytes: Long = 1L << 20,  // cost-proxy threshold for skew isolation
+    salting: String = "auto")      // "on" | "off" | "auto" (sampled decision)
 
   case class RunReport(runId: String, groupsRun: Seq[Int],
                        groupsSkipped: Seq[Int], docsProcessed: Long,
-                       elapsedMs: Long)
+                       elapsedMs: Long, salted: Boolean)
 
   /** Extract an iterator of docs, streaming (iterator-to-iterator — no
     * partition materialization), recording per-partition metrics.
@@ -104,17 +105,37 @@ object ExtractJob {
 
     // group assignment + skew cost proxy, both codegen'd column exprs —
     // no data pass beyond the scan itself
+    // cost proxy = payload bytes via octet_length (O(1) per span — byte
+    // count off the UTF8 buffer, unlike length() which scans for chars);
+    // catches both many-span docs and single-giant-span docs
     val withGroup = docs
       .withColumn("_group",
         pmod(xxhash64(col("doc_id")), lit(cfg.groups)).cast("int"))
       .withColumn("_cost",
         coalesce(aggregate(col("spans"), lit(0L),
-          (a, s) => a + coalesce(length(s.getField("text")).cast("long"),
+          (a, s) => a + coalesce(octet_length(s.getField("text")).cast("long"),
                                  lit(0L))), lit(0L)))
 
     var docsProcessed = 0L
     val groupsRun = Seq.newBuilder[Int]
     val groupsSkipped = Seq.newBuilder[Int]
+
+    // salting decision: the repartition shuffle moves the full payload —
+    // worth it iff the cost distribution is skewed RELATIVE TO a
+    // partition's fair share (one doc ≥ 25% of a partition, or over the
+    // absolute big-doc threshold). Exact agg over the cost column here;
+    // in an Iceberg deployment this comes free from table column stats.
+    val useSalt = cfg.salting match {
+      case "on"  => true
+      case "off" => false
+      case _ =>
+        val s = withGroup.agg(max("_cost"), sum("_cost")).collect()(0)
+        !s.isNullAt(0) && {
+          val mx = s.getLong(0); val total = s.getLong(1)
+          val fairShare = math.max(total / math.max(nPart, 1), 1L)
+          mx >= cfg.bigDocBytes || mx >= fairShare / 4
+        }
+    }
 
     (0 until cfg.groups).foreach { g =>
       if (committed.contains(g)) groupsSkipped += g
@@ -123,11 +144,13 @@ object ExtractJob {
         val gDocs = withGroup.filter(col("_group") === g)
         // skew isolation: big docs get the full 64-bit hash (≈ singleton
         // partitions among nPart); normal docs hash into [0, nPart)
-        val salted = gDocs.withColumn("_salt",
-            when(col("_cost") >= cfg.bigDocBytes,
-                 xxhash64(col("doc_id"), lit(1)))
-              .otherwise(pmod(xxhash64(col("doc_id")), lit(nPart))))
-          .repartition(nPart, col("_salt"))
+        val salted = (if (useSalt)
+          gDocs.withColumn("_salt",
+              when(col("_cost") >= cfg.bigDocBytes,
+                   xxhash64(col("doc_id"), lit(1)))
+                .otherwise(pmod(xxhash64(col("doc_id")), lit(nPart))))
+            .repartition(nPart, col("_salt"))
+          else gDocs)
           .select("doc_id", "spans").as[InputDoc]
         val out = salted.mapPartitions(it =>
           extractPartition(it, g, cfg.runId, acc))
@@ -146,16 +169,32 @@ object ExtractJob {
       }
     }
 
-    // metrics sidecar: dedupe task retries (keep max attempt per partition)
+    // metrics sidecar: dedupe task retries (keep max attempt per partition),
+    // written driver-side as JSONL (one row per task partition — tiny; a
+    // Spark write job here would add a serial stage to every run). Read it
+    // back as a table with spark.read.json.
     val metrics = acc.value.asScala
       .groupBy(m => (m.group, m.partition_id))
       .map(_._2.maxBy(_.task_attempt)).toSeq
+      .sortBy(m => (m.group, m.partition_id))
     if (metrics.nonEmpty) {
-      spark.createDataset(metrics).write.mode("append")
-        .parquet(s"${cfg.outDir}/metrics")
+      val dir = java.nio.file.Paths.get(cfg.outDir, "metrics")
+      java.nio.file.Files.createDirectories(dir)
+      val body = metrics.map { m =>
+        s"""{"run_id":"${m.run_id}","group":${m.group},""" +
+        s""""partition_id":${m.partition_id},"task_attempt":${m.task_attempt},""" +
+        s""""doc_count":${m.doc_count},"span_count":${m.span_count},""" +
+        s""""out_span_count":${m.out_span_count},"chunk_count":${m.chunk_count},""" +
+        s""""text_spans":${m.text_spans},"media_spans":${m.media_spans},""" +
+        s""""bytes_in":${m.bytes_in},"duration_ms":${m.duration_ms},""" +
+        s""""status":"${m.status}"}"""
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(
+        dir.resolve(s"${cfg.runId}-${System.currentTimeMillis()}.jsonl"),
+        body)
     }
     RunReport(cfg.runId, groupsRun.result(), groupsSkipped.result(),
-      docsProcessed, System.currentTimeMillis() - t0)
+      docsProcessed, System.currentTimeMillis() - t0, useSalt)
   }
 
   /** Read back the unified output table (all committed groups). */

@@ -4,6 +4,7 @@ import graft.core._
 import graft.gen.CorpusGen
 import graft.pipeline.{Checkpoint, ExtractJob}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Path}
@@ -103,7 +104,7 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = CorpusGen.dataset(spark, 300, 42L)
     ExtractJob.run(spark, docs,
       ExtractJob.Config(out, runId = "m1", groups = 2, partitions = 8))
-    val m = spark.read.parquet(s"$out/metrics")
+    val m = spark.read.json(s"$out/metrics")
     import org.apache.spark.sql.functions._
     val agg = m.agg(sum("doc_count"), sum("chunk_count"),
                     sum("out_span_count")).collect()(0)
@@ -131,6 +132,30 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
         .sortBy(_.chunk_n).toSeq
       assert(g == want, s"chunks mismatch for ${d.doc_id}")
     }
+  }
+
+
+  test("adaptive skew salting: monster doc triggers it, uniform corpus skips it") {
+    import spark.implicits._
+    val uniform = CorpusGen.dataset(spark, 200, 42L)
+      .filter(d => d.doc_id != "doc_00000000") // drop nothing important
+    // uniform corpus at default thresholds: small docs, no monster
+    val outA = tmpDir("saltA")
+    val repA = ExtractJob.run(spark, uniform,
+      ExtractJob.Config(outA, "sa", groups = 1, partitions = 8,
+        bigDocBytes = 1L << 20))
+    // one 2MB single-span monster forces the decision on
+    val monster = Seq(InputDoc("monster",
+      Vector(Span("text", "x" * (2 << 20), null, 0)))).toDS()
+    val outB = tmpDir("saltB")
+    val repB = ExtractJob.run(spark, uniform.union(monster),
+      ExtractJob.Config(outB, "sb", groups = 1, partitions = 8,
+        bigDocBytes = 1L << 20))
+    assert(repB.salted, "monster doc must trigger salting")
+    // and the monster's row must still come through intact
+    val got = ExtractJob.spansView(spark, outB)
+      .where(col("doc_id") === "monster").collect()
+    assert(got.length == 1 && got(0).getString(2).length == (2 << 20))
   }
 
   private implicit class ChunkN(c: Chunk) {
