@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.core.InputDoc
+import graft.pipeline.ExtractJob
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingestion — the Spark-first replacement for the reference's
+  * hourly scheduled task (`CREATE TASK ... SCHEDULE='60 MINUTE' AS CALL
+  * process_new_pdfs()`, /root/reference/setup.sql:279-286).
+  *
+  * A file-source stream over the input table directory; each micro-batch
+  * runs the SAME extraction machinery via foreachBatch, so checkpoint
+  * semantics compose: Spark's streaming checkpoint tracks which input
+  * files are consumed (the DIRECTORY-table role, setup.sql:44-45), and
+  * batch outputs append per (batch, group) with the manifest making
+  * re-delivered batches idempotent — the distributed generalization of
+  * the reference's NOT-IN anti-join resume (setup.sql:222).
+  *
+  * `Trigger.AvailableNow` gives the reference's batch cadence (drain all
+  * new files, then stop — rerun on any schedule); a ProcessingTime
+  * trigger gives continuous ingestion. No watermarks/stateful ops are
+  * needed: extraction is stateless per document (SURVEY.md X5).
+  */
+object StreamingIngest {
+
+  /** Start the stream. `inputDir` is watched for new parquet files of
+    * docs(doc_id, spans); outputs land under `outDir` exactly as in the
+    * batch job. Returns the query (caller awaits/stops).
+    */
+  def start(spark: SparkSession, inputDir: String, outDir: String,
+            checkpointDir: String, runId: String = "stream",
+            groups: Int = 4, availableNow: Boolean = true): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[InputDoc].schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(inputDir)
+      .as[InputDoc]
+
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[InputDoc],
+                       batchId: Long) =>
+        // one batch = one ExtractJob run into a batch-scoped output dir;
+        // ExtractJob's own manifest makes re-delivered batches no-ops
+        ExtractJob.run(batch.sparkSession, batch, ExtractJob.Config(
+          outDir = s"$outDir/batch=$batchId",
+          runId = s"$runId-$batchId",
+          groups = groups))
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("60 seconds")))
+      .start()
+  }
+
+  /** Read back everything ingested so far (all batches, all groups). The
+    * per-batch `data` dirs are separate roots (an Iceberg deployment
+    * appends to ONE table instead); union them explicitly.
+    */
+  def readOutput(spark: SparkSession, outDir: String) = {
+    val dirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(f => s"${f.getAbsolutePath}/data")
+      .filter(p => new java.io.File(p).isDirectory)
+    dirs.map(d => spark.read.parquet(d).drop("group"))
+      .reduce(_ unionByName _)
+  }
+}
