@@ -170,6 +170,28 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
           TextOps.langIdGuess(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
+    "q_context_assembly" -> ((s, dir) => {
+      // Q8 RAG context assembly (streamlit_app.py:724-760)
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        (pmod(col("doc_id"), lit(10)) + 1).as("pg"),
+        substring(col("text"), 1, 40).as("txt"),
+        lit("middle-center").as("pos"))
+      graft.ops.Serving.assembleContext(d, "source", "doc_id", "doc_id",
+        "pg", "pos", "txt", topK = 3).orderBy("source")
+    }),
+    "q_validation" -> ((s, dir) => {
+      // Q11 input validation (streamlit_app.py:655-678)
+      val d = t(s, dir, "documents")
+        .withColumn("name", concat(lit("doc_"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, ".exe").otherwise(".pdf")))
+        .withColumn("size_bytes",
+          when(pmod(col("doc_id"), lit(11)) === 0, 0L)
+            .otherwise(col("n_chars").cast("long")))
+      d.select(col("doc_id"), col("name"),
+          graft.ops.Serving.validationVerdict(col("size_bytes"), col("name"),
+            Seq(".pdf", ".html", ".txt")).as("verdict"))
+        .orderBy("doc_id")
+    }),
     "q_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = broadcast(e.where(col("vec_id") === 0)
@@ -344,6 +366,31 @@ object SparkEntry {
                OR ' ' || lower(text) || ' ' LIKE '% une %' THEN 'fr'
              ELSE 'en'
            END AS lang_guess
+         FROM documents ORDER BY doc_id""",
+    "q_context_assembly" ->
+      """SELECT source,
+           string_agg('[Source ' || rn || '] ' || doc_id || ', Page ' || pg
+                      || ' (middle-center)' || chr(10) || txt,
+                      chr(10) || chr(10) ORDER BY rn) AS context
+         FROM (SELECT source, doc_id, doc_id % 10 + 1 AS pg,
+                      substr(text, 1, 40) AS txt,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY doc_id) AS rn
+               FROM documents)
+         WHERE rn <= 3
+         GROUP BY source ORDER BY source""",
+    "q_validation" ->
+      """SELECT doc_id,
+           'doc_' || doc_id ||
+             (CASE WHEN doc_id % 7 = 0 THEN '.exe' ELSE '.pdf' END) AS name,
+           CASE
+             WHEN (CASE WHEN doc_id % 11 = 0 THEN 0 ELSE n_chars END) <= 0
+               THEN 'empty'
+             WHEN (CASE WHEN doc_id % 11 = 0 THEN 0 ELSE n_chars END)
+                  > 50 * 1024 * 1024 THEN 'too_large'
+             WHEN doc_id % 7 = 0 THEN 'unsupported_type'
+             ELSE 'ok'
+           END AS verdict
          FROM documents ORDER BY doc_id""",
     "q_cosine_topk" ->
       """SELECT e.vec_id,
