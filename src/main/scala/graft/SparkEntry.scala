@@ -203,6 +203,57 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc).limit(20)
     }),
 
+    "q_event_windows" -> ((s, dir) =>
+      // tumbling event-time windows (the batch shape of the streaming
+      // windowed agg in graft.streaming; window() == date_trunc for 1h)
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("h"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+        .orderBy("h", "event_type")),
+    "q_sessionize" -> ((s, dir) => {
+      // per-user ordered event sequences with lag-based session breaks
+      // (30-min gap) — window functions beyond row_number
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_n", sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_n")
+        .agg(count(lit(1)).as("events_in_session"),
+             round(sum("value"), 4).as("session_value"))
+        .orderBy("user_id", "session_n")
+    }),
+    "q_join_revenue" -> ((s, dir) => {
+      // 3-way join with broadcast dims: revenue per nation
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      // EXISTS: customers with at least one urgent order
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
     // === dedup / similarity / multimodal (rows-only) ===
     "dd_minhash_lsh" -> ((s, dir) => {
       // near-dup discovery: corpus + 20 injected exact dups (id+1000000)
@@ -367,6 +418,43 @@ object SparkEntry {
              ELSE 'en'
            END AS lang_guess
          FROM documents ORDER BY doc_id""",
+    "q_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type,
+                count(*) AS n, round(sum(value), 4) AS total
+         FROM events GROUP BY 1, 2 ORDER BY h, event_type""",
+    "q_sessionize" ->
+      """WITH gaps AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sess AS (
+           SELECT user_id, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+           FROM gaps)
+         SELECT user_id, session_n, count(*) AS events_in_session,
+                round(sum(value), 4) AS session_value
+         FROM sess GROUP BY user_id, session_n
+         ORDER BY user_id, session_n""",
+    "q_join_revenue" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
     "q_context_assembly" ->
       """SELECT source,
            string_agg('[Source ' || rn || '] ' || doc_id || ', Page ' || pg
