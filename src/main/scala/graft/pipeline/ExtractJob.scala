@@ -41,7 +41,11 @@ object ExtractJob {
     groups: Int = 8,               // checkpoint granularity
     partitions: Int = 0,           // 0 = 4 x defaultParallelism
     bigDocBytes: Long = 1L << 20,  // cost-proxy threshold for skew isolation
-    salting: String = "auto")      // "on" | "off" | "auto" (sampled decision)
+    salting: String = "auto",      // "on" | "off" | "auto" (sampled decision)
+    io: graft.sources.TableIO = null) { // default: HadoopTableIO(outDir)
+    def tableIO: graft.sources.TableIO =
+      if (io != null) io else graft.sources.HadoopTableIO(outDir)
+  }
 
   case class RunReport(runId: String, groupsRun: Seq[Int],
                        groupsSkipped: Seq[Int], docsProcessed: Long,
@@ -154,8 +158,7 @@ object ExtractJob {
           .select("doc_id", "spans").as[InputDoc]
         val out = salted.mapPartitions(it =>
           extractPartition(it, g, cfg.runId, acc))
-        out.write.mode("overwrite")
-          .parquet(s"${cfg.outDir}/data/group=$g")
+        cfg.tableIO.overwriteGroup(out.toDF(), g)
         val gDocCount = {
           // metrics rows for this group (accumulator is cumulative)
           val rows = acc.value.asScala.filter(_.group == g)
@@ -218,4 +221,30 @@ object ExtractJob {
       .select(col("chunk_id"), col("doc_id"), col("page"), col("text"),
         col("bbox_x0"), col("bbox_y0"), col("bbox_x1"), col("bbox_y1"),
         col("page_width"), col("page_height"))
+
+  /** `group` is pmod(xxhash64(doc_id), groups) — recompute it driver-side
+    * so a doc lookup prunes to ONE partition directory instead of
+    * scanning all groups. At 10^12 docs this is the difference between
+    * touching 1/groups of the table and touching all of it.
+    */
+  def groupOf(spark: SparkSession, docId: String, groups: Int): Int = {
+    import spark.implicits._
+    Seq(docId).toDF("doc_id")
+      .select(pmod(xxhash64(col("doc_id")), lit(groups)).cast("int"))
+      .collect()(0).getInt(0)
+  }
+
+  /** Q2 page-content query (streamlit_app.py:418-427) with partition
+    * pruning + reading order.
+    */
+  def pageContent(spark: SparkSession, outDir: String, groups: Int,
+                  docId: String, page: Int) = {
+    val g = groupOf(spark, docId, groups)
+    spark.read.parquet(s"$outDir/data")
+      .where(col("group") === g && col("doc_id") === docId &&
+             col("page") === page)
+      .orderBy(col("bbox_y0").desc, col("bbox_x0").asc)
+      .select("chunk_id", "text", "bbox_x0", "bbox_y0", "bbox_x1",
+              "bbox_y1", "page_width", "page_height")
+  }
 }

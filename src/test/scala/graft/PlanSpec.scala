@@ -77,6 +77,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+
+  test("doc lookup prunes to one group partition (PartitionFilters)") {
+    val docs = ExtractJob.chunksView(spark, outDir)
+      .select("doc_id").limit(1).collect()
+    val docId = docs(0).getString(0)
+    val q = ExtractJob.pageContent(spark, outDir, groups = 1, docId, 1)
+    val plan = planOf(q)
+    assert(plan.contains("PartitionFilters: [isnotnull(group"),
+      s"no partition pruning:\n$plan")
+    // correctness: rows actually come back in reading order
+    val rows = q.collect()
+    val ys = rows.map(_.getDouble(3))
+    assert(ys.sameElements(ys.sorted.reverse) || rows.length <= 1)
+  }
+
   test("dedup digest groupBy: partial aggregation before the shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = graft.ops.Dedup.exactDedupKeepers(docs, "doc_id", "text")
