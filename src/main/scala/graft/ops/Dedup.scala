@@ -149,7 +149,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    // native codegen'd expression (graft.functions.SimHash64); the
+    // composed-column twin `simhash` below pins its semantics in tests
+    val fp = df.select(col(idCol).as("id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("fp"))
     val banded = fp.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("fp"), b * 16).bitwiseAND(65535L))))

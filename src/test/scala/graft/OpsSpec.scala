@@ -145,6 +145,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == brute)
   }
 
+
+  test("native SimHash64 expression == composed-column simhash (and codegen'd)") {
+    val d = docsDf.select("doc_id", "text").limit(200)
+    val a = d.select(graft.functions.SimHash64.simhash64(col("text")))
+      .collect().map(_.getLong(0))
+    val b = d.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    // edge cases: empty, spaces, unicode, trailing space
+    import spark.implicits._
+    val edge = Seq("", " ", "a  b", "naïve 中文 x ", "\u00a0nbsp")
+      .toDF("text")
+    val ea = edge.select(graft.functions.SimHash64.simhash64(col("text")))
+      .collect().map(_.getLong(0))
+    val eb = edge.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(ea.sameElements(eb))
+    // participates in whole-stage codegen, and SQL-registrable
+    val plan = d.select(graft.functions.SimHash64.simhash64(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+    org.apache.spark.sql.GraftExprBridge.register(spark, "graft_simhash64",
+      graft.functions.SimHash64(_))
+    d.createOrReplaceTempView("t_simhash")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash64(text) FROM t_simhash").collect()
+      .map(_.getLong(0))
+    assert(viaSql.sameElements(b))
+  }
+
   test("simhash is deterministic and self-distance 0") {
     val d = docsDf.select("text").limit(20)
     val a = d.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
