@@ -247,4 +247,48 @@ object ExtractJob {
       .select("chunk_id", "text", "bbox_x0", "bbox_y0", "bbox_x1",
               "bbox_y1", "page_width", "page_height")
   }
+
+  /** Incremental ingestion ≅ the reference's NOT-IN anti-join on the
+    * processed set (/root/reference/setup.sql:222), at doc granularity:
+    * group-level resume alone would wrongly SKIP new docs that hash into
+    * an already-committed group when the input table has grown between
+    * runs. Each incremental run gets its own run-scoped output subtree
+    * (`<outDir>/run=<runId>/...`) with its own manifest, so within-run
+    * crash/resume keeps the exactly-once-per-group contract, and
+    * across-run dedup is the anti-join. The distinct() of processed ids
+    * is a broadcast-friendly id-only scan; an Iceberg deployment would
+    * serve it from metadata/bloom indexes instead.
+    */
+  def runIncremental(spark: SparkSession, docs: Dataset[InputDoc],
+                     cfg: Config): RunReport = {
+    import spark.implicits._
+    val runs = listRuns(cfg.outDir)
+    val newDocs =
+      if (runs.isEmpty) docs
+      else {
+        val processed = readAllRuns(spark, cfg.outDir)
+          .select("doc_id").distinct()
+        // left_anti: only docs not yet extracted. Note docs with EMPTY
+        // output never appear in the output table and so re-extract —
+        // harmless (they emit nothing) and keeps the scan id-only.
+        docs.join(processed, Seq("doc_id"), "left_anti").as[InputDoc]
+      }
+    run(spark, newDocs, cfg.copy(outDir = s"${cfg.outDir}/run=${cfg.runId}"))
+  }
+
+  private def listRuns(outDir: String): Seq[String] = {
+    val d = new java.io.File(outDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("run="))
+      .map(_.getAbsolutePath)
+  }
+
+  /** Union of all incremental runs' outputs. */
+  def readAllRuns(spark: SparkSession, outDir: String) = {
+    val runs = listRuns(outDir)
+    runs.map(r => spark.read.parquet(s"$r/data").drop("group"))
+      .reduce(_ unionByName _)
+  }
+
 }
