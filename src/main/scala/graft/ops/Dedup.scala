@@ -198,4 +198,57 @@ object Dedup {
         cosine(col("a.v"), col("b.v")).as("cos"))
       .where(col("cos") >= minSim)
   }
+
+  // ---------- cluster resolution / removal ----------
+
+  /** Resolve near-dup PAIRS into clusters and pick one keeper per
+    * cluster: distributed connected components by iterative min-label
+    * propagation over the pair edges (Hash-to-Min style; converges in
+    * O(log n) rounds on real dup clusters, which are shallow). Returns
+    * (id, keeper_id) for every id that appears in a pair — ids absent
+    * from any pair are their own keepers.
+    *
+    * Scale notes: each round is one shuffle on id; `maxIters` bounds the
+    * work (dup clusters from near-dup detection are almost always stars
+    * or short chains — 5 rounds covers diameter 32).
+    */
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .withColumn("label", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst")
+                    .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("nlabel").as("nmin"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next.localCheckpoint() // cut the growing lineage each round
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("label", "keeper_id")
+  }
+
+  /** End-to-end near-dup REMOVAL for a training corpus: detect pairs with
+    * the chosen detector, resolve clusters, drop every non-keeper row.
+    */
+  def removeNearDups(df: DataFrame, idCol: String,
+                     pairs: DataFrame): DataFrame = {
+    val losers = resolveClusters(pairs)
+      .where(col("id") =!= col("keeper_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
 }

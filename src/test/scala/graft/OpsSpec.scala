@@ -180,6 +180,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.sameElements(b))
   }
 
+
+  test("cluster resolution == brute-force connected components; removal keeps one per cluster") {
+    import spark.implicits._
+    // edges forming: chain {1-2-3}, star {10-11,10-12,10-13}, pair {20-21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val resolved = Dedup.resolveClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(resolved == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    val df = Seq.tabulate(25)(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val kept = Dedup.removeNearDups(df, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    // losers 2,3,11,12,13,21 removed; everything else kept
+    assert(kept == (0L until 25L).toSet -- Set(2L, 3L, 11L, 12L, 13L, 21L))
+  }
+
+  test("end-to-end near-dup removal: injected dups eliminated from corpus") {
+    val d = docsDf.select("doc_id", "text").limit(80)
+    val dup = d.limit(10).withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = d.union(dup)
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      w = 3, k = 64, bands = 16).where(col("est_jaccard") >= 0.9)
+    val cleaned = Dedup.removeNearDups(corpus, "doc_id", pairs)
+    // every injected dup is gone (its original, with the smaller id, wins)
+    assert(cleaned.where(col("doc_id") >= 1000000L).count() == 0)
+    // semantic property: no qualifying near-dup pair survives the removal
+    val residual = Dedup.minhashLshPairs(cleaned, "doc_id", "text",
+      w = 3, k = 64, bands = 16).where(col("est_jaccard") >= 0.9).count()
+    assert(residual == 0, s"$residual near-dup pairs survived")
+    // and we never remove more than one side of each pair
+    assert(cleaned.count() >= 70 && cleaned.count() <= 80)
+  }
+
   // ---------- similarity ----------
 
   test("cosine column expr == scala dot product") {
