@@ -273,6 +273,16 @@ object SparkEntry {
         t(s, dir, "documents").limit(300), "doc_id", "text",
         w = 2, minSim = 0.2)
         .orderBy("id_a", "id_b")),
+    "dd_dedup_removal" -> ((s, dir) => {
+      // end-to-end near-dup removal: corpus + injected dups → cleaned
+      val d = t(s, dir, "documents").select("doc_id", "text").limit(200)
+      val dups = d.orderBy("doc_id").limit(15)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val corpus = d.union(dups)
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        w = 3, k = 64, bands = 16).where(col("est_jaccard") >= 0.9)
+      Dedup.removeNearDups(corpus, "doc_id", pairs).orderBy("doc_id")
+    }),
     "dd_embedding_neardup" -> ((s, dir) => {
       // random embeddings have no natural near-dups (max cos ~0.45) —
       // inject 20 jittered copies (id+1000000) the op must recover
