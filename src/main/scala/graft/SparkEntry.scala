@@ -281,7 +281,8 @@ object SparkEntry {
       val corpus = d.union(dups)
       val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
         w = 3, k = 64, bands = 16).where(col("est_jaccard") >= 0.9)
-      Dedup.removeNearDups(corpus, "doc_id", pairs).orderBy("doc_id")
+      Dedup.removeNearDups(corpus, "doc_id", pairs, maxIters = 2)
+        .orderBy("doc_id")
     }),
     "dd_embedding_neardup" -> ((s, dir) => {
       // random embeddings have no natural near-dups (max cos ~0.45) —

@@ -230,12 +230,17 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label")).limit(1).count()
+      val prev = labels
       labels = next.localCheckpoint() // cut the growing lineage each round
-      converged = changed == 0
       i += 1
+      // convergence probe costs a job — skip it on the final round,
+      // where the answer could not be used anyway
+      if (i < maxIters) {
+        val changed = labels.as("n")
+          .join(prev.as("o"), col("n.id") === col("o.id"))
+          .where(col("n.label") =!= col("o.label")).limit(1).count()
+        converged = changed == 0
+      }
     }
     labels.withColumnRenamed("label", "keeper_id")
   }
@@ -244,8 +249,8 @@ object Dedup {
     * the chosen detector, resolve clusters, drop every non-keeper row.
     */
   def removeNearDups(df: DataFrame, idCol: String,
-                     pairs: DataFrame): DataFrame = {
-    val losers = resolveClusters(pairs)
+                     pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+    val losers = resolveClusters(pairs, maxIters)
       .where(col("id") =!= col("keeper_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
