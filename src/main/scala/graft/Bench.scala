@@ -14,9 +14,10 @@ import java.nio.file.Files
   *     is SMT/throttled above ~16 threads).
   *  2. Scaling evidence for the north rule: the SAME end-to-end
   *     extraction job (read spans table → mapPartitions extract →
-  *     parquet write + checkpoint + metrics) at local[2] and local[8] on
-  *     identical input; 3 reps, best-of (shared-VM noise), docs/sec at
-  *     both + efficiency, raw and hardware-normalized.
+  *     parquet write + checkpoint + metrics) in child JVMs at local[2]
+  *     and local[8] on identical input; adaptive temporally-adjacent
+  *     pairs (shared-VM noise), docs/sec at both + efficiency in three
+  *     transparencies: raw, fixed-overhead-adjusted, hw-normalized.
   *  3. Per-query wall times for every SparkEntry query at local[32].
   *
   * Prints ONE JSON line; appends the table to BENCH.md.
