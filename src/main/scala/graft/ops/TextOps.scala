@@ -21,9 +21,11 @@ object TextOps {
     * Twin: length(regexp_replace(..)) arithmetic (see oracle SQL).
     */
   def wordCount(text: Column): Column =
-    size(split(text, "[^A-Za-z0-9]+")) -
-      when(text.rlike("^[^A-Za-z0-9]"), 1).otherwise(0) -
-      when(text.rlike("[^A-Za-z0-9]$"), 1).otherwise(0)
+    when(!text.rlike("[A-Za-z0-9]"), 0) // no alnum content at all
+      .otherwise(
+        size(split(text, "[^A-Za-z0-9]+")) -
+          when(text.rlike("^[^A-Za-z0-9]"), 1).otherwise(0) -
+          when(text.rlike("[^A-Za-z0-9]$"), 1).otherwise(0))
 
   /** Mean token length over whitespace tokens. */
   def meanTokenLen(text: Column): Column =

@@ -72,6 +72,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2).getInt(0) == 3) // empty token from double space
   }
 
+
+  test("wordCount: regex-token proxy edge cases") {
+    import spark.implicits._
+    val df = Seq("hello world", "a-b c_d", "  x  ", "123 abc!!!", "")
+      .toDF("t").select(TextOps.wordCount(col("t")).as("n"))
+    // segments of [A-Za-z0-9]+: 2, 3 (a,b,c_d->c,d? '_' not in class: a,b,c,d=4)...
+    val got = df.collect().map(_.getInt(0)).toSeq
+    // brute-force twin
+    val want = Seq("hello world", "a-b c_d", "  x  ", "123 abc!!!", "")
+      .map(t => "[A-Za-z0-9]+".r.findAllIn(t).size)
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("langIdGuess cascade") {
     import spark.implicits._
     val df = Seq("this is the protocol", "中文文档 test", "el gato los perros",
