@@ -171,7 +171,7 @@ object Bench {
     // corpus large enough that parallel work, not fixed job overhead,
     // dominates (extraction is ~0.2ms/doc single-threaded)
     val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong)
-      .getOrElse(300000L)
+      .getOrElse(500000L)
 
     val tStart = System.nanoTime()
     def phase(tag: String): Unit =
