@@ -203,6 +203,35 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc).limit(20)
     }),
 
+    "q_rollup" -> ((s, dir) =>
+      // grouping-sets rollup (X3: absent in the reference; present here)
+      t(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n"), max("n_chars").as("max_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+    "q_except" -> ((s, dir) => {
+      // set operation (X2): non-English doc ids minus src1's doc ids
+      val d = t(s, dir, "documents")
+      d.where(col("lang") =!= "en").select("doc_id")
+        .except(d.where(col("source") === "src1").select("doc_id"))
+        .orderBy("doc_id")
+    }),
+    "q_percentiles" -> ((s, dir) =>
+      // exact interpolated percentiles per event type
+      t(s, dir, "events").groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             round(expr("percentile(value, 0.9)"), 4).as("p90"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")),
+    "q_pivot" -> ((s, dir) =>
+      // manual pivot: per user, one column per event type (conditional agg)
+      t(s, dir, "events").groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 4).as("purchase_value"))
+        .orderBy("user_id")),
     "q_event_windows" -> ((s, dir) =>
       // tumbling event-time windows (the batch shape of the streaming
       // windowed agg in graft.streaming; window() == date_trunc for 1h)
@@ -429,6 +458,28 @@ object SparkEntry {
              ELSE 'en'
            END AS lang_guess
          FROM documents ORDER BY doc_id""",
+    "q_rollup" ->
+      """SELECT lang, source, count(*) AS n, max(n_chars) AS max_chars
+         FROM documents GROUP BY ROLLUP (lang, source)
+         ORDER BY lang NULLS FIRST, source NULLS FIRST""",
+    "q_except" ->
+      """SELECT doc_id FROM documents WHERE lang <> 'en'
+         EXCEPT
+         SELECT doc_id FROM documents WHERE source = 'src1'
+         ORDER BY doc_id""",
+    "q_percentiles" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_pivot" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0.0 END), 4) AS purchase_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_event_windows" ->
       """SELECT date_trunc('hour', ts) AS h, event_type,
                 count(*) AS n, round(sum(value), 4) AS total
