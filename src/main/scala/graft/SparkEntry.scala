@@ -203,6 +203,11 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc).limit(20)
     }),
 
+    "q_corpus_report" -> ((s, dir) =>
+      graft.ops.CorpusReport.summarize(t(s, dir, "documents"),
+        "doc_id", "text")),
+    "q_corpus_by_lang" -> ((s, dir) =>
+      graft.ops.CorpusReport.byLanguage(t(s, dir, "documents"), "text")),
     "q_rollup" -> ((s, dir) =>
       // grouping-sets rollup (X3: absent in the reference; present here)
       t(s, dir, "documents")
@@ -458,6 +463,36 @@ object SparkEntry {
              ELSE 'en'
            END AS lang_guess
          FROM documents ORDER BY doc_id""",
+    "q_corpus_report" ->
+      """SELECT count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           round(quantile_cont(CAST(length(text) AS BIGINT), 0.5), 1)
+             AS p50_chars,
+           round(quantile_cont(CAST(length(text) AS BIGINT), 0.95), 1)
+             AS p95_chars,
+           count(DISTINCT md5(text)) AS distinct_texts,
+           count(*) - count(DISTINCT md5(text)) AS exact_dup_docs
+         FROM documents""",
+    "q_corpus_by_lang" ->
+      """SELECT CASE
+             WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+             WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+             WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+               OR ' ' || lower(text) || ' ' LIKE '% los %'
+               OR ' ' || lower(text) || ' ' LIKE '% una %' THEN 'es'
+             WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+               OR ' ' || lower(text) || ' ' LIKE '% und %'
+               OR ' ' || lower(text) || ' ' LIKE '% ist %' THEN 'de'
+             WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+               OR ' ' || lower(text) || ' ' LIKE '% les %'
+               OR ' ' || lower(text) || ' ' LIKE '% une %' THEN 'fr'
+             ELSE 'en'
+           END AS lang_guess,
+           count(*) AS n, round(avg(length(text)), 2) AS avg_chars
+         FROM documents GROUP BY 1 ORDER BY lang_guess""",
     "q_rollup" ->
       """SELECT lang, source, count(*) AS n, max(n_chars) AS max_chars
          FROM documents GROUP BY ROLLUP (lang, source)
