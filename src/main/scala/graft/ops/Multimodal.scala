@@ -78,4 +78,18 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_ms"), lit(stepMs)))
           .as("sample_ms"))
   }
+
+  /** Aspect-preserving resize planning: target dims as pure column math
+    * (the pixel work itself is the stubbed codec's job — the Spark-side
+    * contract is computing WHAT to decode to before shipping bytes to
+    * the codec, which is what saves decode CPU at 100 TB).
+    */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scale = when(longest > maxDim,
+      lit(maxDim.toDouble) / longest.cast("double")).otherwise(lit(1.0))
+    meta.toDF().select(col("media_ref"), col("width"), col("height"),
+      ceil(col("width") * scale).cast("int").as("target_w"),
+      ceil(col("height") * scale).cast("int").as("target_h"))
+  }
 }

@@ -73,13 +73,16 @@ object TextOps {
       .otherwise("en")
   }
 
-  /** Polynomial rolling-hash document fingerprint (Rabin-Karp style,
-    * base 31 mod 2^64) over the raw bytes — stable content identity for
-    * exact dedup without storing the text. Twin: none in DuckDB → checked
-    * by Scala property tests + self-consistency; the SQL-oracled exact
-    * dedup uses md5 instead.
+  /** 64-bit content fingerprints: xxhash64 (Spark-native) and a true
+    * polynomial rolling hash (Rabin-Karp base 31 mod 2^64, native
+    * expression [[graft.functions.RollingHash64]]). No DuckDB twin →
+    * checked by Scala reference-implementation tests; the SQL-oracled
+    * exact dedup uses md5 instead.
     */
   def fingerprint(text: Column): Column = xxhash64(text)
+
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash64.rollingHash64(text)
 
   /** Truncated preview ≅ the reference's 300/200/50-char truncations
     * (streamlit_app.py:364-374,689,733).

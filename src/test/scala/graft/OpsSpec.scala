@@ -228,6 +228,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cleaned.count() >= 70 && cleaned.count() <= 80)
   }
 
+
+  test("rolling-hash fingerprint: matches scala reference, codegen'd, collision-free on corpus") {
+    import spark.implicits._
+    def ref(t: String): Long = {
+      var h = 1125899906842597L
+      t.getBytes("UTF-8").foreach(b => h = h * 31L + (b & 0xffL))
+      h
+    }
+    val texts = docsDf.select("text").limit(100)
+      .collect().map(_.getString(0)) ++ Seq("", "a", "中文", "a b\nc")
+    val df = texts.toSeq.toDF("t")
+      .select(TextOps.rollingFingerprint(col("t")).as("h"))
+    val got = df.collect().map(_.getLong(0))
+    assert(got.sameElements(texts.map(ref)))
+    assert(got.distinct.length == got.length) // no collisions here
+    // codegen check on a real scan (a local relation constant-folds)
+    val plan = docsDf.select(TextOps.rollingFingerprint(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("multimodal resize plan: aspect preserved, never upscaled") {
+    val meta = Multimodal.decodeStage(spark, Multimodal.fakeMediaTable(spark, 50, 42L))
+    val plan = Multimodal.resizePlan(meta, maxDim = 256).collect()
+    plan.foreach { r =>
+      val (w, h, tw, th) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(tw <= 256 && th <= 256 || (w <= 256 && h <= 256))
+      assert(tw <= w && th <= h) // never upscale
+      if (math.max(w, h) > 256)
+        assert(math.max(tw, th) == 256, s"$w x $h -> $tw x $th")
+    }
+  }
+
   // ---------- similarity ----------
 
   test("cosine column expr == scala dot product") {
