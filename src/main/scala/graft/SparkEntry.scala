@@ -338,6 +338,19 @@ object SparkEntry {
       Similarity.ivfTopK(idx, "vec_id", "embedding", centroids, query,
         k = 20, nProbe = 4)
     }),
+    "tx_fingerprints" -> ((s, dir) =>
+      // rolling-hash + xxhash64 content fingerprints (rows-only: no
+      // DuckDB twin for either hash; pinned by reference-impl tests)
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("xxh64"),
+          TextOps.rollingFingerprint(col("text")).as("rolling64"))
+        .orderBy("doc_id")),
+    "mm_resize" -> ((s, dir) => {
+      val n = math.min(t(s, dir, "documents").count(), 500L)
+      Multimodal.resizePlan(
+        Multimodal.decodeStage(s, Multimodal.fakeMediaTable(s, n, 42L)),
+        maxDim = 256).orderBy("media_ref")
+    }),
     "mm_decode" -> ((s, dir) => {
       val n = t(s, dir, "documents").count()
       Multimodal.decodeStage(s, Multimodal.fakeMediaTable(s, n, 42L))
