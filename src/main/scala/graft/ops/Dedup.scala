@@ -213,8 +213,12 @@ object Dedup {
     * or short chains — 5 rounds covers diameter 32).
     */
   def resolveClusters(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+    // materialize the edge list once — `pairs` is typically an expensive
+    // LSH pipeline, and every propagation round + convergence probe would
+    // otherwise recompute it from scratch
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .withColumn("label", col("id"))
