@@ -51,9 +51,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         w: Int, minSim: Double,
                         maxShingleFreq: Long = 1000): DataFrame = {
+    // (id, shingle-hash) is referenced three times below (sizes, freq
+    // filter, self-join) — materialize once; it is 16 bytes/shingle,
+    // orders of magnitude smaller than the text
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(wordShingles(col(textCol), w))).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
+      .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val filtered = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("f"))
@@ -103,6 +107,7 @@ object Dedup {
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .localCheckpoint() // both sides of the self-join reuse it
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -157,6 +162,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("fp"), b * 16).bitwiseAND(65535L))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      .localCheckpoint() // both sides of the self-join reuse it
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -192,6 +198,7 @@ object Dedup {
     val sketch = Similarity.hyperplaneSketch(col(vecCol), nPlanes)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
                       sketch.as("bucket"))
+      .localCheckpoint() // sketch computed once, not once per join side
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -212,7 +219,39 @@ object Dedup {
     * work (dup clusters from near-dup detection are almost always stars
     * or short chains — 5 rounds covers diameter 32).
     */
-  def resolveClusters(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 5,
+                      driverSideLimit: Long = 1000000L): DataFrame = {
+    // near-dup pair sets are SPARSE relative to the corpus (that is the
+    // point of LSH banding); below the limit, union-find on the driver
+    // beats several distributed join rounds of job overhead. The
+    // label-propagation path below remains for genuinely huge edge sets.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val smallPairs = pairs.limit((driverSideLimit + 1).toInt)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (smallPairs.length <= driverSideLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      smallPairs.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = smallPairs.flatMap(p => Seq(p._1, p._2)).distinct
+      return ids.map(i => (i, find(i))).toSeq.toDF("id", "keeper_id")
+    }
+    resolveClustersDistributed(pairs, maxIters)
+  }
+
+  /** Distributed path: iterative min-label propagation. */
+  private def resolveClustersDistributed(pairs: DataFrame, maxIters: Int)
+      : DataFrame = {
     // materialize the edge list once — `pairs` is typically an expensive
     // LSH pipeline, and every propagation round + convergence probe would
     // otherwise recompute it from scratch

@@ -201,6 +201,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
     val resolved = Dedup.resolveClusters(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the distributed label-propagation path must agree with the
+    // driver-side union-find fast path
+    val distributed = Dedup.resolveClusters(pairs, driverSideLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(distributed == resolved)
     assert(resolved == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
       20L -> 20L, 21L -> 20L))
