@@ -214,6 +214,21 @@ object SparkEntry {
         .rollup("lang", "source")
         .agg(count(lit(1)).as("n"), max("n_chars").as("max_chars"))
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"),
+          date_trunc("day", col("ts").cast("timestamp")).cast("date")
+            .as("day"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("day").isNull || col("day") <= lit("2024-01-03"))
+        .orderBy(col("event_type").asc_nulls_first,
+                 col("day").asc_nulls_first)),
+    "q_intersect" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.where(col("lang") === "en").select("source")
+        .intersect(d.where(col("n_chars") > 300).select("source"))
+        .orderBy("source")
+    }),
     "q_except" -> ((s, dir) => {
       // set operation (X2): non-English doc ids minus src1's doc ids
       val d = t(s, dir, "documents")
@@ -510,6 +525,17 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n, max(n_chars) AS max_chars
          FROM documents GROUP BY ROLLUP (lang, source)
          ORDER BY lang NULLS FIRST, source NULLS FIRST""",
+    "q_cube" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                count(*) AS n
+         FROM events GROUP BY CUBE (1, 2)
+         HAVING day IS NULL OR day <= DATE '2024-01-03'
+         ORDER BY event_type NULLS FIRST, day NULLS FIRST""",
+    "q_intersect" ->
+      """SELECT source FROM documents WHERE lang = 'en'
+         INTERSECT
+         SELECT source FROM documents WHERE n_chars > 300
+         ORDER BY source""",
     "q_except" ->
       """SELECT doc_id FROM documents WHERE lang <> 'en'
          EXCEPT
