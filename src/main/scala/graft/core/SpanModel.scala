@@ -57,7 +57,7 @@ case class DocResult(doc_id: String, outSpans: Seq[OutSpan],
                      chunks: Seq[Chunk])
 
 /** The precise, implementation-independent semantics both the Spark-side
-  * [[graft.extract.Extractor]] and the test-side [[RefOracle]] implement.
+  * [[graft.extract.Extractor]] and the oracle-side [[graft.oracle.RefOracle]] implement.
   * Reproduces the observable behavior of the reference's pdfminer pass
   * (setup.sql:52-102), its reading order (streamlit_app.py:426) and its
   * chunk-id numbering (setup.sql:238-239); the html/text/media handling is

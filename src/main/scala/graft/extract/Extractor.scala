@@ -10,7 +10,7 @@ import scala.collection.mutable.ArrayBuffer
   * (/root/reference/setup.sql:225-260).
   *
   * Pure (no Spark imports): unit-testable and shared by nothing — the
-  * test oracle [[graft.core.RefOracle]] is an independent implementation
+  * test oracle [[graft.oracle.RefOracle]] is an independent implementation
   * of the same spec.
   */
 object Extractor {

@@ -26,7 +26,14 @@ import scala.collection.mutable.ArrayBuffer
   *  - a page with width<=0 or height<=0 (or unparsable dims) gets the
   *    US-Letter defaults 612x792;
   *  - TX ops before any PG get an implicit default page;
-  *  - malformed / unknown lines are skipped;
+  *  - malformed / unknown lines are skipped. Pinned edge cases (the
+  *    dual-implementation oracle must match exactly):
+  *    a page-open line is any line with the "PG " prefix — a bare "PG"
+  *    (no trailing space) is malformed and skipped, while "PG " with no
+  *    dims tokens opens a default page; a TX line must have exactly six
+  *    space-separated fields and all four coordinate tokens must parse
+  *    to non-NaN doubles ("TX NaN ..." is skipped; "Infinity" parses and
+  *    is kept);
   *  - empty-text runs are skipped.
   */
 object PdfTokenizer {

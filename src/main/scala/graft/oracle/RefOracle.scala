@@ -1,4 +1,4 @@
-package graft
+package graft.oracle
 
 import graft.core._
 
@@ -8,6 +8,11 @@ import graft.core._
   * [[graft.extract.Extractor]]: split-based parsing, fixpoint cluster
   * merging, immutable collections. Any divergence between the two is a
   * bug in one of them.
+  *
+  * Lives in `src/main` (not test) so [[graft.Verify]] can materialize
+  * its per-document results as the driver-visible expected table for the
+  * `ex_*` DuckDB oracle rows; the sbt suite still compares it against
+  * the Spark extractor on every run.
   */
 object RefOracle {
 
@@ -33,8 +38,12 @@ object RefOracle {
     sb.toString
   }
 
+  /** NaN tokens are malformed per ExtractionSpec — a "TX NaN ..." line
+    * must be skipped, exactly like the tokenizer's isNaN guard.
+    */
   private def num(s: String): Option[Double] =
-    try Some(s.toDouble) catch { case _: Exception => None }
+    try Some(s.toDouble).filterNot(_.isNaN)
+    catch { case _: Exception => None }
 
   private def tokenizePdf(payload: String, firstPage: Int): List[OPage] = {
     if (payload == null) return Nil
@@ -43,7 +52,9 @@ object RefOracle {
     for (line <- payload.split("\n", -1) if line.nonEmpty) {
       val parts = line.split(" ", 6).toList
       parts match {
-        case "PG" :: rest =>
+        // a bare "PG" line (no trailing space) is malformed and skipped —
+        // ExtractionSpec pins page-open lines to the "PG " prefix
+        case "PG" :: rest if line.startsWith("PG ") =>
           pageNo += 1
           val w = rest.headOption.flatMap(num).filter(_ > 0)
             .getOrElse(ExtractionSpec.DefaultPageWidth)

@@ -2,6 +2,7 @@ package graft
 
 import graft.core._
 import graft.gen.CorpusGen
+import graft.oracle.RefOracle
 import graft.pipeline.{Checkpoint, ExtractJob}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col

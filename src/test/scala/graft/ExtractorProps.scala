@@ -2,6 +2,7 @@ package graft
 
 import graft.core.{InputDoc, Span}
 import graft.extract.Extractor
+import graft.oracle.RefOracle
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
@@ -28,6 +29,10 @@ object ExtractorProps extends Properties("Extractor") {
       } yield s"TX $x $y $w $h $t"
       val genLine: Gen[String] = Gen.oneOf(
         Gen.const("PG 612 792"), Gen.const("PG 0 nan"), genTx,
+        // pinned edge tokens (ADVICE r01): bare "PG" is malformed, "PG "
+        // opens a default page, NaN coords make a TX line malformed
+        Gen.const("PG"), Gen.const("PG "),
+        Gen.const("TX NaN 1 2 3 nan-x"), Gen.const("TX 1 NaN 2 3 nan-y"),
         Gen.asciiPrintableStr.map(_.take(40))).flatMap(g => g)
       Gen.listOf(genLine).map(_.mkString("\n"))
     },

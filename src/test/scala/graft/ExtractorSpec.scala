@@ -3,6 +3,7 @@ package graft
 import graft.core._
 import graft.extract.{Extractor, HtmlExtractor, PdfTokenizer}
 import graft.gen.CorpusGen
+import graft.oracle.RefOracle
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Dual-implementation equality: graft.extract.Extractor (Spark-side) vs
@@ -106,6 +107,26 @@ class ExtractorSpec extends AnyFunSuite {
     // media interleaved by offset between the two pdf spans
     assert(Extractor.extract(d).outSpans.map(_.kind) ==
            Vector("pdf", "image", "pdf"))
+  }
+
+  test("malformed op lines: bare PG skipped, 'PG ' defaults, TX NaN skipped") {
+    // pinned by ExtractionSpec / PdfTokenizer scaladoc (ADVICE r01): both
+    // implementations must agree on these exact boundary tokens
+    val payload = Seq(
+      "PG",                       // malformed: no trailing space → skipped
+      "TX 10 700 50 10 first",    // lands on an implicit default page
+      "PG ",                      // "PG " prefix with no dims → new page
+      "TX NaN 700 50 10 bad-x",   // NaN coord → line skipped
+      "TX 10 nan 50 10 bad-y",    // unparsable coord → line skipped
+      "TX 10 700 50 10 second"    // on the "PG "-opened page 2
+    ).mkString("\n")
+    val d = InputDoc("mf", Vector(Span("pdf", payload, null, 0)))
+    val got = Extractor.extract(d)
+    val want = RefOracle.extract(d)
+    assert(got.outSpans.map(key) == want.outSpans.map(key))
+    assert(got.chunks == want.chunks)
+    assert(got.outSpans.map(_.text) == Vector("first\n", "second\n"))
+    assert(got.chunks.map(_.page) == Vector(1, 2))
   }
 
   test("degenerate page dims fall back to 612x792 (streamlit_app.py:182-189)") {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.gen.CorpusGen
+import graft.oracle.RefOracle
 import graft.streaming.StreamingIngest
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
