@@ -2,9 +2,10 @@ package graft
 
 import graft.core._
 import graft.extract.Extractor
-import graft.functions.Position
+import graft.functions.{Position, PositionScala}
 import graft.gen.CorpusGen
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.oracle.{ExpectedChunk, PlainOracles, RefOracle}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,15 +14,33 @@ import org.apache.spark.sql.functions._
   *
   * Naming convention:
   *  - `ex_*`  extraction-engine queries over the deterministic generated
-  *            spans corpus (not SQL-expressible → rows-only check; the
-  *            real correctness gate is the dual-implementation oracle in
-  *            `sbt -batch test`).
+  *            spans corpus.
   *  - `q_*`   SQL-oracled queries over the driver testdata tables; every
   *            one has an exact DuckDB twin in [[oracleSql]].
   *  - `dd_*` / `sim_*` / `mm_*`  dedup / similarity / multimodal
-  *            training-data ops (rows-only unless stated).
+  *            training-data ops.
+  *
+  * Every query has a DuckDB-checkable oracle row: either a pure-SQL twin
+  * over the sf tables, or (for semantics no SQL engine expresses —
+  * extraction, xxhash-based signatures, LSH) a twin that reads the
+  * EXPECTED TABLE [[graft.Verify]] materializes from the independent
+  * implementations in [[graft.oracle]]; the [[ExpectedToken]] placeholder
+  * in those twins is substituted with the materialized absolute path at
+  * dump time.
   */
 object SparkEntry {
+
+  /** Placeholder in [[oracleSql]] strings for the directory where Verify
+    * writes the [[expected]] tables.
+    */
+  val ExpectedToken = "__GRAFT_EXPECTED__"
+
+  /** Deterministic P13 `extracted_at` epoch base (2026-01-01T00:00:00Z):
+    * the driver-oracled queries need reproducible timestamps; the real
+    * write path ([[graft.pipeline.ExtractJob]]) uses current_timestamp()
+    * like the reference's DEFAULT (setup.sql:123).
+    */
+  val ExtractedAtBase = 1767225600L
 
   // ---------- shared helpers ----------
 
@@ -60,26 +79,34 @@ object SparkEntry {
   // ---------- the queries ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // === extraction engine (rows-only; oracle = sbt test dual-impl) ===
+    // === extraction engine (oracle: RefOracle expected tables) ===
     "ex_spans" -> ((s, dir) => {
       extractedRows(s, dir)
         .select("doc_id", "kind", "text", "media_ref", "order")
     }),
     "ex_chunks" -> ((s, dir) => {
+      // ≅ reference document_chunks incl. P13 extracted_at (setup.sql:123;
+      // deterministic base + chunk_n so the driver oracle can hash it)
       extractedRows(s, dir).toDF().where(col("chunk_id").isNotNull)
         .withColumn("position_description", Position.positionDescription(
           col("bbox_x0"), col("bbox_y0"), col("bbox_x1"), col("bbox_y1"),
           col("page_width"), col("page_height")))
+        .withColumn("extracted_at",
+          (lit(ExtractedAtBase) + col("chunk_n")).cast("timestamp"))
         .select("chunk_id", "doc_id", "page", "text", "bbox_x0", "bbox_y0",
                 "bbox_x1", "bbox_y1", "page_width", "page_height",
-                "position_description")
+                "position_description", "extracted_at")
     }),
     "ex_catalog" -> ((s, dir) => {
       // Q1 document-catalog aggregate (streamlit_app.py:402-412) over the
-      // extraction output
+      // extraction output, incl. the reference's MIN/MAX(extracted_at)
       extractedRows(s, dir).toDF().where(col("chunk_id").isNotNull)
+        .withColumn("extracted_at",
+          (lit(ExtractedAtBase) + col("chunk_n")).cast("timestamp"))
         .groupBy("doc_id")
-        .agg(max("page").as("total_pages"), count(lit(1)).as("chunk_count"))
+        .agg(max("page").as("total_pages"), count(lit(1)).as("chunk_count"),
+             min("extracted_at").as("first_extracted"),
+             max("extracted_at").as("last_extracted"))
         .orderBy("doc_id")
     }),
 
@@ -303,29 +330,35 @@ object SparkEntry {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
-    // === dedup / similarity / multimodal (rows-only) ===
+    // === dedup / similarity / multimodal ===
+    // inputs are deterministic doc_id/vec_id range filters (NOT limit():
+    // partition-order-dependent) so the expected-table oracles reproduce
+    // the exact input sets at any sf tier
     "dd_minhash_lsh" -> ((s, dir) => {
-      // near-dup discovery: corpus + 20 injected exact dups (id+1000000)
+      // near-dup discovery: corpus + injected exact dups (id+1000000)
       // must surface the injected pairs with est_jaccard 1.0
-      val d = t(s, dir, "documents").select("doc_id", "text").limit(300)
-      val dups = d.orderBy("doc_id").limit(20)
+      val d = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val dups = d.where(col("doc_id") < 20)
         .withColumn("doc_id", col("doc_id") + 1000000L)
       Dedup.minhashLshPairs(d.union(dups), "doc_id", "text",
         w = 3, k = 64, bands = 16).orderBy("id_a", "id_b")
     }),
     "dd_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents").limit(500), "doc_id", "text",
+      Dedup.simhashPairs(
+        t(s, dir, "documents").where(col("doc_id") < 500), "doc_id", "text",
         maxHamming = 12)
         .orderBy("id_a", "id_b")),
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
-        t(s, dir, "documents").limit(300), "doc_id", "text",
+        t(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text",
         w = 2, minSim = 0.2)
         .orderBy("id_a", "id_b")),
     "dd_dedup_removal" -> ((s, dir) => {
       // end-to-end near-dup removal: corpus + injected dups → cleaned
-      val d = t(s, dir, "documents").select("doc_id", "text").limit(200)
-      val dups = d.orderBy("doc_id").limit(15)
+      val d = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val dups = d.where(col("doc_id") < 15)
         .withColumn("doc_id", col("doc_id") + 1000000L)
       val corpus = d.union(dups)
       val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
@@ -336,13 +369,16 @@ object SparkEntry {
     "dd_embedding_neardup" -> ((s, dir) => {
       // random embeddings have no natural near-dups (max cos ~0.45) —
       // inject 20 jittered copies (id+1000000) the op must recover
-      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val dups = e.orderBy("vec_id").limit(20)
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      val dups = e.where(col("vec_id") < 20)
         .withColumn("vec_id", col("vec_id") + 1000000L)
         .withColumn("embedding",
           transform(col("embedding"), x => x * lit(1.001f)))
       Dedup.embeddingNearDupPairs(e.union(dups), "vec_id", "embedding",
-        minSim = 0.99, nPlanes = 6).orderBy("id_a", "id_b")
+        minSim = 0.99, nPlanes = 6)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
     }),
     "sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -352,10 +388,11 @@ object SparkEntry {
       val query = centroids.head._2
       Similarity.ivfTopK(idx, "vec_id", "embedding", centroids, query,
         k = 20, nProbe = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
     "tx_fingerprints" -> ((s, dir) =>
-      // rolling-hash + xxhash64 content fingerprints (rows-only: no
-      // DuckDB twin for either hash; pinned by reference-impl tests)
+      // rolling-hash + xxhash64 content fingerprints; oracle = the
+      // expected table from the plain reference loop (PlainOracles)
       t(s, dir, "documents").select(col("doc_id"),
           TextOps.fingerprint(col("text")).as("xxh64"),
           TextOps.rollingFingerprint(col("text")).as("rolling64"))
@@ -379,9 +416,186 @@ object SparkEntry {
     })
   )
 
+  // ---------- expected tables (independent-implementation oracles) ----------
+
+  /** Expected results for the queries whose semantics DuckDB cannot
+    * re-derive from the sf tables (xxhash64-based signatures, the
+    * extraction engine, the byte-level media stub). Each is computed by an
+    * INDEPENDENT implementation — [[graft.oracle.RefOracle]] for
+    * extraction (naive fixpoint algorithms), [[graft.oracle.PlainOracles]]
+    * for the dedup/similarity/fingerprint/media pipelines (brute-force
+    * candidate generation instead of LSH banding) — and written to
+    * parquet by [[graft.Verify]], where the [[ExpectedToken]] twins in
+    * [[oracleSql]] read them. All inputs are bounded id-range filters, so
+    * the driver-side work stays O(constant) at any sf tier.
+    */
+  def expected: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ex_spans" -> ((s, dir) => {
+      import s.implicits._
+      val nDocs = t(s, dir, "documents").count() * 4
+      s.range(nDocs)
+        .flatMap(i => RefOracle.extract(CorpusGen.doc(42L, i)).outSpans)
+        .toDF()
+    }),
+    "ex_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val nDocs = t(s, dir, "documents").count() * 4
+      s.range(nDocs).flatMap { i =>
+        RefOracle.extract(CorpusGen.doc(42L, i)).chunks.zipWithIndex.map {
+          case (c, k) =>
+            ExpectedChunk(c.chunk_id, c.doc_id, c.page, c.text,
+              c.bbox_x0, c.bbox_y0, c.bbox_x1, c.bbox_y1,
+              c.page_width, c.page_height,
+              PositionScala.describe(c.bbox_x0, c.bbox_y0, c.bbox_x1,
+                c.bbox_y1, c.page_width, c.page_height),
+              new java.sql.Timestamp(1000L * (ExtractedAtBase + k + 1)))
+        }
+      }.toDF()
+    }),
+    "dd_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val docs = collectDocs(s, dir, 300)
+      val dups = docs.filter(_._1 < 20).map { case (id, tx) =>
+        (id + 1000000L, tx) }
+      PlainOracles.minhashLshPairs(docs ++ dups, w = 3, k = 64, bands = 16)
+        .toDF("id_a", "id_b", "est_jaccard")
+    }),
+    "dd_simhash" -> ((s, dir) => {
+      import s.implicits._
+      PlainOracles.simhashPairsBrute(collectDocs(s, dir, 500), 12)
+        .toDF("id_a", "id_b", "hamming")
+    }),
+    "dd_dedup_removal" -> ((s, dir) => {
+      import s.implicits._
+      val docs = collectDocs(s, dir, 200)
+      val dups = docs.filter(_._1 < 15).map { case (id, tx) =>
+        (id + 1000000L, tx) }
+      PlainOracles.removeNearDups(docs ++ dups, w = 3, k = 64, bands = 16,
+        minEst = 0.9).toDF("doc_id", "text")
+    }),
+    "dd_embedding_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings").where(col("vec_id") < 500)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val dups = vecs.filter(_._1 < 20).map { case (id, v) =>
+        (id + 1000000L, v.map(x => x * 1.001f)) }
+      PlainOracles.embeddingNearDupPairs(vecs ++ dups, minSim = 0.99,
+        nPlanes = 6).toDF("id_a", "id_b", "cos")
+    }),
+    "tx_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").collect()
+        .map(r => (r.getLong(0),
+          PlainOracles.xxh64(r.getString(1)),
+          PlainOracles.rollingHash(r.getString(1))))
+        .toSeq.toDF("doc_id", "xxh64", "rolling64")
+    }),
+    "mm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "documents").count()
+      (0L until n).map { i =>
+        val m = PlainOracles.mediaMeta(42L, i)
+        (m.media_ref, m.kind, m.byte_len, m.width, m.height, m.duration_ms)
+      }.toDF("media_ref", "kind", "byte_len", "width", "height",
+             "duration_ms")
+    }),
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.min(t(s, dir, "documents").count(), 500L)
+      (0L until n).map { i =>
+        val m = PlainOracles.mediaMeta(42L, i)
+        val (tw, th) = PlainOracles.resizeTargets(m.width, m.height, 256)
+        (m.media_ref, m.width, m.height, tw, th)
+      }.toDF("media_ref", "width", "height", "target_w", "target_h")
+    }),
+    "mm_frames" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.min(t(s, dir, "documents").count(), 500L)
+      (0L until n).flatMap { i =>
+        val m = PlainOracles.mediaMeta(42L, i)
+        PlainOracles.frameSamples(m.duration_ms, 5000L)
+          .map(ms => (m.media_ref, ms))
+      }.toDF("media_ref", "sample_ms")
+    })
+  )
+
+  private def collectDocs(s: SparkSession, dir: String, maxId: Long)
+      : Seq[(Long, String)] =
+    t(s, dir, "documents").where(col("doc_id") < maxId)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
   // ---------- DuckDB twins ----------
 
   def oracleSql: Map[String, String] = Map(
+    // --- expected-table twins (paths substituted by Verify) ---
+    "ex_spans" ->
+      s"SELECT * FROM '$ExpectedToken/ex_spans/*.parquet'",
+    "ex_chunks" ->
+      s"SELECT * FROM '$ExpectedToken/ex_chunks/*.parquet'",
+    "ex_catalog" ->
+      s"""SELECT doc_id, max(page) AS total_pages, count(*) AS chunk_count,
+          min(extracted_at) AS first_extracted,
+          max(extracted_at) AS last_extracted
+          FROM '$ExpectedToken/ex_chunks/*.parquet'
+          GROUP BY doc_id ORDER BY doc_id""",
+    "dd_minhash_lsh" ->
+      s"SELECT * FROM '$ExpectedToken/dd_minhash_lsh/*.parquet'",
+    "dd_simhash" ->
+      s"SELECT * FROM '$ExpectedToken/dd_simhash/*.parquet'",
+    "dd_dedup_removal" ->
+      s"SELECT * FROM '$ExpectedToken/dd_dedup_removal/*.parquet'",
+    "dd_embedding_neardup" ->
+      s"SELECT * FROM '$ExpectedToken/dd_embedding_neardup/*.parquet'",
+    "tx_fingerprints" ->
+      s"SELECT * FROM '$ExpectedToken/tx_fingerprints/*.parquet'",
+    "mm_decode" ->
+      s"SELECT * FROM '$ExpectedToken/mm_decode/*.parquet'",
+    "mm_resize" ->
+      s"SELECT * FROM '$ExpectedToken/mm_resize/*.parquet'",
+    "mm_frames" ->
+      s"SELECT * FROM '$ExpectedToken/mm_frames/*.parquet'",
+    // --- pure-SQL twins over the sf tables ---
+    "dd_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE doc_id < 300),
+         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s
+                FROM d, UNNEST(range(1, len(t))) AS r(i)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS common
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common
+                                              AS DOUBLE) AS jaccard
+         FROM pairs
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+         WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common
+                                             AS DOUBLE) >= 0.2
+         ORDER BY id_a, id_b""",
+    "sim_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS cell_id,
+                           CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings ORDER BY vec_id LIMIT 16),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         asg AS (SELECT e.vec_id, e.embedding,
+                   (SELECT cell_id FROM c
+                    ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), c.cv) DESC, cell_id ASC
+                    LIMIT 1) AS cell_id
+                 FROM embeddings e),
+         probe AS (SELECT cell_id FROM c, q
+                   ORDER BY list_cosine_similarity(c.cv, q.qv) DESC,
+                            cell_id ASC LIMIT 4)
+         SELECT a.vec_id,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             q.qv), 6) AS score
+         FROM asg a, q WHERE a.cell_id IN (SELECT cell_id FROM probe)
+         ORDER BY score DESC, a.vec_id ASC LIMIT 20""",
     "q_doc_catalog" ->
       """SELECT source, count(*) AS n_docs, max(n_chars) AS max_chars,
          min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -58,10 +58,13 @@ object Dedup {
         explode(array_distinct(wordShingles(col(textCol), w))).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
       .localCheckpoint()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val filtered = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("f"))
         .where(col("f") <= maxShingleFreq).select("sh"), Seq("sh"))
+    // sizes over the SAME filtered shingle universe as the common counts —
+    // otherwise the Jaccard denominator includes shingles the numerator
+    // can never match once stop-shingle filtering engages (ADVICE r01)
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = filtered.as("a").join(filtered.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -147,20 +150,39 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming` (default 3): band the 64
-    * bits into 4 x 16-bit keys; by pigeonhole any pair within distance 3
-    * shares at least one exact 16-bit band → equi-join on (band, key),
-    * then verify with bit_count. No O(n^2) pass.
+  /** SimHash near-dup pairs within `maxHamming`: band the 64 bits into
+    * `maxHamming + 1` keys; by pigeonhole any pair within the distance
+    * shares at least one exact band → equi-join on (band, key), then
+    * verify with bit_count. Recall is EXHAUSTIVE for every maxHamming
+    * (r01 shipped a fixed 4-band split that silently dropped pairs at
+    * distance > 3 — brute-force parity now pinned at 12 in OpsSpec and by
+    * the driver's dd_simhash expected-table oracle).
+    *
+    * Scale note: band width is 64/(maxHamming+1) bits, so candidate
+    * pruning power decays as the threshold grows — at maxHamming=12 the
+    * ~5-bit bands give only 32 buckets per band. For web-scale corpora
+    * keep maxHamming ≤ 3 (the Manku et al. WWW'07 operating point, 16-bit
+    * bands); larger thresholds are for bounded candidate sets.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val bands = maxHamming + 1
+    val widths = Array.tabulate(bands)(b =>
+      64 / bands + (if (b < 64 % bands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val keys = (0 until bands).map { b =>
+      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
+      call_function("shiftright", col("fp"), lit(starts(b)))
+        .bitwiseAND(lit(mask))
+    }
     // native codegen'd expression (graft.functions.SimHash64); the
     // composed-column twin `simhash` below pins its semantics in tests
     val fp = df.select(col(idCol).as("id"),
       graft.functions.SimHash64.simhash64(col(textCol)).as("fp"))
     val banded = fp.select(col("id"), col("fp"),
-      posexplode(transform(sequence(lit(0), lit(3)), b =>
-        call_function("shiftright", col("fp"), b * 16).bitwiseAND(65535L))))
+      posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
       .localCheckpoint() // both sides of the self-join reuse it
     banded.as("a").join(banded.as("b"),
@@ -193,6 +215,19 @@ object Dedup {
     * verifies candidates. Recall is probabilistic (raise nProbes/lower
     * nPlanes for more).
     */
+  /** Plane count for a target expected bucket occupancy: 2^nPlanes
+    * buckets ≈ n / targetBucket, clamped to [2, 24]. At 10^9 vectors and
+    * the default 1024-vector buckets this yields ~20 planes; each added
+    * plane halves bucket size (join cost) at some recall cost — recover
+    * recall with multi-probe (also probing Hamming-1 neighbor buckets) or
+    * by unioning a second independent sketch, both of which compose with
+    * this operator as a plain DataFrame union of candidate pairs.
+    */
+  def autoPlanes(n: Long, targetBucket: Long = 1024L): Int = {
+    val buckets = math.max(1.0, n.toDouble / math.max(1L, targetBucket))
+    math.min(24, math.max(2, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minSim: Double, nPlanes: Int = 8): DataFrame = {
     val sketch = Similarity.hyperplaneSketch(col(vecCol), nPlanes)
@@ -226,25 +261,50 @@ object Dedup {
     // beats several distributed join rounds of job overhead. The
     // label-propagation path below remains for genuinely huge edge sets.
     val spark = pairs.sparkSession
-    import spark.implicits._
+    // id-type-agnostic fast path (ADVICE r01: the old cast-to-long version
+    // NPE'd on string doc_ids): dense-index union-find over the collected
+    // values, keeper = component minimum under the column's natural
+    // ordering (matches the distributed least()/min() path for numerics
+    // and ASCII strings)
+    val idType = pairs.schema("id_a").dataType
     val smallPairs = pairs.limit((driverSideLimit + 1).toInt)
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.get(0), r.get(1)))
     if (smallPairs.length <= driverSideLimit) {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
+      val index = scala.collection.mutable.HashMap.empty[Any, Int]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      def idx(v: Any): Int =
+        index.getOrElseUpdate(v, { vals += v; vals.length - 1 })
+      smallPairs.foreach { case (a, b) => idx(a); idx(b) }
+      val parent = Array.tabulate(vals.length)(identity)
+      def find(x: Int): Int = {
         var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
+        while (parent(r) != r) r = parent(r)
         var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
       smallPairs.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
+        val ra = find(idx(a)); val rb = find(idx(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val ids = smallPairs.flatMap(p => Seq(p._1, p._2)).distinct
-      return ids.map(i => (i, find(i))).toSeq.toDF("id", "keeper_id")
+      @annotation.nowarn("cat=unchecked")
+      val cmp: Ordering[Any] =
+        Ordering.fromLessThan((x, y) =>
+          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0)
+      val keeperOf = vals.indices.groupBy(find).flatMap { case (_, members) =>
+        val k = members.map(vals(_)).min(cmp)
+        members.map(m => m -> k)
+      }
+      val rows = vals.indices.map { i =>
+        org.apache.spark.sql.Row(vals(i), keeperOf(i))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("keeper_id", idType)))
+      return spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
     }
     resolveClustersDistributed(pairs, maxIters)
   }

@@ -45,25 +45,42 @@ object Similarity {
 
   /** IVF-style ANN: assign every vector to its nearest of `nCells`
     * deterministic centroids (the centroids are the first nCells vectors
-    * by id — a deterministic "training sample"), broadcast the centroids,
-    * search only the query's `nProbe` nearest cells.
+    * by id — a deterministic "training sample"), search only the query's
+    * `nProbe` nearest cells.
     *
-    * At 100 TB the cell assignment is a broadcast-join scan (one pass),
-    * and each query touches nProbe/nCells of the data.
+    * Cell assignment is a ZERO-SHUFFLE argmax scan (VERDICT r01 #4): the
+    * centroids ride along as literal arrays inside one codegen'd
+    * projection — per-row `transform` computes all nCells cosines, and
+    * `array_position(sims, array_max(sims))` picks the best cell, first
+    * occurrence = lowest cell_id on exact ties (same tie-break as the old
+    * row_number formulation, parity-pinned in OpsSpec). No crossJoin row
+    * explosion, no Exchange — at 100 TB this is one pass over the table.
     */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nCells: Int)
       : DataFrame = {
     val centroids = df.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
-    df.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("cell_id"),
-        Dedup.cosine(col(vecCol).cast("array<double>"),
-                     col("centroid").cast("array<double>")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("sim").desc,
-                                               col("cell_id").asc)))
-      .where(col("rk") === 1)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    ivfAssign(df, idCol, vecCol, centroids)
+  }
+
+  /** Assignment against explicit centroids (driver-held: nCells entries,
+    * a few KB–MB — the IVF codebook is always broadcast-scale).
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[(Long, Array[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign requires at least one centroid")
+    val sorted = centroids.sortBy(_._1)
+    val centVecs = array(sorted.map { case (_, v) =>
+      array(v.map(x => lit(x.toDouble)): _*) }: _*)
+    val centIds = array(sorted.map { case (id, _) => lit(id) }: _*)
+    df.select(col(idCol), col(vecCol),
+        transform(centVecs,
+          c => Dedup.cosine(col(vecCol).cast("array<double>"), c))
+          .as("sims"))
+      .withColumn("cell_id",
+        element_at(centIds,
+          array_position(col("sims"), array_max(col("sims"))).cast("int")))
       .select(col(idCol), col(vecCol), col("cell_id"))
   }
 

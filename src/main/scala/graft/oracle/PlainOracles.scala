@@ -1,0 +1,256 @@
+package graft.oracle
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable
+
+/** Plain-Scala, single-threaded re-implementations of the dedup /
+  * similarity / fingerprint / multimodal pipelines — the second
+  * implementation behind the driver-visible `ex_*`/`dd_*`/`mm_*`/`tx_*`
+  * oracle rows (VERDICT r01 "Next round" #1/#3).
+  *
+  * [[graft.Verify]] materializes these as expected-result parquet tables;
+  * the driver's DuckDB gate then compares the Spark query output against
+  * them by exact row/schema/hash equality. The HASH PRIMITIVES are shared
+  * with Spark ([[XXH64]] statics, [[graft.functions.SimHash64]],
+  * [[graft.functions.RollingHash64]] — each pinned separately by sbt
+  * reference tests); the PIPELINE LOGIC (shingling, signatures, banding,
+  * candidate generation, verification, clustering, removal) is
+  * re-implemented here with brute-force/naive algorithms, so any bug in
+  * the distributed formulation (e.g. the r01 simhash banding recall defect)
+  * produces a driver-visible mismatch.
+  */
+/** Expected-table row for the driver's ex_chunks oracle (RefOracle chunk
+  * + the plain position twin + deterministic extracted_at).
+  */
+case class ExpectedChunk(
+  chunk_id: String, doc_id: String, page: Int, text: String,
+  bbox_x0: Double, bbox_y0: Double, bbox_x1: Double, bbox_y1: Double,
+  page_width: Double, page_height: Double,
+  position_description: String, extracted_at: java.sql.Timestamp)
+
+object PlainOracles {
+
+  private final val Seed = 42L // spark.sql.functions.xxhash64 default seed
+
+  def xxh64(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), Seed)
+
+  /** xxhash64(stringCol, intCol) — Spark folds children left to right,
+    * each child hashed with the running value as seed.
+    */
+  private def xxh64StrInt(hStr: Long, j: Int): Long = XXH64.hashInt(j, hStr)
+
+  /** Tokens exactly like Spark's split(text, " ") (regex, limit -1:
+    * interior/leading/trailing empties all kept).
+    */
+  def tokens(text: String): Array[String] = text.split(" ", -1)
+
+  /** w-word shingles — twin of [[graft.ops.Dedup.wordShingles]]. */
+  def shingles(text: String, w: Int): Vector[String] = {
+    val t = tokens(text)
+    if (t.length < w) Vector.empty
+    else (0 to t.length - w).map(i => t.slice(i, i + w).mkString(" ")).toVector
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** k-permutation MinHash signature; None when the doc has no shingles
+    * (twin of Dedup.minhashSignature's null).
+    */
+  def minhashSig(text: String, w: Int, k: Int): Option[Array[Long]] = {
+    val sh = shingles(text, w)
+    if (sh.isEmpty) return None
+    val hs = sh.map(xxh64) // inner hash is seed-independent of j
+    Some(Array.tabulate(k)(j => hs.map(h => xxh64StrInt(h, j)).min))
+  }
+
+  /** Per-band hash: xxhash64 of the comma-joined signature slice (longs
+    * rendered with Long.toString, matching Spark's long→string cast).
+    */
+  def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    val rpb = sig.length / bands
+    Array.tabulate(bands)(b =>
+      xxh64(sig.slice(b * rpb, b * rpb + rpb).mkString(",")))
+  }
+
+  /** Brute-force twin of [[graft.ops.Dedup.minhashLshPairs]]: every pair
+    * is a candidate iff ANY band hash matches; est_jaccard = fraction of
+    * equal signature positions.
+    */
+  def minhashLshPairs(docs: Seq[(Long, String)], w: Int, k: Int, bands: Int)
+      : Seq[(Long, Long, Double)] = {
+    val sigs = docs.flatMap { case (id, t) =>
+      minhashSig(t, w, k).map(s => (id, s, bandHashes(s, bands)))
+    }.sortBy(_._1)
+    val out = Vector.newBuilder[(Long, Long, Double)]
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length) {
+      val (ia, sa, ba) = sigs(i); val (ib, sb, bb) = sigs(j)
+      val (idA, sigA, bhA, idB, sigB, bhB) =
+        if (ia < ib) (ia, sa, ba, ib, sb, bb) else (ib, sb, bb, ia, sa, ba)
+      if (bhA.indices.exists(b => bhA(b) == bhB(b))) {
+        val eq = sigA.indices.count(p => sigA(p) == sigB(p))
+        out += ((idA, idB, eq.toDouble / k.toDouble))
+      }
+    }
+    out.result()
+  }
+
+  // ---------- SimHash ----------
+
+  def simhash(text: String): Long =
+    graft.functions.SimHash64.compute(UTF8String.fromString(text))
+
+  /** Brute-force all-pairs SimHash near-dups — the recall oracle for the
+    * banded [[graft.ops.Dedup.simhashPairs]] (which must be exhaustive
+    * for any maxHamming since the r02 banding fix).
+    */
+  def simhashPairsBrute(docs: Seq[(Long, String)], maxHamming: Int)
+      : Seq[(Long, Long, Int)] = {
+    val fps = docs.map { case (id, t) => (id, simhash(t)) }.sortBy(_._1)
+    val out = Vector.newBuilder[(Long, Long, Int)]
+    for (i <- fps.indices; j <- (i + 1) until fps.length) {
+      val d = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if (d <= maxHamming) {
+        val (a, b) = (fps(i)._1, fps(j)._1)
+        out += ((math.min(a, b), math.max(a, b), d))
+      }
+    }
+    out.result()
+  }
+
+  // ---------- embedding near-dup ----------
+
+  /** Twin of [[graft.ops.Similarity.hyperplaneSketch]]: nPlanes sign bits
+    * from hash-derived hyperplanes. Float element cast to double, products
+    * summed left-to-right like Catalyst `aggregate`.
+    */
+  def hyperplaneSketch(vec: Array[Float], nPlanes: Int): Long = {
+    var acc = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) {
+        val h = XXH64.hashLong(p.toLong * 131071L + i.toLong, Seed)
+        dot += vec(i).toDouble *
+          ((java.lang.Math.floorMod(h, 1024L).toDouble / 1024.0) - 0.5)
+        i += 1
+      }
+      if (dot > 0) acc |= (1L << p)
+      p += 1
+    }
+    acc
+  }
+
+  /** Cosine with Spark's mixed-precision semantics for float-array
+    * columns: per-element products in FLOAT (zip_with/transform), running
+    * sums in DOUBLE (aggregate's 0.0 seed), denominator sqrt(na)*sqrt(nb).
+    */
+  def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += (a(i) * b(i)); na += (a(i) * a(i)); nb += (b(i) * b(i))
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Spark's round(col, n) semantics for doubles. */
+  def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Brute-force twin of [[graft.ops.Dedup.embeddingNearDupPairs]]:
+    * candidates share the hyperplane bucket; exact cosine >= minSim.
+    */
+  def embeddingNearDupPairs(vecs: Seq[(Long, Array[Float])], minSim: Double,
+                            nPlanes: Int): Seq[(Long, Long, Double)] = {
+    val sk = vecs.map { case (id, v) => (id, v, hyperplaneSketch(v, nPlanes)) }
+      .sortBy(_._1)
+    val out = Vector.newBuilder[(Long, Long, Double)]
+    for (i <- sk.indices; j <- (i + 1) until sk.length) {
+      val (ia, va, ba) = sk(i); val (ib, vb, bb) = sk(j)
+      if (ba == bb) {
+        val c = cosineF(va, vb) // symmetric: products/sums commute exactly
+        if (c >= minSim)
+          out += ((math.min(ia, ib), math.max(ia, ib), round6(c)))
+      }
+    }
+    out.result()
+  }
+
+  // ---------- cluster resolution / removal ----------
+
+  /** Naive union-find keepers: map id -> min id of its connected
+    * component (twin of Dedup.resolveClusters over any pair detector).
+    */
+  def keepers(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(i => i -> find(i)).toMap
+  }
+
+  /** End-to-end near-dup removal twin: minhash-LSH pairs at >= minEst,
+    * min-id keeper per cluster, drop non-keepers.
+    */
+  def removeNearDups(docs: Seq[(Long, String)], w: Int, k: Int, bands: Int,
+                     minEst: Double): Seq[(Long, String)] = {
+    val pairs = minhashLshPairs(docs, w, k, bands)
+      .filter(_._3 >= minEst).map(p => (p._1, p._2))
+    val keep = keepers(pairs)
+    docs.filter { case (id, _) => keep.getOrElse(id, id) == id }
+  }
+
+  // ---------- fingerprints ----------
+
+  def rollingHash(text: String): Long =
+    graft.functions.RollingHash64.compute(UTF8String.fromString(text))
+
+  // ---------- multimodal ----------
+
+  /** Twin of Multimodal.fakeMediaTable row i (same JDK-specified
+    * java.util.Random stream) + FakeCodec.decode metadata.
+    */
+  def mediaMeta(seed: Long, i: Long): graft.ops.Multimodal.MediaMeta = {
+    val r = new java.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+    val kind = Seq("image", "audio", "video")((i % 3).toInt)
+    val len = 64 + r.nextInt(4096)
+    val bytes = new Array[Byte](len)
+    r.nextBytes(bytes)
+    val h = java.util.Arrays.hashCode(bytes)
+    val w = 16 + math.floorMod(h, 1024)
+    val ht = 16 + math.floorMod(h >> 10, 1024)
+    val dur = if (kind == "image") 0L else 1000L + math.floorMod(h, 60000).toLong
+    val feat = Array.tabulate(8) { k =>
+      math.floorMod(h * (k + 1) + 0x9e37, 1000) / 1000.0f
+    }
+    graft.ops.Multimodal.MediaMeta(s"media://gen/$i", kind, len.toLong,
+      w, ht, dur, feat)
+  }
+
+  /** Twin of Multimodal.resizePlan's column math (ceil in double, cast to
+    * int like Spark's ceil(double)→long→int chain).
+    */
+  def resizeTargets(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val longest = math.max(w, h)
+    val scale = if (longest > maxDim) maxDim.toDouble / longest else 1.0
+    (math.ceil(w * scale).toInt, math.ceil(h * scale).toInt)
+  }
+
+  /** Twin of Multimodal.frameSamplePlan: inclusive 0-to-duration sample
+    * timestamps every stepMs for media with duration > 0.
+    */
+  def frameSamples(durationMs: Long, stepMs: Long): Seq[Long] =
+    if (durationMs <= 0) Seq.empty else 0L.to(durationMs, stepMs)
+}
