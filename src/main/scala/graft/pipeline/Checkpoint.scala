@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
 
 /** Partition(group)-level checkpoint manifest — the distributed
   * generalization of the reference's incremental anti-join resume
@@ -9,23 +10,29 @@ import scala.jdk.CollectionConverters._
   * whole doc-groups are committed atomically and skipped on re-run.
   *
   * Layout: `<outDir>/_checkpoint/group_<g>.json`, written via
-  * temp-file + atomic rename (same directory ⇒ same filesystem). A group's
-  * data lives under `<outDir>/data/group=<g>/` written with
-  * mode=overwrite, so a crashed group re-runs cleanly with no duplicates
-  * (exactly-once per group).
+  * temp-file + rename (same directory ⇒ same filesystem; atomic on HDFS
+  * and posix — on S3-family stores swap the manifest for an Iceberg
+  * table commit, SURVEY.md §7.1). A group's data lives under
+  * `<outDir>/data/group=<g>/` written with mode=overwrite, so a crashed
+  * group re-runs cleanly with no duplicates (exactly-once per group).
   *
-  * In-sandbox this is plain-filesystem; the production deployment swaps in
-  * Iceberg table commits (SURVEY.md §7.1) — the pipeline code is agnostic.
+  * All I/O goes through the Hadoop [[FileSystem]] API (VERDICT r01 #8) —
+  * the same code path works on file://, hdfs://, or any object-store
+  * connector on the cluster classpath; nothing here assumes a local
+  * filesystem.
   */
 object Checkpoint {
 
-  private def dir(outDir: String): Path = Paths.get(outDir, "_checkpoint")
+  private def fsFor(p: Path): FileSystem =
+    p.getFileSystem(new Configuration())
+
+  private def dir(outDir: String): Path = new Path(outDir, "_checkpoint")
 
   def committedGroups(outDir: String): Set[Int] = {
     val d = dir(outDir)
-    if (!Files.isDirectory(d)) return Set.empty
-    Files.list(d).iterator.asScala
-      .map(_.getFileName.toString)
+    val fs = fsFor(d)
+    if (!fs.isDirectory(d)) return Set.empty
+    fs.listStatus(d).iterator.map(_.getPath.getName)
       .collect { case s if s.startsWith("group_") && s.endsWith(".json") =>
         s.stripPrefix("group_").stripSuffix(".json").toInt }
       .toSet
@@ -34,18 +41,22 @@ object Checkpoint {
   def commitGroup(outDir: String, group: Int, runId: String,
                   docCount: Long, durationMs: Long): Unit = {
     val d = dir(outDir)
-    Files.createDirectories(d)
+    val fs = fsFor(d)
+    fs.mkdirs(d)
     val body =
       s"""{"group":$group,"run_id":"$runId","doc_count":$docCount,"duration_ms":$durationMs}"""
-    val tmp = d.resolve(s".group_$group.json.tmp")
-    Files.writeString(tmp, body)
-    Files.move(tmp, d.resolve(s"group_$group.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new Path(d, s".group_$group.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dst = new Path(d, s"group_$group.json")
+    fs.delete(dst, false) // rename does not overwrite on all FS impls
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"checkpoint rename failed: $tmp -> $dst")
   }
 
   def clear(outDir: String): Unit = {
     val d = dir(outDir)
-    if (Files.isDirectory(d))
-      Files.list(d).iterator.asScala.toList.foreach(Files.deleteIfExists(_))
+    val fs = fsFor(d)
+    if (fs.isDirectory(d)) fs.delete(d, true)
   }
 }

@@ -181,8 +181,9 @@ object ExtractJob {
       .map(_._2.maxBy(_.task_attempt)).toSeq
       .sortBy(m => (m.group, m.partition_id))
     if (metrics.nonEmpty) {
-      val dir = java.nio.file.Paths.get(cfg.outDir, "metrics")
-      java.nio.file.Files.createDirectories(dir)
+      val dir = new org.apache.hadoop.fs.Path(cfg.outDir, "metrics")
+      val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.mkdirs(dir)
       val body = metrics.map { m =>
         s"""{"run_id":"${m.run_id}","group":${m.group},""" +
         s""""partition_id":${m.partition_id},"task_attempt":${m.task_attempt},""" +
@@ -192,9 +193,11 @@ object ExtractJob {
         s""""bytes_in":${m.bytes_in},"duration_ms":${m.duration_ms},""" +
         s""""status":"${m.status}"}"""
       }.mkString("", "\n", "\n")
-      java.nio.file.Files.writeString(
-        dir.resolve(s"${cfg.runId}-${System.currentTimeMillis()}.jsonl"),
-        body)
+      val f = new org.apache.hadoop.fs.Path(dir,
+        s"${cfg.runId}-${System.currentTimeMillis()}.jsonl")
+      val out = fs.create(f, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     RunReport(cfg.runId, groupsRun.result(), groupsSkipped.result(),
       docsProcessed, System.currentTimeMillis() - t0, useSalt)
@@ -213,14 +216,18 @@ object ExtractJob {
     readOutput(spark, outDir)
       .select("doc_id", "kind", "text", "media_ref", "order")
 
-  /** The `chunks` view ≅ reference document_chunks (setup.sql:109-124),
-    * extracted_at filled at read of the view-materialization (P13).
+  /** The `chunks` view ≅ reference document_chunks (setup.sql:109-124)
+    * incl. the P13 `extracted_at` column, filled like the reference's
+    * DEFAULT CURRENT_TIMESTAMP (setup.sql:123) at view materialization.
+    * (The driver-oracled ex_chunks query in [[graft.SparkEntry]] uses a
+    * deterministic base+chunk_n variant instead so it can be hashed.)
     */
   def chunksView(spark: SparkSession, outDir: String) =
     readOutput(spark, outDir).where(col("chunk_id").isNotNull)
       .select(col("chunk_id"), col("doc_id"), col("page"), col("text"),
         col("bbox_x0"), col("bbox_y0"), col("bbox_x1"), col("bbox_y1"),
         col("page_width"), col("page_height"))
+      .withColumn("extracted_at", current_timestamp())
 
   /** `group` is pmod(xxhash64(doc_id), groups) — recompute it driver-side
     * so a doc lookup prunes to ONE partition directory instead of
@@ -273,15 +280,29 @@ object ExtractJob {
         // harmless (they emit nothing) and keeps the scan id-only.
         docs.join(processed, Seq("doc_id"), "left_anti").as[InputDoc]
       }
-    run(spark, newDocs, cfg.copy(outDir = s"${cfg.outDir}/run=${cfg.runId}"))
+    val runDir = s"${cfg.outDir}/run=${cfg.runId}"
+    // reused runId guard (ADVICE r01): if this run's manifest is already
+    // FULLY committed, every group would be silently skipped and the
+    // anti-joined new docs never written. A partial manifest is a
+    // legitimate crash-resume and proceeds.
+    if (Checkpoint.committedGroups(runDir).size >= cfg.groups &&
+        !newDocs.isEmpty)
+      throw new IllegalStateException(
+        s"runId '${cfg.runId}' already fully committed under $runDir but " +
+        "the incremental input still has new docs — use a fresh runId " +
+        "(each incremental batch needs its own run-scoped subtree)")
+    run(spark, newDocs, cfg.copy(outDir = runDir))
   }
 
   private def listRuns(outDir: String): Seq[String] = {
-    val d = new java.io.File(outDir)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("run="))
-      .map(_.getAbsolutePath)
+    // Hadoop FileSystem so the run listing works on any cluster store
+    // (VERDICT r01 #8), like the Checkpoint manifest
+    val d = new org.apache.hadoop.fs.Path(outDir)
+    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.isDirectory(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
+      .map(_.getPath.toString)
   }
 
   /** Union of all incremental runs' outputs. */

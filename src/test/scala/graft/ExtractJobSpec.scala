@@ -136,6 +136,35 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
 
+  test("chunks view carries P13 extracted_at (reference DEFAULT semantics)") {
+    val out = tmpDir("p13")
+    val t0 = new java.sql.Timestamp(System.currentTimeMillis() - 1000)
+    ExtractJob.run(spark, CorpusGen.dataset(spark, 50, 42L),
+      ExtractJob.Config(out, runId = "p", groups = 1, partitions = 4))
+    val cv = ExtractJob.chunksView(spark, out)
+    assert(cv.schema.fieldNames.last == "extracted_at")
+    val ts = cv.select("extracted_at").collect().map(_.getTimestamp(0))
+    val t1 = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+    assert(ts.nonEmpty && ts.forall(t => !t.before(t0) && !t.after(t1)))
+  }
+
+  test("reused runId with remaining new docs fails fast (ADVICE r01)") {
+    val out = tmpDir("reuse")
+    ExtractJob.runIncremental(spark, CorpusGen.dataset(spark, 100, 42L),
+      ExtractJob.Config(out, runId = "w1", groups = 2, partitions = 4))
+    // same runId, grown input: the run=w1 manifest is fully committed, so
+    // every group would silently skip — must throw instead
+    val e = intercept[IllegalStateException] {
+      ExtractJob.runIncremental(spark, CorpusGen.dataset(spark, 200, 42L),
+        ExtractJob.Config(out, runId = "w1", groups = 2, partitions = 4))
+    }
+    assert(e.getMessage.contains("fresh runId"))
+    // fresh runId proceeds normally
+    val r2 = ExtractJob.runIncremental(spark, CorpusGen.dataset(spark, 200, 42L),
+      ExtractJob.Config(out, runId = "w2", groups = 2, partitions = 4))
+    assert(r2.docsProcessed >= 100)
+  }
+
   test("adaptive skew salting: monster doc triggers it, uniform corpus skips it") {
     import spark.implicits._
     val uniform = CorpusGen.dataset(spark, 200, 42L)

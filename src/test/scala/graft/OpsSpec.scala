@@ -159,6 +159,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
 
+  test("simhash pairs == brute-force hamming<=12 (derived band count, VERDICT r01 #2)") {
+    // r01 shipped fixed 4x16-bit bands: exhaustive only to distance 3, so
+    // maxHamming=12 silently dropped pairs differing in all four bands.
+    // The band count is now maxHamming+1 → complete recall by pigeonhole.
+    val d = docsDf.select("doc_id", "text").where(col("doc_id") < 150)
+    val fps = d.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 12
+    } yield ((ia, ib), h)).toMap
+    val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == brute,
+      s"extra=${got.keySet -- brute.keySet} missing=${brute.keySet -- got.keySet}")
+    assert(brute.nonEmpty) // the corpus genuinely has pairs in (3, 12]
+    assert(brute.values.exists(_ > 3), "test must cover distances beyond 3")
+  }
+
+  test("resolveClusters handles string ids (ADVICE r01: no cast-to-long NPE)") {
+    import spark.implicits._
+    val pairs = Seq(("doc_b", "doc_a"), ("doc_b", "doc_c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("doc_a" -> "doc_a", "doc_b" -> "doc_a",
+      "doc_c" -> "doc_a", "x" -> "x", "y" -> "x"))
+    // distributed path agrees on the same string ids
+    val dist = Dedup.resolveClusters(pairs, driverSideLimit = 0).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(dist == got)
+  }
+
   test("native SimHash64 expression == composed-column simhash (and codegen'd)") {
     val d = docsDf.select("doc_id", "text").limit(200)
     val a = d.select(graft.functions.SimHash64.simhash64(col("text")))
@@ -294,6 +327,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Similarity.bruteForceTopK(e, "vec_id", "embedding", query, 10)
       .collect().map(_.getLong(0)).toSeq
     assert(got == want)
+  }
+
+  test("ivfAssign: zero-shuffle argmax matches driver-side brute-force assignment") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = e.orderBy(col("vec_id").asc).limit(8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = e.collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      // max sim, ties → lowest cell_id (centroids are id-sorted)
+      r.getLong(0) -> centroids.minBy { case (id, c) => (-cos(c, v), id) }._1
+    }.toMap
+    val got = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // plan shape: single codegen'd projection — no Exchange, no Window,
+    // no join (the r01 crossJoin+row_number formulation had all three)
+    val plan = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+           !plan.contains("Join"), plan)
+  }
+
+  test("embedding near-dup: recovery at two corpus sizes with bounded buckets (autoPlanes)") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (n <- Seq(100L, 500L)) {
+      val base = e.where(col("vec_id") < n)
+      val dups = base.where(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+      val corpus = base.union(dups)
+      val planes = Dedup.autoPlanes(n + 10, targetBucket = 64)
+      val pairs = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+        minSim = 0.999, nPlanes = planes)
+      // all 10 injected jittered copies recovered (identical sketch —
+      // jitter scales the vector, sign bits are scale-invariant)
+      val inj = pairs.where(col("id_b") === col("id_a") + 1000000L).count()
+      assert(inj == 10, s"n=$n planes=$planes recovered=$inj")
+      // bucket occupancy is bounded near the target
+      val maxBucket = corpus
+        .select(Similarity.hyperplaneSketch(col("embedding"), planes).as("b"))
+        .groupBy("b").count().agg(max("count")).collect()(0).getLong(0)
+      assert(maxBucket <= 4 * 64, s"n=$n planes=$planes maxBucket=$maxBucket")
+    }
   }
 
   test("ivf ANN: k rows, scores sorted, top-1 matches brute force when probed") {
