@@ -30,6 +30,25 @@ import scala.collection.mutable.ArrayBuffer
   *    `0.5 * min(heightA, heightB)`; transitive closure. Box text = lines
   *    sorted by (y1 desc, x0, text), each line's text + "\n", concatenated;
   *    box bbox = union of line bboxes.
+  *
+  * == Complexity ==
+  *
+  * Clustering is candidate-pruned by a uniform grid spatial index (the
+  * same device pdfminer's `Plane` class uses), replacing the r01 all-pairs
+  * union-find (VERDICT r01 #7, O(n²) per page): each element is tested
+  * only against elements whose grid cells its link-distance-expanded bbox
+  * touches. The expansion is a NECESSARY condition of the join predicate
+  * (lines: y-intervals must intersect and the x-gap is ≤ 1.5·max(h) — so
+  * the larger-height side's query box, expanded by 1.5·own-h in x, covers
+  * every linkable partner; boxes: x-intervals must intersect and the
+  * y-gap is ≤ 0.5·min(h) — either side's 0.5·own-h y-expansion covers it),
+  * so the candidate set is a superset of the true pair set and the exact
+  * predicate + union-find reproduce the identical transitive closure —
+  * the dual-implementation oracle (fixpoint algorithm) pins this.
+  * Realistic monster pages (many runs spread over the page, or one very
+  * long line) are near-linear; the adversarial all-boxes-identical page
+  * degrades to O(n²) α-time find-skips, never to O(n²) predicate tests.
+  * Non-finite or grid-exploding bboxes fall back to an exact outlier list.
   */
 object Layout {
 
@@ -44,6 +63,84 @@ object Layout {
   private final case class Line(x0: Double, y0: Double, x1: Double,
                                 y1: Double, text: String)
 
+  /** Grid-pruned exact clustering: connected components of the `joinable`
+    * pair graph over bboxes (x0, y0, x1, y1 parallel arrays).
+    * `expandX`/`expandY` give element i's query-box expansion — they must
+    * make grid overlap a necessary condition of `joinable(i, j)` from at
+    * least one side of every linkable pair.
+    */
+  private def cluster(n: Int,
+                      x0: Array[Double], y0: Array[Double],
+                      x1: Array[Double], y1: Array[Double],
+                      expandX: Int => Double, expandY: Int => Double,
+                      joinable: (Int, Int) => Boolean): UF = {
+    val uf = new UF(n)
+    if (n <= 1) return uf
+    // cell size ~ median element height: the join distances scale with
+    // heights, so a typical query touches O(1) cells and O(1) candidates
+    val hs = Array.tabulate(n)(i => y1(i) - y0(i)).sorted
+    val sRaw = hs(n / 2)
+    val s = if (java.lang.Double.isFinite(sRaw) && sRaw > 1.0) sRaw else 1.0
+    val MaxCellsPerDim = 4096
+    def sane(i: Int, ex: Double, ey: Double): Boolean = {
+      val a = x0(i) - ex; val b = x1(i) + ex
+      val c = y0(i) - ey; val d = y1(i) + ey
+      java.lang.Double.isFinite(a) && java.lang.Double.isFinite(b) &&
+      java.lang.Double.isFinite(c) && java.lang.Double.isFinite(d) &&
+      (b - a) / s < MaxCellsPerDim && (d - c) / s < MaxCellsPerDim
+    }
+    val outliers = new ArrayBuffer[Int] // exact-checked against everyone
+    val grid = new java.util.HashMap[Long, ArrayBuffer[Int]]()
+    def eachCell(qx0: Double, qy0: Double, qx1: Double, qy1: Double)
+                (f: Long => Unit): Unit = {
+      val cx0 = math.floor(qx0 / s).toInt; val cx1 = math.floor(qx1 / s).toInt
+      val cy0 = math.floor(qy0 / s).toInt; val cy1 = math.floor(qy1 / s).toInt
+      var cx = cx0
+      while (cx <= cx1) {
+        var cy = cy0
+        while (cy <= cy1) {
+          f((cx.toLong << 32) ^ (cy & 0xffffffffL)); cy += 1
+        }
+        cx += 1
+      }
+    }
+    var i = 0
+    while (i < n) {
+      if (sane(i, 0, 0)) {
+        eachCell(x0(i), y0(i), x1(i), y1(i)) { k =>
+          var lst = grid.get(k)
+          if (lst == null) { lst = new ArrayBuffer[Int](4); grid.put(k, lst) }
+          lst += i
+        }
+      } else outliers += i
+      i += 1
+    }
+    def tryJoin(i: Int, j: Int): Unit =
+      if (uf.find(i) != uf.find(j) && joinable(i, j)) uf.union(i, j)
+    i = 0
+    while (i < n) {
+      val ex = expandX(i); val ey = expandY(i)
+      if (sane(i, ex, ey)) {
+        eachCell(x0(i) - ex, y0(i) - ey, x1(i) + ex, y1(i) + ey) { k =>
+          val lst = grid.get(k)
+          if (lst != null) {
+            var t = 0
+            while (t < lst.length) {
+              val j = lst(t); if (j != i) tryJoin(i, j); t += 1
+            }
+          }
+        }
+      } else {
+        var j = 0
+        while (j < n) { if (j != i) tryJoin(i, j); j += 1 }
+      }
+      i += 1
+    }
+    // every pair involving an outlier is exact-tested by the outlier's
+    // full scan above; grid-vs-grid pairs by the expanded cell queries
+    uf
+  }
+
   /** Cluster one tokenized page into text boxes (unordered — callers
     * apply ExtractionSpec.readingOrder / chunkIdOrder).
     */
@@ -53,26 +150,19 @@ object Layout {
     // --- lines ---
     val sortedRuns = runs.sortBy(r => (r.x0, r.y0, r.text)).toArray
     val n = sortedRuns.length
-    val uf = new UF(n)
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val a = sortedRuns(i); val b = sortedRuns(j)
-        val voverlap = math.min(a.y1, b.y1) - math.max(a.y0, b.y0)
-        val minH = math.min(a.y1 - a.y0, b.y1 - b.y0)
-        val hgap = math.max(a.x0, b.x0) - math.min(a.x1, b.x1)
-        val maxH = math.max(a.y1 - a.y0, b.y1 - b.y0)
-        if (voverlap > 0.5 * minH && hgap <= 1.5 * maxH) uf.union(i, j)
-        j += 1
-      }
-      i += 1
+    val rx0 = sortedRuns.map(_.x0); val ry0 = sortedRuns.map(_.y0)
+    val rx1 = sortedRuns.map(_.x1); val ry1 = sortedRuns.map(_.y1)
+    def runJoin(i: Int, j: Int): Boolean = {
+      val voverlap = math.min(ry1(i), ry1(j)) - math.max(ry0(i), ry0(j))
+      val minH = math.min(ry1(i) - ry0(i), ry1(j) - ry0(j))
+      val hgap = math.max(rx0(i), rx0(j)) - math.min(rx1(i), rx1(j))
+      val maxH = math.max(ry1(i) - ry0(i), ry1(j) - ry0(j))
+      voverlap > 0.5 * minH && hgap <= 1.5 * maxH
     }
+    val uf = cluster(n, rx0, ry0, rx1, ry1,
+      i => 1.5 * (ry1(i) - ry0(i)), _ => 0.0, runJoin)
     val lineGroups = (0 until n).groupBy(uf.find).values
     val lines: Array[Line] = lineGroups.map { idxs =>
-      // sortedRuns is already in (x0, y0, text) order and groupBy keeps
-      // index order within a group ascending via the Range — re-sort for
-      // clarity/safety anyway.
       val rs = idxs.map(sortedRuns(_)).sortBy(r => (r.x0, r.y0, r.text))
       val sb = new java.lang.StringBuilder
       rs.foreach(r => sb.append(r.text))
@@ -81,20 +171,16 @@ object Layout {
     }.toArray
     // --- boxes ---
     val m = lines.length
-    val uf2 = new UF(m)
-    i = 0
-    while (i < m) {
-      var j = i + 1
-      while (j < m) {
-        val a = lines(i); val b = lines(j)
-        val hoverlap = math.min(a.x1, b.x1) - math.max(a.x0, b.x0)
-        val vgap = math.max(a.y0, b.y0) - math.min(a.y1, b.y1)
-        val minH = math.min(a.y1 - a.y0, b.y1 - b.y0)
-        if (hoverlap > 0 && vgap <= 0.5 * minH) uf2.union(i, j)
-        j += 1
-      }
-      i += 1
+    val lx0 = lines.map(_.x0); val ly0 = lines.map(_.y0)
+    val lx1 = lines.map(_.x1); val ly1 = lines.map(_.y1)
+    def lineJoin(i: Int, j: Int): Boolean = {
+      val hoverlap = math.min(lx1(i), lx1(j)) - math.max(lx0(i), lx0(j))
+      val vgap = math.max(ly0(i), ly0(j)) - math.min(ly1(i), ly1(j))
+      val minH = math.min(ly1(i) - ly0(i), ly1(j) - ly0(j))
+      hoverlap > 0 && vgap <= 0.5 * minH
     }
+    val uf2 = cluster(m, lx0, ly0, lx1, ly1,
+      _ => 0.0, i => 0.5 * (ly1(i) - ly0(i)), lineJoin)
     val out = new ArrayBuffer[TextBox]
     (0 until m).groupBy(uf2.find).values.foreach { idxs =>
       val ls = idxs.map(lines(_)).sortBy(l => (-l.y1, l.x0, l.text))
