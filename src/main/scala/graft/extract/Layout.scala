@@ -76,6 +76,23 @@ object Layout {
                       joinable: (Int, Int) => Boolean): UF = {
     val uf = new UF(n)
     if (n <= 1) return uf
+    // small-page fast path: a normal page has tens of elements, where the
+    // zero-allocation all-pairs loop beats building a grid (the grid's
+    // per-page HashMap/boxing cost showed up as a 4x extraction-throughput
+    // hit on the tiny-page-dominated corpus); identical predicate, so the
+    // transitive closure is the same by construction
+    if (n <= 128) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          if (uf.find(i) != uf.find(j) && joinable(i, j)) uf.union(i, j)
+          j += 1
+        }
+        i += 1
+      }
+      return uf
+    }
     // cell size ~ median element height: the join distances scale with
     // heights, so a typical query touches O(1) cells and O(1) candidates
     val hs = Array.tabulate(n)(i => y1(i) - y0(i)).sorted
