@@ -230,6 +230,24 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc).limit(20)
     }),
 
+    "q_bm25_topk" -> ((s, dir) =>
+      // lexical half of the reference's hybrid search (setup.sql:182-201)
+      graft.ops.Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 20)),
+    "q_hybrid_topk" -> ((s, dir) => {
+      // hybrid = RRF fusion of BM25 and cosine candidate heads
+      // (streamlit_app.py:284-298's managed hybrid service, public analog)
+      val lex = graft.ops.Search.bm25Scores(t(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "join", "vector"))
+      val e = t(s, dir, "embeddings")
+      val q = broadcast(e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv")))
+      val vec = e.crossJoin(q).select(col("vec_id"),
+        Dedup.cosine(col("embedding").cast("array<double>"),
+                     col("qv").cast("array<double>")).as("score"))
+      graft.ops.Search.hybridTopK(lex, "doc_id", "score",
+        vec, "vec_id", "score", k = 20)
+    }),
     "q_corpus_report" -> ((s, dir) =>
       graft.ops.CorpusReport.summarize(t(s, dir, "documents"),
         "doc_id", "text")),
@@ -830,6 +848,74 @@ object SparkEntry {
              ELSE 'ok'
            END AS verdict
          FROM documents ORDER BY doc_id""",
+    "q_bm25_topk" ->
+      """WITH td AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                     FROM documents),
+         t AS (SELECT doc_id, len(toks) AS dl,
+                 len(list_filter(toks, x -> x = 'hash')) AS tf0,
+                 len(list_filter(toks, x -> x = 'join')) AS tf1,
+                 len(list_filter(toks, x -> x = 'vector')) AS tf2
+               FROM td),
+         s AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+               FROM t)
+         SELECT doc_id, round(
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+               / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+               / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+               / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+         FROM t, s
+         ORDER BY ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+               / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+               / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+               / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) DESC, doc_id ASC
+         LIMIT 20""",
+    "q_hybrid_topk" ->
+      """WITH td AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                     FROM documents),
+         t AS (SELECT doc_id, len(toks) AS dl,
+                 len(list_filter(toks, x -> x = 'hash')) AS tf0,
+                 len(list_filter(toks, x -> x = 'join')) AS tf1,
+                 len(list_filter(toks, x -> x = 'vector')) AS tf2
+               FROM td),
+         s AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+               FROM t),
+         bm AS (SELECT doc_id,
+                  ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+                    / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+                    / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+                    / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+                FROM t, s),
+         lr AS (SELECT doc_id AS id, row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC) AS rank_lex
+                FROM bm ORDER BY score DESC, doc_id ASC LIMIT 100),
+         vs AS (SELECT e.vec_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) AS score
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+         vr AS (SELECT vec_id AS id, row_number() OVER (
+                  ORDER BY score DESC, vec_id ASC) AS rank_vec
+                FROM vs ORDER BY score DESC, vec_id ASC LIMIT 100)
+         SELECT COALESCE(lr.id, vr.id) AS id,
+           round(COALESCE(1.0 / (60 + rank_lex), 0.0)
+               + COALESCE(1.0 / (60 + rank_vec), 0.0), 6) AS rrf
+         FROM lr FULL OUTER JOIN vr ON lr.id = vr.id
+         ORDER BY COALESCE(1.0 / (60 + rank_lex), 0.0)
+                + COALESCE(1.0 / (60 + rank_vec), 0.0) DESC,
+                COALESCE(lr.id, vr.id) ASC
+         LIMIT 20""",
     "q_cosine_topk" ->
       """SELECT e.vec_id,
            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
