@@ -198,8 +198,31 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    // regression watch vs the previous round's driver snapshot: flag any
+    // query >1.5x slower AND >0.5s absolute (skips noise on tiny queries;
+    // this VM's CPU drifts ~2x, so flags are leads, not verdicts)
+    val prevQueries: Map[String, Double] = {
+      val files = Option(new java.io.File("/root/repo").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (files.isEmpty) Map.empty
+      else {
+        val txt = Files.readString(files.maxBy(_.getName).toPath)
+        val block = txt.drop(txt.indexOf("\"queries\":"))
+        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(
+          block.take(block.indexOf('}') + 1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val regressions = results.collect {
+      case (k, v) if prevQueries.get(k).exists(p => v > 1.5 * p && v - p > 0.5) =>
+        (k, prevQueries(k), v)
+    }
+    val regJson = regressions.map { case (k, p, v) =>
+      "\"" + k + f"\":[$p%.3f,$v%.3f]" }.mkString("{", ",", "}")
+
     val json =
-      s"""{"metric":"docs/sec end-to-end extraction throughput (local[$nHigh])","value":${f"$thrHigh%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"extraction_docs":$nDocs,"docs_per_sec_local$nLow":${f"$thrLow%.1f"},"docs_per_sec_local$nHigh":${f"$thrHigh%.1f"},"scaling_efficiency_${nLow}_to_$nHigh":${f"$eff%.3f"},"scaling_efficiency_overhead_adjusted":${f"$adjEff%.3f"},"hw_ceiling_efficiency":${f"$hwEff%.3f"},"scaling_efficiency_hw_normalized":${f"$effNorm%.3f"}}"""
+      s"""{"metric":"docs/sec end-to-end extraction throughput (local[$nHigh])","value":${f"$thrHigh%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"extraction_docs":$nDocs,"docs_per_sec_local$nLow":${f"$thrLow%.1f"},"docs_per_sec_local$nHigh":${f"$thrHigh%.1f"},"scaling_efficiency_${nLow}_to_$nHigh":${f"$eff%.3f"},"scaling_efficiency_overhead_adjusted":${f"$adjEff%.3f"},"hw_ceiling_efficiency":${f"$hwEff%.3f"},"scaling_efficiency_hw_normalized":${f"$effNorm%.3f"},"regressions_vs_prev":$regJson}"""
     println(json)
 
     try {
@@ -218,6 +241,7 @@ object Bench {
            || hardware ceiling at $nLow→$nHigh (plain-thread extraction probe) | ${f"$hwEff%.3f"} — shared/SMT-throttled VM |
            || scaling efficiency, hw-normalized | ${f"$effNorm%.3f"} |
            || total query wall time @ local[32] | ${f"$total%.2f"} s over ${results.size} queries |
+           || regressions vs previous round (>1.5x and >0.5s) | ${if (regressions.isEmpty) "none" else regressions.map { case (k, p, v) => f"$k ($p%.1fs→$v%.1fs)" }.mkString(", ")} |
            |
            |Reference contrast: the reference's ingestion loop is sequential
            |per document at 30–60 s/doc (README.md:268, setup.sql:225) ⇒

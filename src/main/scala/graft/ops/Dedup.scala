@@ -98,6 +98,12 @@ object Dedup {
     * bands of k/bands rows; docs sharing any band hash are candidates.
     * Emits distinct candidate pairs (id_a < id_b) with their estimated
     * Jaccard (fraction of equal signature positions).
+    *
+    * Shuffle shape: the band self-join moves only (id, band, band-hash)
+    * rows — 24 bytes x bands per doc; the k-long signatures shuffle ONCE
+    * per doc in the two attach joins over the (much smaller, by the LSH
+    * premise) deduplicated candidate set. r01 carried the full signature
+    * through the band join, duplicating it `bands` times per side.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       w: Int = 5, k: Int = 64, bands: Int = 16): DataFrame = {
@@ -105,18 +111,23 @@ object Dedup {
     val sigDf = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), w, k).as("sig"))
       .where(col("sig").isNotNull)
-    val banded = sigDf.select(col("id"), col("sig"),
+      .localCheckpoint() // signatures computed once: band join + 2 attaches
+    val banded = sigDf.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .localCheckpoint() // both sides of the self-join reuse it
-    val cand = banded.as("a").join(banded.as("b"),
+    val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val cand = candIds
+      .join(sigDf.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigDf.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
     cand.withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / lit(k).cast("double"))
