@@ -252,6 +252,38 @@ object Dedup {
       .where(col("cos") >= minSim)
   }
 
+  /** Multi-probe variant of [[embeddingNearDupPairs]]: additionally joins
+    * each vector's bucket against all buckets within Hamming distance 1
+    * of it (the standard multi-probe LSH recall recovery — near-dups that
+    * land one flipped sign bit apart are the dominant loss as nPlanes
+    * grows). One side of the join explodes to its nPlanes+1 probe buckets
+    * (exact + each single-bit flip); the other side keeps its exact
+    * bucket, so every qualifying pair is matched exactly once from the
+    * smaller id's probes. Join volume is (nPlanes+1)x the single-probe
+    * candidate volume — the knob trades shuffle for recall without
+    * touching nPlanes (bucket sizes stay put).
+    */
+  def embeddingNearDupPairsMultiProbe(df: DataFrame, idCol: String,
+                                      vecCol: String, minSim: Double,
+                                      nPlanes: Int = 8): DataFrame = {
+    val sketch = Similarity.hyperplaneSketch(col(vecCol), nPlanes)
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+                      sketch.as("bucket"))
+      .localCheckpoint() // sketch computed once, reused by both join sides
+    val probes = b.select(col("id"), col("v"),
+      explode(transform(sequence(lit(0), lit(nPlanes)), p =>
+        when(p === 0, col("bucket"))
+          .otherwise(col("bucket")
+            .bitwiseXOR(call_function("shiftleft", lit(1L), p - 1)))))
+        .as("probe"))
+    probes.as("a").join(b.as("b"),
+        col("a.probe") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("cos") >= minSim)
+  }
+
   // ---------- cluster resolution / removal ----------
 
   /** Resolve near-dup PAIRS into clusters and pick one keeper per

@@ -64,6 +64,93 @@ object Similarity {
     ivfAssign(df, idCol, vecCol, centroids)
   }
 
+  /** Sample-trained IVF codebook (the FAISS pattern: train k-means on a
+    * bounded sample driver-side, assign the full corpus with the
+    * zero-shuffle [[ivfAssign]] scan — training cost is O(sample), never
+    * O(corpus), so it is the same at 100 TB as at 100 MB).
+    *
+    * Deterministic: the sample is the `sampleN` smallest xxhash64(id)
+    * rows (a seeded uniform draw that any executor count reproduces),
+    * Lloyd iterations use cosine assignment with lowest-cell tie-break
+    * (same rule as ivfAssign) and mean-vector updates; empty cells keep
+    * their previous centroid. Returned cell ids are 0..nCells-1.
+    */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, sampleN: Int = 10000, iters: Int = 5)
+      : Array[(Long, Array[Float])] = {
+    val sample = df
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "trainCentroids: empty input")
+    val dim = sample.head.length
+    def cosD(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) -2.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // deterministic farthest-point init (k-means++-style, no RNG): each
+    // next seed is the sample vector least similar to its nearest chosen
+    // seed — avoids the collapsed-init local optimum of first-k seeding.
+    // Incremental nearest-sim tracking keeps it O(k * sample * dim).
+    val k = math.min(nCells, sample.length)
+    val seeds = new Array[Int](k)
+    seeds(0) = 0
+    val nearestSim = Array.fill(sample.length)(-3.0)
+    var chosen = 1
+    while (chosen < k) {
+      val last = sample(seeds(chosen - 1)).map(_.toDouble)
+      var i = 0
+      while (i < sample.length) {
+        val s = cosD(last, sample(i))
+        if (s > nearestSim(i)) nearestSim(i) = s
+        i += 1
+      }
+      var bestI = 0; var bestScore = 4.0
+      i = 0
+      while (i < sample.length) {
+        var taken = false
+        var c = 0
+        while (c < chosen) { if (seeds(c) == i) taken = true; c += 1 }
+        if (!taken && nearestSim(i) < bestScore) {
+          bestScore = nearestSim(i); bestI = i
+        }
+        i += 1
+      }
+      seeds(chosen) = bestI
+      chosen += 1
+    }
+    var cents = seeds.map(i => sample(i).map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = -3.0
+        var c = 0
+        while (c < cents.length) {
+          val s = cosD(cents(c), v)
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.map(_.toFloat))
+    }
+  }
+
   /** Assignment against explicit centroids (driver-held: nCells entries,
     * a few KB–MB — the IVF codebook is always broadcast-scale).
     */

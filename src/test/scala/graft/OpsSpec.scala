@@ -380,6 +380,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multi-probe embedding LSH == brute force over hamming<=1 buckets; superset of single-probe") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 200)
+    // additive jitter is NOT scale-invariant for the sketch → some dup
+    // sketches land one bit off, which single-probe misses by design
+    val dups = e.where(col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.015f)))
+    val corpus = e.union(dups)
+    val nPlanes = 14
+    val minSim = 0.97
+    // driver-side brute force with the plain twins
+    val vecs = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val sk = vecs.map { case (id, v) =>
+      (id, v, graft.oracle.PlainOracles.hyperplaneSketch(v, nPlanes)) }
+    def brutePairs(maxHam: Int): Set[(Long, Long)] = (for {
+      (ia, va, ba) <- sk; (ib, vb, bb) <- sk
+      if ia < ib && java.lang.Long.bitCount(ba ^ bb) <= maxHam
+      if graft.oracle.PlainOracles.cosineF(va, vb) >= minSim
+    } yield (ia, ib)).toSet
+    val single = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+      minSim, nPlanes).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Dedup.embeddingNearDupPairsMultiProbe(corpus, "vec_id",
+      "embedding", minSim, nPlanes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single == brutePairs(0))
+    assert(multi == brutePairs(1))
+    assert(single.subsetOf(multi))
+    // the test must exercise the recall gap (some dup one bit away)
+    assert(multi.size > single.size,
+      s"multi=${multi.size} single=${single.size} — jitter flipped no bits")
+  }
+
   test("ivf ANN: k rows, scores sorted, top-1 matches brute force when probed") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = Similarity.ivfIndex(e, "vec_id", "embedding", nCells = 8)
@@ -396,6 +432,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ---------- multimodal ----------
+
+  test("trained IVF codebook separates directional clusters; assignment pure") {
+    import spark.implicits._
+    // 3 well-separated direction clusters in 8-d (+ small deterministic spread)
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 1f, 0f))
+    val rows = (0 until 90).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) =>
+        x + 0.05f * (((i * 7 + d * 13) % 10) - 5) / 10f })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(df, "vec_id", "embedding",
+      nCells = 3, sampleN = 90, iters = 10)
+    assert(cents.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every true cluster maps to exactly one cell, and cells don't merge
+    val byTrue = assigned.groupBy(_._1 % 3).view.mapValues(_.map(_._2).toSet)
+    assert(byTrue.values.forall(_.size == 1), s"cluster split: $byTrue")
+    assert(byTrue.values.flatten.toSet.size == 3, s"clusters merged: $byTrue")
+    // determinism
+    val cents2 = Similarity.trainCentroids(df, "vec_id", "embedding", 3, 90, 10)
+    assert(cents.zip(cents2).forall { case ((_, a), (_, b)) =>
+      a.sameElements(b) })
+  }
 
   test("multimodal decode stage: deterministic, schema intact, frames explode") {
     val media = Multimodal.fakeMediaTable(spark, 60, 42L)
