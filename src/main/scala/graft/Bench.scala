@@ -202,16 +202,27 @@ object Bench {
     // query >1.5x slower AND >0.5s absolute (skips noise on tiny queries;
     // this VM's CPU drifts ~2x, so flags are leads, not verdicts)
     val prevQueries: Map[String, Double] = {
-      val files = Option(new java.io.File("/root/repo").listFiles())
+      val dir = if (new java.io.File("BENCH.md").exists()) "."
+                else "/root/repo"
+      val files = Option(new java.io.File(dir).listFiles())
         .getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       if (files.isEmpty) Map.empty
       else {
-        val txt = Files.readString(files.maxBy(_.getName).toPath)
-        val block = txt.drop(txt.indexOf("\"queries\":"))
-        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(
-          block.take(block.indexOf('}') + 1))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // numeric round sort (lexicographic breaks at r10 vs r9), and the
+        // driver snapshot may wrap our JSON line string-escaped inside a
+        // "tail" field — unescape before locating the queries block
+        val latest = files.maxBy(f =>
+          "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+        val txt = Files.readString(latest.toPath).replace("\\\"", "\"")
+        val at = txt.indexOf("\"queries\":")
+        if (at < 0) Map.empty
+        else {
+          val block = txt.drop(at)
+          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(
+            block.take(math.max(block.indexOf('}'), 0) + 1))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       }
     }
     val regressions = results.collect {

@@ -613,7 +613,9 @@ object SparkEntry {
                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                              q.qv), 6) AS score
          FROM asg a, q WHERE a.cell_id IN (SELECT cell_id FROM probe)
-         ORDER BY score DESC, a.vec_id ASC LIMIT 20""",
+         ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         q.qv) DESC, a.vec_id ASC
+         LIMIT 20""",
     "q_doc_catalog" ->
       """SELECT source, count(*) AS n_docs, max(n_chars) AS max_chars,
          min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -48,7 +48,7 @@ import scala.collection.mutable.ArrayBuffer
   * Realistic monster pages (many runs spread over the page, or one very
   * long line) are near-linear; the adversarial all-boxes-identical page
   * degrades to O(n²) α-time find-skips, never to O(n²) predicate tests.
-  * Non-finite or grid-exploding bboxes fall back to an exact outlier list.
+  * Non-finite or grid-exploding bboxes fall back to an exact full scan.
   */
 object Layout {
 
@@ -106,7 +106,6 @@ object Layout {
       java.lang.Double.isFinite(c) && java.lang.Double.isFinite(d) &&
       (b - a) / s < MaxCellsPerDim && (d - c) / s < MaxCellsPerDim
     }
-    val outliers = new ArrayBuffer[Int] // exact-checked against everyone
     val grid = new java.util.HashMap[Long, ArrayBuffer[Int]]()
     def eachCell(qx0: Double, qy0: Double, qx1: Double, qy1: Double)
                 (f: Long => Unit): Unit = {
@@ -123,13 +122,18 @@ object Layout {
     }
     var i = 0
     while (i < n) {
+      // non-finite / grid-exploding boxes stay OUT of the grid; they are
+      // still exact-tested against everyone because such an element also
+      // fails sane() at query time (its expanded box is a superset) and
+      // takes the full-scan branch below — which covers all of its pairs
+      // regardless of which side of the pair has the larger height
       if (sane(i, 0, 0)) {
         eachCell(x0(i), y0(i), x1(i), y1(i)) { k =>
           var lst = grid.get(k)
           if (lst == null) { lst = new ArrayBuffer[Int](4); grid.put(k, lst) }
           lst += i
         }
-      } else outliers += i
+      }
       i += 1
     }
     def tryJoin(i: Int, j: Int): Unit =

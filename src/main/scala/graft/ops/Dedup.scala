@@ -331,10 +331,19 @@ object Dedup {
         val ra = find(idx(a)); val rb = find(idx(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      @annotation.nowarn("cat=unchecked")
-      val cmp: Ordering[Any] =
-        Ordering.fromLessThan((x, y) =>
-          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0)
+      // strings compare in UTF-8 binary order (Spark's least()/min()
+      // semantics) — Java's UTF-16 compareTo diverges on non-BMP chars,
+      // which would make the fast path and the distributed path pick
+      // different keepers for the same input
+      val cmp: Ordering[Any] = Ordering.fromLessThan { (x, y) =>
+        (x, y) match {
+          case (a: String, b: String) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(
+                org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+          case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        }
+      }
       val keeperOf = vals.indices.groupBy(find).flatMap { case (_, members) =>
         val k = members.map(vals(_)).min(cmp)
         members.map(m => m -> k)

@@ -58,9 +58,16 @@ object Similarity {
     */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nCells: Int)
       : DataFrame = {
+    // cast at collect so integral ids and double vectors work too (the
+    // r01 formulation was type-generic; keep that property)
     val centroids = df.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"ivfIndex: id column '$idCol' must be numeric and non-null")
+        (r.getLong(0), r.getSeq[Float](1).toArray)
+      }
     ivfAssign(df, idCol, vecCol, centroids)
   }
 

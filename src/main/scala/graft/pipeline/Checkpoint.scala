@@ -23,8 +23,18 @@ import java.nio.charset.StandardCharsets
   */
 object Checkpoint {
 
+  /** The active session's Hadoop conf when one exists (so spark.hadoop.*
+    * credentials/endpoints reach object-store connectors), else a fresh
+    * default — the manifest must work from plain driver code too.
+    */
+  private[pipeline] def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   private def fsFor(p: Path): FileSystem =
-    p.getFileSystem(new Configuration())
+    p.getFileSystem(hadoopConf())
 
   private def dir(outDir: String): Path = new Path(outDir, "_checkpoint")
 

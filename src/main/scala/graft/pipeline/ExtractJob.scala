@@ -182,7 +182,7 @@ object ExtractJob {
       .sortBy(m => (m.group, m.partition_id))
     if (metrics.nonEmpty) {
       val dir = new org.apache.hadoop.fs.Path(cfg.outDir, "metrics")
-      val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = dir.getFileSystem(Checkpoint.hadoopConf())
       fs.mkdirs(dir)
       val body = metrics.map { m =>
         s"""{"run_id":"${m.run_id}","group":${m.group},""" +
@@ -281,16 +281,27 @@ object ExtractJob {
         docs.join(processed, Seq("doc_id"), "left_anti").as[InputDoc]
       }
     val runDir = s"${cfg.outDir}/run=${cfg.runId}"
-    // reused runId guard (ADVICE r01): if this run's manifest is already
-    // FULLY committed, every group would be silently skipped and the
-    // anti-joined new docs never written. A partial manifest is a
-    // legitimate crash-resume and proceeds.
-    if (Checkpoint.committedGroups(runDir).size >= cfg.groups &&
-        !newDocs.isEmpty)
-      throw new IllegalStateException(
-        s"runId '${cfg.runId}' already fully committed under $runDir but " +
-        "the incremental input still has new docs — use a fresh runId " +
-        "(each incremental batch needs its own run-scoped subtree)")
+    // reused runId guard (ADVICE r01): if any anti-join survivor hashes
+    // into a group this run's manifest has ALREADY committed, it would be
+    // silently skipped (and re-running that group would overwrite the
+    // committed output). A crashed run resumed with the SAME input never
+    // trips this — its committed groups' docs were all written, so the
+    // anti-join removed them; a survivor in a committed group can only
+    // mean the input grew under a reused runId → fail fast.
+    val committed = Checkpoint.committedGroups(runDir)
+    if (committed.nonEmpty) {
+      val clash = newDocs
+        .select(pmod(xxhash64(col("doc_id")), lit(cfg.groups)).cast("int")
+          .as("g"))
+        .where(col("g").isin(committed.toSeq: _*))
+        .limit(1).count() > 0
+      if (clash)
+        throw new IllegalStateException(
+          s"runId '${cfg.runId}' has committed groups under $runDir but " +
+          "the incremental input still has new docs hashing into them — " +
+          "use a fresh runId (each incremental batch needs its own " +
+          "run-scoped subtree)")
+    }
     run(spark, newDocs, cfg.copy(outDir = runDir))
   }
 
@@ -298,7 +309,7 @@ object ExtractJob {
     // Hadoop FileSystem so the run listing works on any cluster store
     // (VERDICT r01 #8), like the Checkpoint manifest
     val d = new org.apache.hadoop.fs.Path(outDir)
-    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = d.getFileSystem(Checkpoint.hadoopConf())
     if (!fs.isDirectory(d)) Seq.empty
     else fs.listStatus(d).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))

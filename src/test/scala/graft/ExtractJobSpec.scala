@@ -165,6 +165,35 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.docsProcessed >= 100)
   }
 
+  test("crash-resume of an incremental run with the SAME input proceeds (no guard trip)") {
+    val out = tmpDir("incr-resume")
+    val docs = CorpusGen.dataset(spark, 100, 42L)
+    ExtractJob.runIncremental(spark, docs,
+      ExtractJob.Config(out, runId = "w1", groups = 2, partitions = 4))
+    // simulate a crash that lost group 1's commit AND its data (the data
+    // write is atomic-per-group, so a real crash leaves either both or
+    // neither; re-running with both present is also fine — overwrite)
+    val runDir = s"$out/run=w1"
+    Files.delete(java.nio.file.Paths.get(runDir, "_checkpoint", "group_1.json"))
+    deleteRecursively(java.nio.file.Paths.get(runDir, "data", "group=1"))
+    val before = ExtractJob.readAllRuns(spark, out).count()
+    // same runId + same input: survivors all hash into the UNcommitted
+    // group → guard must not trip, group 1 is recomputed exactly once
+    val r = ExtractJob.runIncremental(spark, docs,
+      ExtractJob.Config(out, runId = "w1", groups = 2, partitions = 4))
+    assert(r.groupsRun == Seq(1) && r.groupsSkipped == Seq(0))
+    val after = ExtractJob.readAllRuns(spark, out)
+    assert(after.count() > before)
+    assert(after.groupBy("doc_id", "order").count()
+      .where(col("count") > 1).count() == 0)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator.asScala.toList.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
   test("adaptive skew salting: monster doc triggers it, uniform corpus skips it") {
     import spark.implicits._
     val uniform = CorpusGen.dataset(spark, 200, 42L)
