@@ -408,6 +408,15 @@ object SparkEntry {
         k = 20, nProbe = 4)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
+    "sim_ivf_trained" -> ((s, dir) => {
+      // full-corpus assignment against a sample-trained codebook — the
+      // FAISS-style scale path; assignment is the zero-shuffle argmax scan
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        nCells = 8, sampleN = 200, iters = 3)
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .select("vec_id", "cell_id").orderBy("vec_id")
+    }),
     "tx_fingerprints" -> ((s, dir) =>
       // rolling-hash + xxhash64 content fingerprints; oracle = the
       // expected table from the plain reference loop (PlainOracles)
@@ -501,6 +510,18 @@ object SparkEntry {
       PlainOracles.embeddingNearDupPairs(vecs ++ dups, minSim = 0.99,
         nPlanes = 6).toDF("id_a", "id_b", "cos")
     }),
+    "sim_ivf_trained" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      // training is driver-side plain Scala either way; the distributed
+      // piece under test is the ivfAssign argmax scan, re-derived here by
+      // the brute-force plain twin over the same codebook
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        nCells = 8, sampleN = 200, iters = 3)
+      val vecs = e.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      PlainOracles.ivfAssignBrute(vecs, cents).toDF("vec_id", "cell_id")
+    }),
     "tx_fingerprints" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select("doc_id", "text").collect()
@@ -566,6 +587,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/dd_dedup_removal/*.parquet'",
     "dd_embedding_neardup" ->
       s"SELECT * FROM '$ExpectedToken/dd_embedding_neardup/*.parquet'",
+    "sim_ivf_trained" ->
+      s"SELECT * FROM '$ExpectedToken/sim_ivf_trained/*.parquet'",
     "tx_fingerprints" ->
       s"SELECT * FROM '$ExpectedToken/tx_fingerprints/*.parquet'",
     "mm_decode" ->

@@ -181,6 +181,40 @@ object PlainOracles {
     out.result()
   }
 
+  /** Cosine with BOTH arrays cast to double before multiplying — the
+    * semantics of Dedup.cosine over cast("array<double>") columns /
+    * literal double arrays (contrast [[cosineF]]'s float products).
+    */
+  def cosineDD(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Brute-force twin of [[graft.ops.Similarity.ivfAssign]]: per vector,
+    * the max-cosine centroid, first (lowest cell_id) on exact ties.
+    */
+  def ivfAssignBrute(vecs: Seq[(Long, Array[Float])],
+                     centroids: Array[(Long, Array[Float])])
+      : Seq[(Long, Long)] = {
+    val sorted = centroids.sortBy(_._1)
+    vecs.map { case (id, v) =>
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < sorted.length) {
+        val s = cosineDD(v, sorted(c)._2)
+        if (s > bestSim) { bestSim = s; best = c } // strict: first max wins
+        c += 1
+      }
+      (id, sorted(best)._1)
+    }
+  }
+
   // ---------- cluster resolution / removal ----------
 
   /** Naive union-find keepers: map id -> min id of its connected

@@ -32,12 +32,14 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .createOrReplaceTempView("document_chunks")
   }
 
-  test("Q1 catalog SQL (streamlit_app.py:402-412) runs verbatim") {
+  test("Q1 catalog SQL (streamlit_app.py:402-412) runs verbatim incl. extracted_at") {
     ready
     val rows = spark.sql(
       """SELECT doc_id,
                 MAX(page) as total_pages,
-                COUNT(*) as chunk_count
+                COUNT(*) as chunk_count,
+                MIN(extracted_at) as first_extracted,
+                MAX(extracted_at) as last_extracted
          FROM document_chunks
          GROUP BY doc_id
          ORDER BY doc_id""").collect()
@@ -48,6 +50,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       CorpusGen.doc(42L, d.getString(0).stripPrefix("doc_").toLong)).chunks
     assert(d.getInt(1) == want.map(_.page).max)
     assert(d.getLong(2) == want.size)
+    assert(!d.getTimestamp(3).after(d.getTimestamp(4)))
   }
 
   test("Q2 page-content SQL (streamlit_app.py:418-427) runs verbatim, reading order holds") {
