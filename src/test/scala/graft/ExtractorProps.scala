@@ -85,4 +85,23 @@ object ExtractorProps extends Properties("Extractor") {
       val orders = Extractor.extract(d).outSpans.map(_.order)
       orders == orders.indices.toVector.map(identity)
     }
+
+  // dense pages (> 128 runs) take Layout's grid-pruned clustering path —
+  // pin its equivalence with the oracle's fixpoint algorithm directly
+  private val genDensePage: Gen[InputDoc] = for {
+    n <- Gen.choose(130, 220)
+    lines <- Gen.listOfN(n, for {
+      x <- Gen.choose(0, 600); y <- Gen.choose(0, 780)
+      w <- Gen.choose(0, 120); h <- Gen.oneOf(0, 2, 8, 10, 12, 40)
+      t <- Gen.alphaNumStr.map(s => if (s.isEmpty) "t" else s.take(6))
+    } yield s"TX $x $y $w $h $t")
+  } yield InputDoc("dense",
+    Vector(Span("pdf", ("PG 612 792" :: lines).mkString("\n"), null, 0)))
+
+  property("grid clustering == fixpoint oracle on dense pages") =
+    forAll(genDensePage) { d =>
+      Extractor.extract(d).chunks == RefOracle.extract(d).chunks &&
+      key(d) == RefOracle.extract(d).outSpans
+        .map(o => (o.kind, o.text, o.media_ref, o.order))
+    }
 }
