@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.core.{InputDoc, Span}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-directory ingestion: the reference's entry point is a stage
+  * DIRECTORY of files it lists, suffix-filters, and feeds to the
+  * extractor one by one (/root/reference/setup.sql:44-45,220-222);
+  * this is its distributed analog over `spark.read.format("binaryFile")`
+  * — directory listing, suffix→kind classification, and payload decode
+  * all happen inside one scan, producing the engine's canonical
+  * interleaved-spans shape `(doc_id, spans)`.
+  *
+  * Kind classification by extension (reference: `LIKE '%.pdf'` plus the
+  * UI's validation list, streamlit_app.py:655-678):
+  *   .pdf → one "pdf" span (payload decoded as UTF-8 content stream);
+  *   .html/.htm → one "html" span; .txt/.text → one "text" span;
+  *   image/audio/video extensions → one media span passing the file
+  *   path through as media_ref (bytes stay in the store — the north
+  *   rule's media-by-reference semantics); anything else is dropped,
+  *   like the reference's suffix filter.
+  *
+  * Scale: two binaryFile scans — the text scan reads `content`, the
+  * media scan selects only (path, length) so the bytes are column-pruned
+  * at the source. Listing parallelizes via the Hadoop InMemoryFileIndex.
+  */
+object RawFiles {
+
+  private val TextExt: Map[String, String] = Map(
+    "pdf" -> "pdf", "html" -> "html", "htm" -> "html",
+    "txt" -> "text", "text" -> "text")
+
+  private val MediaExt: Map[String, String] = Map(
+    "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
+    "mp3" -> "audio", "wav" -> "audio", "flac" -> "audio",
+    "mp4" -> "video", "mkv" -> "video", "webm" -> "video")
+
+  private def ext: Column =
+    lower(element_at(split(col("path"), "\\."), -1))
+
+  private def kindOf(m: Map[String, String]): Column =
+    m.foldLeft(lit(null).cast("string")) { case (acc, (e, k)) =>
+      when(ext === e, k).otherwise(acc)
+    }
+
+  private def relPath(root: String): Column =
+    regexp_replace(col("path"), lit("^file:" + root), lit(""))
+
+  /** Read a directory tree of raw files as InputDocs. `doc_id` is the
+    * file path relative to `dir` (the reference's RELATIVE_PATH).
+    */
+  def read(spark: SparkSession, dir: String): Dataset[InputDoc] = {
+    import spark.implicits._
+    val root = if (dir.endsWith("/")) dir else dir + "/"
+    def scan = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(dir)
+
+    val textDocs = scan
+      .select(relPath(root).as("doc_id"), kindOf(TextExt).as("kind"),
+              col("content"))
+      .where(col("kind").isNotNull)
+      .map { r =>
+        val payload = new String(r.getAs[Array[Byte]]("content"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        InputDoc(r.getString(0), Vector(Span(r.getString(1), payload, null, 0)))
+      }
+
+    val mediaDocs = scan
+      .select(relPath(root).as("doc_id"), kindOf(MediaExt).as("kind"),
+              col("path"))
+      .where(col("kind").isNotNull)
+      .map(r => InputDoc(r.getString(0),
+        Vector(Span(r.getString(1), null, r.getString(2), 0))))
+
+    textDocs.union(mediaDocs)
+  }
+
+  /** Spans-table ingestion from self-describing formats: the engine's
+    * canonical parquet shape read instead from JSON lines (schema
+    * enforced — a malformed file fails fast, it doesn't infer a wrong
+    * shape). CSV cannot hold the nested spans array; for CSV interchange
+    * use one-span-per-row staging via [[fromFlatSpans]].
+    */
+  def readSpansJson(spark: SparkSession, path: String): Dataset[InputDoc] = {
+    import spark.implicits._
+    spark.read.schema(
+        "doc_id STRING, spans ARRAY<STRUCT<kind: STRING, text: STRING, " +
+        "media_ref: STRING, offset: INT>>")
+      .json(path).as[InputDoc]
+  }
+
+  /** Assemble InputDocs from a FLAT one-span-per-row table (the shape CSV
+    * or a relational staging table can hold): groupBy doc_id +
+    * collect_list, offsets preserved in the span structs (extraction
+    * re-sorts by ExtractionSpec.spanOrdering, so list order is free).
+    * One shuffle by doc_id — the same partitioning extraction wants.
+    */
+  def fromFlatSpans(flat: DataFrame): Dataset[InputDoc] = {
+    import flat.sparkSession.implicits._
+    flat.select(col("doc_id"), struct(col("kind"), col("text"),
+        col("media_ref"), col("offset").cast("int").as("offset")).as("s"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("s")).as("spans"))
+      .as[InputDoc]
+  }
+}
