@@ -453,8 +453,13 @@ object SparkEntry {
     * for the dedup/similarity/fingerprint/media pipelines (brute-force
     * candidate generation instead of LSH banding) — and written to
     * parquet by [[graft.Verify]], where the [[ExpectedToken]] twins in
-    * [[oracleSql]] read them. All inputs are bounded id-range filters, so
-    * the driver-side work stays O(constant) at any sf tier.
+    * [[oracleSql]] read them. Driver-side work is bounded: the dd_* pair
+    * pipelines take id-range-filtered inputs (constant at any sf tier);
+    * tx_fingerprints / mm_* / sim_ivf_trained collect the full documents
+    * or embeddings table, which are the SMALL dimension tables of the
+    * testdata (500–5000 rows at the driver's tiers) — per-row work, not
+    * pairwise. The ex_* expected extraction runs distributed (spark.range
+    * + the single-threaded per-doc oracle), never on the driver.
     */
   def expected: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ex_spans" -> ((s, dir) => {

@@ -293,9 +293,11 @@ object Dedup {
     * (id, keeper_id) for every id that appears in a pair — ids absent
     * from any pair are their own keepers.
     *
-    * Scale notes: each round is one shuffle on id; `maxIters` bounds the
-    * work (dup clusters from near-dup detection are almost always stars
-    * or short chains — 5 rounds covers diameter 32).
+    * Scale notes: each round is two shuffles (neighbor hop + pointer
+    * jump); the jump doubles covered distance per round, so `maxIters`
+    * rounds resolve components of diameter up to 2^maxIters - 1
+    * (default 5 → 31 — far beyond real dup clusters, which are almost
+    * always stars or short chains).
     */
   def resolveClusters(pairs: DataFrame, maxIters: Int = 5,
                       driverSideLimit: Long = 1000000L): DataFrame = {
@@ -361,7 +363,12 @@ object Dedup {
     resolveClustersDistributed(pairs, maxIters)
   }
 
-  /** Distributed path: iterative min-label propagation. */
+  /** Distributed path: min-label propagation with POINTER JUMPING — each
+    * round takes (a) the min label over graph neighbors (one hop) and
+    * (b) the label of the current label (doubling), so covered distance
+    * grows as d(r) = 2*d(r-1) + 1: maxIters rounds reach components of
+    * diameter 2^maxIters - 1 (default 5 → 31), not maxIters hops.
+    */
   private def resolveClustersDistributed(pairs: DataFrame, maxIters: Int)
       : DataFrame = {
     // materialize the edge list once — `pairs` is typically an expensive
@@ -381,9 +388,19 @@ object Dedup {
                     .withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("nlabel").as("nmin"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val hopped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+      // pointer jump: label := min(label, label(label)) — every label is
+      // itself a node id (labels start as ids and only ever take existing
+      // ids via min), so the lookup join always finds a row
+      val next = hopped.as("x")
+        .join(hopped.select(col("id").as("label"),
+                            col("label").as("ll")).as("y"),
+              Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label")))
             .as("label"))
       val prev = labels
       labels = next.localCheckpoint() // cut the growing lineage each round

@@ -184,11 +184,16 @@ object Similarity {
   def ivfTopK(indexed: DataFrame, idCol: String, vecCol: String,
               centroids: Array[(Long, Array[Float])],
               query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    // double products (not float) — same semantics as the engine-side
+    // cast("array<double>") cosine and the DuckDB twin, so the probe-cell
+    // ranking can't flip on float-precision near-ties
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
-        nb += b(i) * b(i); i += 1 }
-      dot / math.sqrt(na * nb)
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val probeCells = centroids
       .sortBy { case (id, c) => (-cos(c, query), id) }

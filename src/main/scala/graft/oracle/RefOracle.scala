@@ -195,7 +195,17 @@ object RefOracle {
     }
     flush()
     blocks.reverse.flatMap { b =>
-      val norm = b.raw.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      // whitespace = Character.isWhitespace, NOT regex \s (which misses
+      // U+2028/U+3000 etc. and would diverge from HtmlExtractor.normalize)
+      val words = scala.collection.mutable.ListBuffer.empty[String]
+      val cur = new StringBuilder
+      b.raw.foreach { ch =>
+        if (Character.isWhitespace(ch)) {
+          if (cur.nonEmpty) { words += cur.toString; cur.clear() }
+        } else cur += ch
+      }
+      if (cur.nonEmpty) words += cur.toString
+      val norm = words.mkString(" ")
       if (!b.boiler && norm.length >= 25 && b.link * 3 <= b.content)
         Some(norm)
       else None

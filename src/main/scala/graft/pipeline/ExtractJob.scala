@@ -129,7 +129,10 @@ object ExtractJob {
     // partition's fair share (one doc ≥ 25% of a partition, or over the
     // absolute big-doc threshold). Exact agg over the cost column here;
     // in an Iceberg deployment this comes free from table column stats.
-    val useSalt = cfg.salting match {
+    // Skipped entirely when every group is already committed — a no-op
+    // resume must not pay a full input scan (report.salted is then false).
+    val anyToRun = (0 until cfg.groups).exists(g => !committed.contains(g))
+    val useSalt = anyToRun && (cfg.salting match {
       case "on"  => true
       case "off" => false
       case _ =>
@@ -139,7 +142,7 @@ object ExtractJob {
           val fairShare = math.max(total / math.max(nPart, 1), 1L)
           mx >= cfg.bigDocBytes || mx >= fairShare / 4
         }
-    }
+    })
 
     (0 until cfg.groups).foreach { g =>
       if (committed.contains(g)) groupsSkipped += g
@@ -184,8 +187,10 @@ object ExtractJob {
       val dir = new org.apache.hadoop.fs.Path(cfg.outDir, "metrics")
       val fs = dir.getFileSystem(Checkpoint.hadoopConf())
       fs.mkdirs(dir)
+      def esc(s: String): String =
+        s.replace("\\", "\\\\").replace("\"", "\\\"")
       val body = metrics.map { m =>
-        s"""{"run_id":"${m.run_id}","group":${m.group},""" +
+        s"""{"run_id":"${esc(m.run_id)}","group":${m.group},""" +
         s""""partition_id":${m.partition_id},"task_attempt":${m.task_attempt},""" +
         s""""doc_count":${m.doc_count},"span_count":${m.span_count},""" +
         s""""out_span_count":${m.out_span_count},"chunk_count":${m.chunk_count},""" +
@@ -316,11 +321,23 @@ object ExtractJob {
       .map(_.getPath.toString)
   }
 
-  /** Union of all incremental runs' outputs. */
+  /** Union of all incremental runs' COMMITTED group outputs. Reading only
+    * manifest-committed groups is what keeps crash-resume exactly-once:
+    * data files whose group commit never landed are invisible here — so
+    * the incremental anti-join does NOT treat their docs as processed,
+    * the re-run recomputes that group in full, and the overwrite replaces
+    * the orphaned files (previously, orphaned data counted as processed
+    * and a same-runId resume overwrote the group with an empty write).
+    * No runs / nothing committed → empty typed DataFrame.
+    */
   def readAllRuns(spark: SparkSession, outDir: String) = {
-    val runs = listRuns(outDir)
-    runs.map(r => spark.read.parquet(s"$r/data").drop("group"))
-      .reduce(_ unionByName _)
+    import spark.implicits._
+    val dirs = for {
+      r <- listRuns(outDir)
+      g <- Checkpoint.committedGroups(r).toSeq.sorted
+    } yield s"$r/data/group=$g"
+    if (dirs.isEmpty) spark.emptyDataset[ExtractedRow].toDF()
+    else spark.read.parquet(dirs: _*)
   }
 
 }

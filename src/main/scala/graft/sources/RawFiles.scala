@@ -44,8 +44,15 @@ object RawFiles {
       when(ext === e, k).otherwise(acc)
     }
 
-  private def relPath(root: String): Column =
-    regexp_replace(col("path"), lit("^file:" + root), lit(""))
+  /** Path relative to the scan root by plain substring search — NO regex
+    * (a user dir with regex metacharacters must not crash or corrupt
+    * ids), scheme-agnostic (file:/, hdfs://, s3a:// URIs all contain the
+    * root path verbatim). Unresolvable → the full URI, never null.
+    */
+  private def relativize(uriPath: String, root: String): String = {
+    val i = uriPath.indexOf(root)
+    if (i >= 0) uriPath.substring(i + root.length) else uriPath
+  }
 
   /** Read a directory tree of raw files as InputDocs. `doc_id` is the
     * file path relative to `dir` (the reference's RELATIVE_PATH).
@@ -57,21 +64,20 @@ object RawFiles {
       .option("recursiveFileLookup", "true").load(dir)
 
     val textDocs = scan
-      .select(relPath(root).as("doc_id"), kindOf(TextExt).as("kind"),
-              col("content"))
+      .select(col("path"), kindOf(TextExt).as("kind"), col("content"))
       .where(col("kind").isNotNull)
       .map { r =>
         val payload = new String(r.getAs[Array[Byte]]("content"),
           java.nio.charset.StandardCharsets.UTF_8)
-        InputDoc(r.getString(0), Vector(Span(r.getString(1), payload, null, 0)))
+        InputDoc(relativize(r.getString(0), root),
+          Vector(Span(r.getString(1), payload, null, 0)))
       }
 
     val mediaDocs = scan
-      .select(relPath(root).as("doc_id"), kindOf(MediaExt).as("kind"),
-              col("path"))
+      .select(col("path"), kindOf(MediaExt).as("kind"))
       .where(col("kind").isNotNull)
-      .map(r => InputDoc(r.getString(0),
-        Vector(Span(r.getString(1), null, r.getString(2), 0))))
+      .map(r => InputDoc(relativize(r.getString(0), root),
+        Vector(Span(r.getString(1), null, r.getString(0), 0))))
 
     textDocs.union(mediaDocs)
   }
@@ -87,6 +93,8 @@ object RawFiles {
     spark.read.schema(
         "doc_id STRING, spans ARRAY<STRUCT<kind: STRING, text: STRING, " +
         "media_ref: STRING, offset: INT>>")
+      .option("mode", "FAILFAST") // malformed line = job error, not a
+                                  // silent all-null row extraction drops
       .json(path).as[InputDoc]
   }
 

@@ -56,16 +56,25 @@ object StreamingIngest {
       .start()
   }
 
-  /** Read back everything ingested so far (all batches, all groups). The
-    * per-batch `data` dirs are separate roots (an Iceberg deployment
-    * appends to ONE table instead); union them explicitly.
+  /** Read back everything ingested so far: each batch's MANIFEST-COMMITTED
+    * groups only (same exactly-once read rule as ExtractJob.readAllRuns —
+    * orphaned files from a crash mid-batch are invisible until their
+    * group re-commits). The per-batch `data` dirs are separate roots (an
+    * Iceberg deployment appends to ONE table instead); union them
+    * explicitly. Missing/empty output → empty typed DataFrame.
     */
   def readOutput(spark: SparkSession, outDir: String) = {
-    val dirs = new java.io.File(outDir).listFiles()
+    import spark.implicits._
+    val batches = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(f => s"${f.getAbsolutePath}/data")
-      .filter(p => new java.io.File(p).isDirectory)
-    dirs.map(d => spark.read.parquet(d).drop("group"))
-      .reduce(_ unionByName _)
+      .map(_.getAbsolutePath)
+    val dirs = for {
+      b <- batches.toSeq
+      g <- graft.pipeline.Checkpoint.committedGroups(b).toSeq.sorted
+    } yield s"$b/data/group=$g"
+    if (dirs.isEmpty)
+      spark.emptyDataset[graft.core.ExtractedRow].toDF()
+    else spark.read.parquet(dirs: _*)
   }
 }

@@ -165,33 +165,30 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.docsProcessed >= 100)
   }
 
-  test("crash-resume of an incremental run with the SAME input proceeds (no guard trip)") {
+  test("crash-resume with ORPHANED group data (write landed, commit lost) loses nothing") {
     val out = tmpDir("incr-resume")
     val docs = CorpusGen.dataset(spark, 100, 42L)
     ExtractJob.runIncremental(spark, docs,
       ExtractJob.Config(out, runId = "w1", groups = 2, partitions = 4))
-    // simulate a crash that lost group 1's commit AND its data (the data
-    // write is atomic-per-group, so a real crash leaves either both or
-    // neither; re-running with both present is also fine — overwrite)
+    val complete = ExtractJob.readAllRuns(spark, out).count()
+    // crash between overwriteGroup and commitGroup: group 1's parquet
+    // files exist but the manifest entry does not. Committed-only reads
+    // must make the orphan invisible (else the anti-join would count its
+    // docs as processed and the re-run would overwrite the group with an
+    // EMPTY write — silent data loss)
     val runDir = s"$out/run=w1"
     Files.delete(java.nio.file.Paths.get(runDir, "_checkpoint", "group_1.json"))
-    deleteRecursively(java.nio.file.Paths.get(runDir, "data", "group=1"))
-    val before = ExtractJob.readAllRuns(spark, out).count()
+    val visible = ExtractJob.readAllRuns(spark, out).count()
+    assert(visible < complete, "orphaned group data must be invisible")
     // same runId + same input: survivors all hash into the UNcommitted
-    // group → guard must not trip, group 1 is recomputed exactly once
+    // group → guard must not trip; group 1 recomputes over its FULL docs
     val r = ExtractJob.runIncremental(spark, docs,
       ExtractJob.Config(out, runId = "w1", groups = 2, partitions = 4))
     assert(r.groupsRun == Seq(1) && r.groupsSkipped == Seq(0))
     val after = ExtractJob.readAllRuns(spark, out)
-    assert(after.count() > before)
+    assert(after.count() == complete, "resume must restore the full output")
     assert(after.groupBy("doc_id", "order").count()
       .where(col("count") > 1).count() == 0)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.toList.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 
   test("adaptive skew salting: monster doc triggers it, uniform corpus skips it") {

@@ -42,7 +42,7 @@ object ExtractorProps extends Properties("Extractor") {
            "&amp;", "&lt;tag&gt;", "中文 ünïcode ", "<", ">", "<p/>"
          )).map(_.mkString(" ")),
     1 -> Gen.stringOf(Gen.oneOf('\n', '\t', ' ', 'a', '\\', '<', '&',
-           '中', '€')).map(_.take(300)))
+           '中', '€', '\u3000', '\u2028')).map(_.take(300)))
 
   private val genSpan: Gen[Span] = for {
     kind <- genKind

@@ -164,6 +164,17 @@ class ExtractorSpec extends AnyFunSuite {
     assert(HtmlExtractor.decodeEntities("&amp;lt; &lt; a&amp;b") == "&lt; < a&b")
   }
 
+  test("html unicode whitespace (U+3000) normalizes identically in both impls") {
+    // Character.isWhitespace covers these; regex \s does not — a r02
+    // review found the oracle using \s+ and diverging here
+    val html = "<p>alpha　beta gamma delta epsilon zeta eta</p>" +
+      "<p> second block long enough to keep around here</p>"
+    val d = InputDoc("ws", Vector(Span("html", html, null, 0)))
+    val got = Extractor.extract(d).outSpans.map(key)
+    assert(got == RefOracle.extract(d).outSpans.map(key))
+    assert(got.head._2 == "alpha beta gamma delta epsilon zeta eta")
+  }
+
   test("pdf escape/unescape roundtrip") {
     val s = "a\nb\\c \\n d\\"
     assert(PdfTokenizer.unescape(PdfTokenizer.escape(s)) == s)

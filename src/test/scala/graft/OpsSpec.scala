@@ -249,6 +249,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == (0L until 25L).toSet -- Set(2L, 3L, 11L, 12L, 13L, 21L))
   }
 
+  test("distributed label propagation resolves a 20-node chain within 5 rounds (pointer jumping)") {
+    import spark.implicits._
+    // a pure chain is the worst diameter shape; one-hop-per-round
+    // propagation needs 19 rounds, pointer jumping needs ceil-log-ish
+    val chain = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(chain, maxIters = 5, driverSideLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L to 19L).map(i => i -> 0L).toMap, got)
+  }
+
   test("end-to-end near-dup removal: injected dups eliminated from corpus") {
     val d = docsDf.select("doc_id", "text").limit(80)
     val dup = d.limit(10).withColumn("doc_id", col("doc_id") + 1000000L)
