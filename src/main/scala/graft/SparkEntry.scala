@@ -372,6 +372,32 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text",
         w = 2, minSim = 0.2)
         .orderBy("id_a", "id_b")),
+    "dd_dup_windows" -> ((s, dir) => {
+      // substring-level exact dedup (Lee et al. 2022): injected full-doc
+      // copies make every window of those docs cross-doc-duplicated
+      val base = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id", "text")
+      val dups = base.where(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.duplicatedWindows(base.union(dups), "doc_id", "text", w = 8)
+        .select(col("id").as("doc_id"), col("pos"), col("n_docs"))
+        .orderBy("doc_id", "pos")
+    }),
+    "dd_contamination" -> ((s, dir) => {
+      // benchmark decontamination: docs < 20 play the eval set; 5 of them
+      // leak into the corpus (id+1000000) and must report rate 1.0
+      val d = t(s, dir, "documents")
+      val bench = d.where(col("doc_id") < 20).select("text")
+      val clean = d.where(col("doc_id") >= 20 && col("doc_id") < 200)
+        .select("doc_id", "text")
+      val leaked = d.where(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.contaminationReport(clean.union(leaked), "doc_id", "text",
+          bench, "text", w = 5)
+        .select(col("id").as("doc_id"), col("n_windows"),
+          col("n_contaminated"), round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")
+    }),
     "dd_dedup_removal" -> ((s, dir) => {
       // end-to-end near-dup removal: corpus + injected dups → cleaned
       val d = t(s, dir, "documents").where(col("doc_id") < 200)
@@ -603,6 +629,45 @@ object SparkEntry {
     "mm_frames" ->
       s"SELECT * FROM '$ExpectedToken/mm_frames/*.parquet'",
     // --- pure-SQL twins over the sf tables ---
+    "dd_dup_windows" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 150),
+         corpus AS (SELECT doc_id, text FROM base
+                    UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, text FROM base
+                    WHERE doc_id < 10),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         wnd AS (SELECT doc_id, i - 1 AS pos,
+                        array_to_string(t[i:i+7], ' ') AS s
+                 FROM tk, UNNEST(range(1, len(t) - 6)) AS r(i)),
+         cnt AS (SELECT s, count(DISTINCT doc_id) AS n_docs FROM wnd
+                 GROUP BY s HAVING count(DISTINCT doc_id) >= 2)
+         SELECT w.doc_id, w.pos, c.n_docs
+         FROM wnd w JOIN cnt c USING (s)
+         ORDER BY doc_id, pos""",
+    "dd_contamination" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         corpus AS (SELECT doc_id, text FROM d
+                    WHERE doc_id >= 20 AND doc_id < 200
+                    UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, text FROM d
+                    WHERE doc_id < 5),
+         cw AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM corpus) x,
+                     UNNEST(range(1, len(t) - 3)) AS r(i)),
+         bw AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS s
+                FROM (SELECT string_split(text, ' ') AS t FROM d
+                      WHERE doc_id < 20) y,
+                     UNNEST(range(1, len(t) - 3)) AS r(i))
+         SELECT cw.doc_id, count(*) AS n_windows,
+                sum(CASE WHEN bw.s IS NOT NULL THEN 1 ELSE 0 END)
+                  AS n_contaminated,
+                round(CAST(sum(CASE WHEN bw.s IS NOT NULL THEN 1 ELSE 0
+                                    END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS rate
+         FROM cw LEFT JOIN bw ON cw.s = bw.s
+         GROUP BY cw.doc_id ORDER BY cw.doc_id""",
     "dd_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
                     FROM documents WHERE doc_id < 300),

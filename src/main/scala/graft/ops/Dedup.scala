@@ -81,6 +81,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-document duplicated n-gram windows — the substring-level exact
+    * dedup shape of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): emit (id, pos, n_docs) for every w-token
+    * window whose content occurs in at least `minDocs` DISTINCT docs.
+    * Callers cut or mask those spans. The join key is the window's
+    * 64-bit hash (windows never shuffle their text); positions are
+    * 0-based token offsets.
+    *
+    * Scale: two shuffles (hash-frequency aggregate + the hash join back),
+    * both on (hash, id, pos) rows. The frequency side is a partial-agg
+    * friendly countDistinct; the windows themselves are ~8B/token of
+    * input — at petabyte scale use a Bloom-filter pre-pass on the
+    * frequency side to keep the join build small.
+    */
+  def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+                        w: Int, minDocs: Int = 2): DataFrame = {
+    val wnd = df.select(col(idCol).as("id"),
+        posexplode(wordShingles(col(textCol), w)))
+      .select(col("id"), col("pos"), xxhash64(col("col")).as("sh"))
+      .localCheckpoint() // reused by the frequency agg and the join back
+    val dup = wnd.groupBy("sh")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    wnd.join(dup, Seq("sh")).select("id", "pos", "n_docs")
+  }
+
+  /** Benchmark decontamination report (the GPT-3-appendix shape): per
+    * corpus doc, how many of its w-token windows appear anywhere in the
+    * benchmark/eval set. Windows join on 64-bit hashes; the benchmark's
+    * distinct window-hash set is usually small enough to broadcast.
+    * Returns (id, n_windows, n_contaminated, rate).
+    */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          w: Int): DataFrame = {
+    val cw = corpus.select(col(idCol).as("id"),
+        explode(array_distinct(wordShingles(col(textCol), w))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh"))
+    val bw = bench.select(
+        explode(array_distinct(wordShingles(col(benchTextCol), w))).as("s"))
+      .select(xxhash64(col("s")).as("sh")).distinct()
+    cw.join(broadcast(bw.withColumn("hit", lit(1L))), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("rate",
+        col("n_contaminated").cast("double") /
+          col("n_windows").cast("double"))
+  }
+
   // ---------- MinHash + LSH ----------
 
   /** k-permutation MinHash signature over word shingles, as an array
