@@ -383,6 +383,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pos"), col("n_docs"))
         .orderBy("doc_id", "pos")
     }),
+    "dd_dup_cut" -> ((s, dir) => {
+      // the removal half of substring dedup: duplicated-window tokens cut
+      // from the text (fully-copied docs collapse to empty strings)
+      val base = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select("doc_id", "text")
+      val dups = base.where(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.cutDuplicatedWindows(base.union(dups), "doc_id", "text", w = 8)
+        .select(col("id").as("doc_id"), col("text_clean"),
+                col("n_tokens_removed"))
+        .orderBy("doc_id")
+    }),
     "dd_contamination" -> ((s, dir) => {
       // benchmark decontamination: docs < 20 play the eval set; 5 of them
       // leak into the corpus (id+1000000) and must report rate 1.0
@@ -645,6 +657,32 @@ object SparkEntry {
          SELECT w.doc_id, w.pos, c.n_docs
          FROM wnd w JOIN cnt c USING (s)
          ORDER BY doc_id, pos""",
+    "dd_dup_cut" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 150),
+         corpus AS (SELECT doc_id, text FROM base
+                    UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, text FROM base
+                    WHERE doc_id < 10),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         wnd AS (SELECT doc_id, i - 1 AS pos,
+                        array_to_string(t[i:i+7], ' ') AS s
+                 FROM tk, UNNEST(range(1, len(t) - 6)) AS r(i)),
+         cnt AS (SELECT s FROM wnd
+                 GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+         cuts AS (SELECT w.doc_id,
+                         flatten(list_transform(list(DISTINCT w.pos),
+                           c -> range(c, c + 8))) AS cov
+                  FROM wnd w JOIN cnt c USING (s) GROUP BY w.doc_id),
+         cut AS (SELECT tk.doc_id, t,
+                        list_filter(t, (x, i) ->
+                          NOT list_contains(COALESCE(cov, []), i - 1))
+                          AS kept
+                 FROM tk LEFT JOIN cuts ON tk.doc_id = cuts.doc_id)
+         SELECT doc_id,
+                COALESCE(array_to_string(kept, ' '), '') AS text_clean,
+                len(t) - len(kept) AS n_tokens_removed
+         FROM cut ORDER BY doc_id""",
     "dd_contamination" ->
       """WITH d AS (SELECT doc_id, text FROM documents),
          corpus AS (SELECT doc_id, text FROM d

@@ -107,6 +107,33 @@ object Dedup {
     wnd.join(dup, Seq("sh")).select("id", "pos", "n_docs")
   }
 
+  /** APPLY the [[duplicatedWindows]] cuts: rebuild each doc's text with
+    * every token covered by a cross-document duplicated window removed
+    * (the removal half of Lee et al. 2022). Pure Catalyst: the covered
+    * token-index set is flatten(transform(cuts, c -> [c, c+w))) and the
+    * keep-filter is an indexed `filter` lambda — no UDF, whole-stage
+    * codegen. Returns (id, text_clean, n_tokens_removed); docs without
+    * flagged windows pass through unchanged (n_tokens_removed 0), fully
+    * duplicated docs collapse to "".
+    */
+  def cutDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+                           w: Int, minDocs: Int = 2): DataFrame = {
+    val flagged = duplicatedWindows(df, idCol, textCol, w, minDocs)
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("cuts"))
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol).as("id"), col(textCol).as(textCol))
+      .join(flagged, Seq("id"), "left")
+      .withColumn("cov",
+        coalesce(flatten(transform(col("cuts"),
+            c => sequence(c, c + w - 1))),
+          array().cast("array<int>")))
+      .withColumn("kept",
+        filter(toks, (x, i) => !exists(col("cov"), e => e === i)))
+      .select(col("id"),
+        concat_ws(" ", col("kept")).as("text_clean"),
+        (size(toks) - size(col("kept"))).as("n_tokens_removed"))
+  }
+
   /** Benchmark decontamination report (the GPT-3-appendix shape): per
     * corpus doc, how many of its w-token windows appear anywhere in the
     * benchmark/eval set. Windows join on 64-bit hashes; the benchmark's

@@ -271,6 +271,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cut duplicated windows: copies collapse, clean docs untouched, partial overlap exact") {
+    import spark.implicits._
+    // constructed corpus: doc 1 and 2 share ONLY a 4-token run in the
+    // middle; doc 3 is unique; doc 4 duplicates doc 1 entirely
+    val d1 = "alpha beta SHARED1 SHARED2 SHARED3 SHARED4 gamma delta"
+    val d2 = "uno dos SHARED1 SHARED2 SHARED3 SHARED4 tres quatro cinco"
+    val d3 = "completely unrelated text with several words here"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d1))
+      .toDF("doc_id", "text")
+    val got = Dedup.cutDuplicatedWindows(df, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    // docs 1 and 4 are full copies → every window duplicated → all cut
+    assert(got(1L) == ("", 8) && got(4L) == ("", 8))
+    // doc 3 untouched
+    assert(got(3L) == (d3, 0))
+    // doc 2 shares exactly one 4-token window with doc 1/4 (positions
+    // 2..5) → those four tokens cut, the rest kept in order
+    assert(got(2L) == ("uno dos tres quatro cinco", 4))
+  }
+
   test("contamination report: leaked eval docs rate 1.0, clean corpus ~0") {
     val d = docsDf
     val bench = d.where(col("doc_id") < 20).select("text")
