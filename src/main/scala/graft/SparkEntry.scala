@@ -248,6 +248,18 @@ object SparkEntry {
       graft.ops.Search.hybridTopK(lex, "doc_id", "score",
         vec, "vec_id", "score", k = 20)
     }),
+    "q_redact_pii" -> ((s, dir) => {
+      // PII scrubbing: deterministic injected email/phone/IP per doc must
+      // come out as typed placeholders, with the audit hit count
+      val d = t(s, dir, "documents").withColumn("dirty",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567 at 10.0.0."),
+          pmod(col("doc_id"), lit(256))))
+      d.select(col("doc_id"),
+          TextOps.redactPii(col("dirty")).as("clean"),
+          TextOps.piiHits(col("dirty")).cast("long").as("pii_hits"))
+        .orderBy("doc_id")
+    }),
     "q_corpus_report" -> ((s, dir) =>
       graft.ops.CorpusReport.summarize(t(s, dir, "documents"),
         "doc_id", "text")),
@@ -856,6 +868,27 @@ object SparkEntry {
              ELSE 'en'
            END AS lang_guess
          FROM documents ORDER BY doc_id""",
+    "q_redact_pii" ->
+      """WITH dirty AS (SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@example.com or 555-123-4567 at 10.0.0.'
+                  || (doc_id % 256) AS dirty
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(dirty,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+             '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>',
+             'g') AS clean,
+           len(regexp_split_to_array(dirty,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+           + len(regexp_split_to_array(dirty,
+             '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) - 1
+           + len(regexp_split_to_array(dirty,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) - 1
+             AS pii_hits
+         FROM dirty ORDER BY doc_id""",
     "q_corpus_report" ->
       """SELECT count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS total_chars,

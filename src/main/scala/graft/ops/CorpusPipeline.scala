@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus cleaning: the composition a data pipeline
+  * actually runs over raw text shards, built entirely from the oracled
+  * operators in this package:
+  *
+  *   1. PII scrubbing         (TextOps.redactPii)
+  *   2. quality gate          (TextOps.qualityScore >= minQuality)
+  *   3. language filter       (TextOps.langIdGuess ∈ keepLangs, if set)
+  *   4. exact dedup           (min-id keeper per md5 digest)
+  *   5. near-dup removal      (MinHash-LSH pairs → connected components)
+  *   6. duplicated-window cut (Dedup.cutDuplicatedWindows, optional)
+  *
+  * Returns the cleaned (id, text) table plus a per-stage retention report
+  * — every stage is one or two shuffles, nothing collects the corpus, and
+  * each underlying operator carries its own driver-gate oracle, so the
+  * composition inherits verified semantics.
+  */
+object CorpusPipeline {
+
+  case class Config(
+    minQuality: Double = 0.5,
+    keepLangs: Seq[String] = Seq.empty, // empty = keep all
+    nearDupMinJaccard: Double = 0.9,
+    minhashW: Int = 3, minhashK: Int = 64, minhashBands: Int = 16,
+    cutWindowTokens: Int = 0) // 0 = skip the substring-cut stage
+
+  case class StageCount(stage: String, docs: Long)
+
+  /** Run the pipeline. Returns (cleaned df with columns (idCol, textCol),
+    * per-stage doc counts in execution order).
+    */
+  def clean(df: DataFrame, idCol: String, textCol: String,
+            cfg: Config = Config()): (DataFrame, Seq[StageCount]) = {
+    val counts = Seq.newBuilder[StageCount]
+    def count(stage: String, d: DataFrame): DataFrame = {
+      counts += StageCount(stage, d.count()); d
+    }
+
+    val input = count("input", df.select(col(idCol), col(textCol)))
+
+    val redacted = input.withColumn(textCol,
+      TextOps.redactPii(col(textCol)))
+
+    val quality = count("quality_gate", redacted.where(
+      TextOps.qualityScore(col(textCol)) >= cfg.minQuality))
+
+    val lang = count("lang_filter",
+      if (cfg.keepLangs.isEmpty) quality
+      else quality.where(
+        TextOps.langIdGuess(col(textCol)).isin(cfg.keepLangs: _*)))
+
+    // exact dedup: keep the min-id row per identical text. The digest
+    // groupBy shuffles (digest, id) only; the keeper join is id-equi.
+    val keepers = Dedup.exactDedupKeepers(lang, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    val exact = count("exact_dedup", lang.join(keepers, Seq(idCol)))
+      .localCheckpoint() // near-dup + cut both reuse this stage's result
+
+    val pairs = Dedup.minhashLshPairs(exact, idCol, textCol,
+        cfg.minhashW, cfg.minhashK, cfg.minhashBands)
+      .where(col("est_jaccard") >= cfg.nearDupMinJaccard)
+    val nearDeduped = count("near_dedup",
+      Dedup.removeNearDups(exact, idCol, pairs))
+
+    val out =
+      if (cfg.cutWindowTokens <= 0) nearDeduped
+      else count("window_cut",
+        Dedup.cutDuplicatedWindows(nearDeduped, idCol, textCol,
+            cfg.cutWindowTokens)
+          .select(col("id").as(idCol), col("text_clean").as(textCol)))
+
+    (out, counts.result())
+  }
+}

@@ -88,4 +88,30 @@ object TextOps {
     * (streamlit_app.py:364-374,689,733).
     */
   def preview(text: Column, n: Int): Column = substring(text, 1, n)
+
+  /** PII scrubbing for training corpora: emails, NANP-style phone
+    * numbers, and dotted-quad IPs replaced with typed placeholder tokens.
+    * Patterns use only constructs with identical semantics in Java regex
+    * and RE2 (character classes, bounded repetition — no lookaround, no
+    * \\b) so the DuckDB twin matches byte-for-byte. Pure Catalyst
+    * regexp_replace chain — codegen'd, one pass each.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val Ipv4Pattern =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val p = regexp_replace(e, PhonePattern, "<PHONE>")
+    regexp_replace(p, Ipv4Pattern, "<IP>")
+  }
+
+  /** Count of PII hits (pre-redaction) — the audit metric a pipeline
+    * logs per shard.
+    */
+  def piiHits(text: Column): Column =
+    size(split(text, EmailPattern)) - 1 +
+      (size(split(text, PhonePattern)) - 1) +
+      (size(split(text, Ipv4Pattern)) - 1)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Position, PositionScala}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{CorpusPipeline, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -533,6 +533,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cents2 = Similarity.trainCentroids(df, "vec_id", "embedding", 3, 90, 10)
     assert(cents.zip(cents2).forall { case ((_, a), (_, b)) =>
       a.sameElements(b) })
+  }
+
+  test("pii redaction: email/phone/ip become typed placeholders; hits counted") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at a.user+x@sub.example.org today",
+      "call 555-123-4567 or 555 987 6543 now",
+      "host 192.168.0.1 and 10.0.0.255",
+      "clean text with no pii at all").toDF("t")
+      .select(TextOps.redactPii(col("t")).as("clean"),
+              TextOps.piiHits(col("t")).as("hits"))
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows(0) == ("mail me at <EMAIL> today", 1))
+    assert(rows(1) == ("call <PHONE> or <PHONE> now", 2))
+    assert(rows(2) == ("host <IP> and <IP>", 2))
+    assert(rows(3) == ("clean text with no pii at all", 0))
+  }
+
+  test("corpus pipeline: stage counts monotone, dups gone, output clean") {
+    val base = docsDf.select("doc_id", "text").where(col("doc_id") < 80)
+    val nearDup = base.where(col("doc_id") < 5) // exact copies ≈ near dups
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = base.union(nearDup)
+    val (clean, counts) = CorpusPipeline.clean(corpus, "doc_id", "text",
+      CorpusPipeline.Config(minQuality = 0.5, cutWindowTokens = 8))
+    val byStage = counts.map(c => c.stage -> c.docs).toMap
+    assert(counts.map(_.stage) == Seq("input", "quality_gate",
+      "lang_filter", "exact_dedup", "near_dedup", "window_cut"))
+    // counts never increase stage to stage
+    assert(counts.map(_.docs).sliding(2).forall(p => p(1) <= p(0)))
+    assert(byStage("input") == corpus.count())
+    // the injected copies are exact dups → eliminated by the exact stage
+    assert(clean.where(col("doc_id") >= 1000000L).count() == 0)
+    // no exact duplicate texts survive
+    val out = clean.collect().map(_.getString(1))
+    assert(out.distinct.length == out.length)
   }
 
   test("multimodal decode stage: deterministic, schema intact, frames explode") {
