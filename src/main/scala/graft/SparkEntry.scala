@@ -883,10 +883,17 @@ object SparkEntry {
              'g') AS clean,
            len(regexp_split_to_array(dirty,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
-           + len(regexp_split_to_array(dirty,
-             '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) - 1
-           + len(regexp_split_to_array(dirty,
-             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) - 1
+           + len(regexp_split_to_array(
+               regexp_replace(dirty,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) - 1
+           + len(regexp_split_to_array(
+               regexp_replace(regexp_replace(dirty,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) - 1
              AS pii_hits
          FROM dirty ORDER BY doc_id""",
     "q_corpus_report" ->

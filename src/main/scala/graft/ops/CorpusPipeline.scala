@@ -40,10 +40,14 @@ object CorpusPipeline {
       counts += StageCount(stage, d.count()); d
     }
 
-    val input = count("input", df.select(col(idCol), col(textCol)))
+    val input = df.select(col(idCol), col(textCol))
+    counts += StageCount("input", input.count())
 
+    // materialize the redacted corpus ONCE — every later stage count and
+    // both dedup passes would otherwise re-run the scan + three regex
+    // passes from source
     val redacted = input.withColumn(textCol,
-      TextOps.redactPii(col(textCol)))
+      TextOps.redactPii(col(textCol))).localCheckpoint()
 
     val quality = count("quality_gate", redacted.where(
       TextOps.qualityScore(col(textCol)) >= cfg.minQuality))
@@ -55,23 +59,29 @@ object CorpusPipeline {
 
     // exact dedup: keep the min-id row per identical text. The digest
     // groupBy shuffles (digest, id) only; the keeper join is id-equi.
+    // Checkpoint BEFORE counting so the count and the two downstream
+    // consumers (near-dup pairs + removal anti-join) share one execution.
     val keepers = Dedup.exactDedupKeepers(lang, idCol, textCol)
       .select(col("keeper_id").as(idCol))
-    val exact = count("exact_dedup", lang.join(keepers, Seq(idCol)))
-      .localCheckpoint() // near-dup + cut both reuse this stage's result
+    val exact = count("exact_dedup",
+      lang.join(keepers, Seq(idCol)).localCheckpoint())
 
     val pairs = Dedup.minhashLshPairs(exact, idCol, textCol,
         cfg.minhashW, cfg.minhashK, cfg.minhashBands)
       .where(col("est_jaccard") >= cfg.nearDupMinJaccard)
     val nearDeduped = count("near_dedup",
-      Dedup.removeNearDups(exact, idCol, pairs))
+      Dedup.removeNearDups(exact, idCol, pairs).localCheckpoint())
 
+    // after cutting, drop docs whose remaining text is empty (a fully
+    // duplicated doc collapses to "") — they carry no training signal,
+    // and dropping them makes this stage's retention count meaningful
     val out =
       if (cfg.cutWindowTokens <= 0) nearDeduped
       else count("window_cut",
         Dedup.cutDuplicatedWindows(nearDeduped, idCol, textCol,
             cfg.cutWindowTokens)
-          .select(col("id").as(idCol), col("text_clean").as(textCol)))
+          .select(col("id").as(idCol), col("text_clean").as(textCol))
+          .where(length(col(textCol)) > 0))
 
     (out, counts.result())
   }

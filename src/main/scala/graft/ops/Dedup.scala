@@ -109,29 +109,38 @@ object Dedup {
 
   /** APPLY the [[duplicatedWindows]] cuts: rebuild each doc's text with
     * every token covered by a cross-document duplicated window removed
-    * (the removal half of Lee et al. 2022). Pure Catalyst: the covered
-    * token-index set is flatten(transform(cuts, c -> [c, c+w))) and the
-    * keep-filter is an indexed `filter` lambda — no UDF, whole-stage
-    * codegen. Returns (id, text_clean, n_tokens_removed); docs without
-    * flagged windows pass through unchanged (n_tokens_removed 0), fully
-    * duplicated docs collapse to "".
+    * (the removal half of Lee et al. 2022). Relational formulation that
+    * stays LINEAR in tokens (an earlier in-row lambda was
+    * O(tokens x cuts x w) — quadratic on a heavily duplicated doc):
+    * covered token positions are exploded + distinct'd, kept tokens are a
+    * left_anti join on (id, pos), and the text is rebuilt with a
+    * position-sorted collect_list. Returns (id, text_clean,
+    * n_tokens_removed); docs without flagged windows pass through
+    * unchanged, fully duplicated docs collapse to "".
     */
   def cutDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
                            w: Int, minDocs: Int = 2): DataFrame = {
-    val flagged = duplicatedWindows(df, idCol, textCol, w, minDocs)
-      .groupBy(col("id")).agg(collect_set(col("pos")).as("cuts"))
-    val toks = split(col(textCol), " ")
-    df.select(col(idCol).as("id"), col(textCol).as(textCol))
-      .join(flagged, Seq("id"), "left")
-      .withColumn("cov",
-        coalesce(flatten(transform(col("cuts"),
-            c => sequence(c, c + w - 1))),
-          array().cast("array<int>")))
-      .withColumn("kept",
-        filter(toks, (x, i) => !exists(col("cov"), e => e === i)))
+    val covered = duplicatedWindows(df, idCol, textCol, w, minDocs)
       .select(col("id"),
-        concat_ws(" ", col("kept")).as("text_clean"),
-        (size(toks) - size(col("kept"))).as("n_tokens_removed"))
+        explode(sequence(col("pos"), col("pos") + w - 1)).as("p"))
+      .distinct()
+    val toksPos = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+    val rebuilt = toksPos.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy("id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_tokens_removed"))
   }
 
   /** Benchmark decontamination report (the GPT-3-appendix shape): per

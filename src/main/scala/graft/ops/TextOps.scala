@@ -107,11 +107,18 @@ object TextOps {
     regexp_replace(p, Ipv4Pattern, "<IP>")
   }
 
-  /** Count of PII hits (pre-redaction) — the audit metric a pipeline
-    * logs per shard.
+  /** Count of PII hits — the audit metric a pipeline logs per shard.
+    * Counts on the SEQUENTIALLY redacted intermediates (phone on the
+    * email-redacted text, IP on the phone-redacted text) so the total
+    * equals exactly the number of placeholders [[redactPii]] writes even
+    * when patterns overlap (e.g. a phone number inside an email local
+    * part is one <EMAIL>, not one of each).
     */
-  def piiHits(text: Column): Column =
+  def piiHits(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
     size(split(text, EmailPattern)) - 1 +
-      (size(split(text, PhonePattern)) - 1) +
-      (size(split(text, Ipv4Pattern)) - 1)
+      (size(split(afterEmail, PhonePattern)) - 1) +
+      (size(split(afterPhone, Ipv4Pattern)) - 1)
+  }
 }

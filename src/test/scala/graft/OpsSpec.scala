@@ -281,7 +281,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d1))
       .toDF("doc_id", "text")
     val got = Dedup.cutDuplicatedWindows(df, "doc_id", "text", w = 4)
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2).toInt))
       .toMap
     // docs 1 and 4 are full copies → every window duplicated → all cut
     assert(got(1L) == ("", 8) && got(4L) == ("", 8))
