@@ -567,14 +567,16 @@ object SparkEntry {
     }),
     "sim_ivf_trained" -> ((s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "embeddings")
-      // training is driver-side plain Scala either way; the distributed
-      // piece under test is the ivfAssign argmax scan, re-derived here by
-      // the brute-force plain twin over the same codebook
-      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
-        nCells = 8, sampleN = 200, iters = 3)
-      val vecs = e.select("vec_id", "embedding").collect()
+      // FULLY independent twin: plain-Scala k-means training
+      // (PlainOracles.trainCentroidsPlain) + brute-force assignment — a
+      // bug in the engine's trainCentroids (seeding, empty cells, Lloyd
+      // update) is now driver-visible, not shared with the oracle
+      // (ADVICE r02)
+      val vecs = t(s, dir, "embeddings")
+        .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val cents = PlainOracles.trainCentroidsPlain(vecs, nCells = 8,
+        sampleN = 200, iters = 3)
       PlainOracles.ivfAssignBrute(vecs, cents).toDF("vec_id", "cell_id")
     }),
     "tx_fingerprints" -> ((s, dir) => {
@@ -711,8 +713,8 @@ object SparkEntry {
                       WHERE doc_id < 20) y,
                      UNNEST(range(1, len(t) - 3)) AS r(i))
          SELECT cw.doc_id, count(*) AS n_windows,
-                sum(CASE WHEN bw.s IS NOT NULL THEN 1 ELSE 0 END)
-                  AS n_contaminated,
+                CAST(sum(CASE WHEN bw.s IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_contaminated,
                 round(CAST(sum(CASE WHEN bw.s IS NOT NULL THEN 1 ELSE 0
                                     END) AS DOUBLE)
                       / CAST(count(*) AS DOUBLE), 6) AS rate

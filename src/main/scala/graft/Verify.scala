@@ -23,8 +23,13 @@ object Verify {
       }
     }
     // expected tables from the independent implementations (graft.oracle)
-    // — the ExpectedToken twins in oracleSql read these
-    val expectedDir = new java.io.File(s"$outDir/__expected")
+    // — the ExpectedToken twins in oracleSql read these. SIBLING of outDir
+    // (not inside it): the driver globs outDir subdirectories as query
+    // results, and a nested mixed-schema __expected dataset produced an
+    // ArrowInvalid err row in CORRECTNESS_r02. oracle_sql.json embeds the
+    // absolute path, so the twins keep working unchanged.
+    val expectedDir =
+      new java.io.File(new java.io.File(outDir).getAbsolutePath + "__expected")
     SparkEntry.expected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$expectedDir/$name")

@@ -57,7 +57,8 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(wordShingles(col(textCol), w))).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
-      .localCheckpoint()
+      .persist() // lazy: reused 3x below; eager localCheckpoint was pure
+                 // fixed overhead (an extra materialization job) at sf tiers
     val filtered = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("f"))
         .where(col("f") <= maxShingleFreq).select("sh"), Seq("sh"))
@@ -100,7 +101,7 @@ object Dedup {
     val wnd = df.select(col(idCol).as("id"),
         posexplode(wordShingles(col(textCol), w)))
       .select(col("id"), col("pos"), xxhash64(col("col")).as("sh"))
-      .localCheckpoint() // reused by the frequency agg and the join back
+      .persist() // lazy reuse point for the frequency agg + join back
     val dup = wnd.groupBy("sh")
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
@@ -171,9 +172,19 @@ object Dedup {
 
   /** k-permutation MinHash signature over word shingles, as an array
     * column: sig[j] = min over shingles of xxhash64(shingle, seed_j).
-    * Pure Catalyst (transform + array_min over the shingle array).
+    * Native codegen'd expression ([[graft.functions.MinHashSig]]) — the
+    * composed form below pins its semantics in OpsSpec.
     */
-  def minhashSignature(text: Column, w: Int, k: Int): Column = {
+  def minhashSignature(text: Column, w: Int, k: Int): Column =
+    graft.functions.MinHashSig.minhashSig(text, w, k)
+
+  /** Pure-Catalyst composed formulation (transform + array_min over the
+    * shingle array) — semantic twin of the native expression, kept as
+    * the in-engine reference it is tested against. O(k x shingles)
+    * string re-hashes per row: do not use on a hot path.
+    */
+  private[graft] def minhashSignatureComposed(text: Column, w: Int,
+                                              k: Int): Column = {
     val shingles = wordShingles(text, w)
     val sig = transform(sequence(lit(0), lit(k - 1)), j =>
       array_min(transform(shingles, s => xxhash64(s, j))))
@@ -197,13 +208,15 @@ object Dedup {
     val sigDf = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), w, k).as("sig"))
       .where(col("sig").isNotNull)
-      .localCheckpoint() // signatures computed once: band join + 2 attaches
+      .persist() // signatures computed once: band join + 2 attaches
+                 // (lazy — r02's eager localCheckpoint added a fixed
+                 // extra pass the regression watch flagged)
     val banded = sigDf.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      .localCheckpoint() // both sides of the self-join reuse it
+      .persist() // both sides of the self-join reuse it (lazy)
     val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -281,7 +294,7 @@ object Dedup {
     val banded = fp.select(col("id"), col("fp"),
       posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      .localCheckpoint() // both sides of the self-join reuse it
+      .persist() // both sides of the self-join reuse it (lazy)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -330,7 +343,7 @@ object Dedup {
     val sketch = Similarity.hyperplaneSketch(col(vecCol), nPlanes)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
                       sketch.as("bucket"))
-      .localCheckpoint() // sketch computed once, not once per join side
+      .persist() // sketch computed once, not once per join side (lazy)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -355,7 +368,7 @@ object Dedup {
     val sketch = Similarity.hyperplaneSketch(col(vecCol), nPlanes)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
                       sketch.as("bucket"))
-      .localCheckpoint() // sketch computed once, reused by both join sides
+      .persist() // sketch computed once, reused by both join sides (lazy)
     val probes = b.select(col("id"), col("v"),
       explode(transform(sequence(lit(0), lit(nPlanes)), p =>
         when(p === 0, col("bucket"))

@@ -199,6 +199,72 @@ object PlainOracles {
   /** Brute-force twin of [[graft.ops.Similarity.ivfAssign]]: per vector,
     * the max-cosine centroid, first (lowest cell_id) on exact ties.
     */
+  /** Plain twin of [[graft.ops.Similarity.trainCentroids]] (ADVICE r02:
+    * the expected table previously called the engine's own training code,
+    * so a k-means bug was invisible to the driver gate). Re-derives the
+    * whole codebook — seeded sample (sampleN smallest by
+    * (xxhash64(id), id)), farthest-point init by full recompute (the
+    * engine tracks nearest-seed similarity incrementally), Lloyd rounds
+    * with first-max cosine assignment / mean updates / empty-cell
+    * carry-over. Double arithmetic mirrors the engine op-for-op (sum
+    * order = sample order) so expected parquet is bit-identical.
+    */
+  def trainCentroidsPlain(vecs: Seq[(Long, Array[Float])], nCells: Int,
+                          sampleN: Int, iters: Int)
+      : Array[(Long, Array[Float])] = {
+    val sample = vecs
+      .sortBy { case (id, _) => (XXH64.hashLong(id, Seed), id) }
+      .take(sampleN).map(_._2).toArray
+    require(sample.nonEmpty, "trainCentroidsPlain: empty input")
+    val dim = sample.head.length
+    def cos(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) -2.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = math.min(nCells, sample.length)
+    val seeds = mutable.ArrayBuffer(0)
+    while (seeds.length < k) {
+      val next = sample.indices
+        .filterNot(seeds.contains)
+        .map { i =>
+          val nearest = seeds.map(s =>
+            cos(sample(s).map(_.toDouble), sample(i))).max
+          (i, nearest)
+        }
+        .minBy { case (i, nearest) => (nearest, i) }._1
+      seeds += next
+    }
+    var cents = seeds.toArray.map(i => sample(i).map(_.toDouble))
+    (0 until iters).foreach { _ =>
+      val bestOf = sample.map { v =>
+        var best = 0; var bestSim = -3.0
+        var c = 0
+        while (c < cents.length) {
+          val s = cos(cents(c), v)
+          if (s > bestSim) { bestSim = s; best = c } // first max wins
+          c += 1
+        }
+        best
+      }
+      cents = cents.indices.toArray.map { c =>
+        val members = sample.indices.filter(bestOf(_) == c)
+        if (members.isEmpty) cents(c)
+        else {
+          val sums = new Array[Double](dim)
+          members.foreach { m =>
+            var i = 0
+            while (i < dim) { sums(i) += sample(m)(i); i += 1 }
+          }
+          sums.map(_ / members.length)
+        }
+      }
+    }
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
+  }
+
   def ivfAssignBrute(vecs: Seq[(Long, Array[Float])],
                      centroids: Array[(Long, Array[Float])])
       : Seq[(Long, Long)] = {

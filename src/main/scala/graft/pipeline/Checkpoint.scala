@@ -27,7 +27,7 @@ object Checkpoint {
     * credentials/endpoints reach object-store connectors), else a fresh
     * default — the manifest must work from plain driver code too.
     */
-  private[pipeline] def hadoopConf(): Configuration =
+  private[graft] def hadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)

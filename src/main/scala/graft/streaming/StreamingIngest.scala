@@ -65,10 +65,16 @@ object StreamingIngest {
     */
   def readOutput(spark: SparkSession, outDir: String) = {
     import spark.implicits._
-    val batches = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getAbsolutePath)
+    // Hadoop FileSystem, not java.io.File: the batch listing must work on
+    // hdfs:// / object-store outDirs like the Checkpoint manifest and
+    // ExtractJob.listRuns it composes with (ADVICE r02)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(graft.pipeline.Checkpoint.hadoopConf())
+    val batches =
+      if (!fs.isDirectory(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString)
     val dirs = for {
       b <- batches.toSeq
       g <- graft.pipeline.Checkpoint.committedGroups(b).toSeq.sorted

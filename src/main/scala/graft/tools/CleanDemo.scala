@@ -35,10 +35,16 @@ object CleanDemo {
       stages.map(s => s"${s.stage}=${s.docs}").mkString(" → ") +
       f" → final=$outN in $sec%.1f s @ local[32] |"
     println("[clean-demo] " + line)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH.md"), "\n" + line + "\n",
+    // resolve BENCH.md like Bench.scala: cwd first, /root/repo fallback —
+    // a hardcoded path threw from other checkouts (ADVICE r02)
+    val benchMd =
+      if (new java.io.File("BENCH.md").exists()) "BENCH.md"
+      else "/root/repo/BENCH.md"
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(benchMd), "\n" + line + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: java.io.IOException => () } // demo result already printed
     spark.stop()
   }
 }

@@ -219,6 +219,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.sameElements(b))
   }
 
+  test("native MinHashSig expression == composed formulation (and codegen'd)") {
+    val d = docsDf.select("doc_id", "text").limit(200)
+    def sigs(c: org.apache.spark.sql.Column): Array[Seq[Long]] =
+      d.select(c.as("s")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    for ((w, k) <- Seq((3, 64), (5, 16), (1, 8))) {
+      val a = sigs(Dedup.minhashSignature(col("text"), w, k))
+      val b = sigs(Dedup.minhashSignatureComposed(col("text"), w, k))
+      assert(a.length == b.length)
+      assert(a.zip(b).forall { case (x, y) =>
+        (x == null && y == null) || x == y }, s"mismatch at w=$w k=$k")
+    }
+    // edge cases: empty, all-spaces (empty tokens), fewer tokens than w
+    // (null), multi-byte UTF-8, leading/trailing/double spaces
+    import spark.implicits._
+    val edge = Seq("", " ", "  ", "a", "a b", "a  b", " a b ",
+      "naïve 中文 emoji🙂 x", "a b c d e").toDF("text")
+    def esigs(c: org.apache.spark.sql.Column): Array[Seq[Long]] =
+      edge.select(c.as("s")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    for ((w, k) <- Seq((3, 8), (1, 4), (2, 4))) {
+      val a = esigs(Dedup.minhashSignature(col("text"), w, k))
+      val b = esigs(Dedup.minhashSignatureComposed(col("text"), w, k))
+      assert(a.zip(b).forall { case (x, y) =>
+        (x == null && y == null) || x == y }, s"edge mismatch at w=$w k=$k")
+    }
+    // stays inside whole-stage codegen
+    val plan = d.select(Dedup.minhashSignature(col("text"), 3, 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
   test("simhash is deterministic and self-distance 0") {
     val d = docsDf.select("text").limit(20)
     val a = d.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
@@ -533,6 +565,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cents2 = Similarity.trainCentroids(df, "vec_id", "embedding", 3, 90, 10)
     assert(cents.zip(cents2).forall { case ((_, a), (_, b)) =>
       a.sameElements(b) })
+    // dual-impl parity: the plain-Scala twin (seeded hash-sample,
+    // farthest-point init, Lloyd rounds) must reproduce the engine
+    // codebook BIT-identically — sampleN < n exercises the sample path
+    for (sampleN <- Seq(90, 40); iters <- Seq(1, 4)) {
+      val eng = Similarity.trainCentroids(df, "vec_id", "embedding",
+        nCells = 3, sampleN = sampleN, iters = iters)
+      val plain = graft.oracle.PlainOracles.trainCentroidsPlain(
+        rows, nCells = 3, sampleN = sampleN, iters = iters)
+      assert(eng.length == plain.length)
+      assert(eng.zip(plain).forall { case ((ia, va), (ib, vb)) =>
+        ia == ib && va.sameElements(vb) },
+        s"codebook mismatch at sampleN=$sampleN iters=$iters")
+    }
   }
 
   test("pii redaction: email/phone/ip become typed placeholders; hits counted") {

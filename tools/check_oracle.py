@@ -34,6 +34,18 @@ def main(sf_dir, out_dir):
         try:
             want = con.sql(sql).df()
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # dtype-strict: the driver's value hash distinguishes 3.0 from 3
+            # (DuckDB HUGEINT -> pandas float64 vs Spark int64 broke
+            # dd_contamination in r02 while %.9g normalization masked it
+            # here). Compare pandas dtype *kinds* per column so a numeric
+            # class mismatch fails locally exactly like it fails upstream.
+            kw = {c: want[c].dtype.kind for c in want.columns}
+            kg = {c: got[c].dtype.kind for c in got.columns}
+            if sorted(kw) == sorted(kg) and any(kw[c] != kg[c] for c in kw):
+                bad = {c: (kw[c], kg[c]) for c in kw if kw[c] != kg[c]}
+                print(f"FAIL {name}: dtype-kind mismatch (oracle, spark): {bad}")
+                fail += 1
+                continue
             cw, cg = canon(want), canon(got)
             if len(cw) != len(cg):
                 print(f"FAIL {name}: rows want={len(cw)} got={len(cg)}")
