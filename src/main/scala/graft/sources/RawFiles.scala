@@ -67,8 +67,17 @@ object RawFiles {
       .select(col("path"), kindOf(TextExt).as("kind"), col("content"))
       .where(col("kind").isNotNull)
       .map { r =>
-        val payload = new String(r.getAs[Array[Byte]]("content"),
-          java.nio.charset.StandardCharsets.UTF_8)
+        val bytes = r.getAs[Array[Byte]]("content")
+        // a GENUINE .pdf (binary, %PDF- magic) goes through the byte-level
+        // RealPdf front end and re-enters the engine as the canonical
+        // PG/TX interchange payload — one extraction path (and oracle)
+        // downstream of both front ends. Non-magic "pdf" payloads are the
+        // synthetic content-stream format, decoded as UTF-8 like before.
+        val payload =
+          if (r.getString(1) == "pdf" && graft.extract.RealPdf.isPdf(bytes))
+            graft.extract.RealPdf.toContentStream(
+              graft.extract.RealPdf.parse(bytes, firstPage = 1))
+          else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         InputDoc(relativize(r.getString(0), root),
           Vector(Span(r.getString(1), payload, null, 0)))
       }

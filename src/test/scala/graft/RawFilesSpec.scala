@@ -54,6 +54,28 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
            want.outSpans.map(o => (o.kind, o.text, o.order)))
   }
 
+  test("a directory of GENUINE .pdf files produces positioned spans end-to-end") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-realpdf")
+    val fixture = Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_real.pdf").toURI))
+    Files.write(dir.resolve("real.pdf"), fixture)
+
+    val docs = RawFiles.read(spark, dir.toString).collect()
+    assert(docs.length == 1 && docs.head.doc_id == "real.pdf")
+    val extracted = Extractor.extract(docs.head)
+    val texts = extracted.outSpans.map(_.text)
+    assert(texts.exists(_.contains("Hello, world!")),
+      s"expected fixture text in: $texts")
+    assert(texts.exists(_.contains("Second page line one")))
+    // positions survive: spans carry real page geometry from the PDF
+    val chunks = extracted.chunks
+    assert(chunks.exists(c => c.page == 2 && c.page_width == 300.0 &&
+      c.page_height == 400.0),
+      s"expected page-2 geometry in: ${chunks.map(c =>
+        (c.page, c.page_width, c.page_height))}")
+  }
+
   test("spans-table JSON + flat-CSV staging roundtrip to the parquet shape") {
     import spark.implicits._
     val docs = CorpusGen.corpus(42L, 30).filter(_.spans.nonEmpty)

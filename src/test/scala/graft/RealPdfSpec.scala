@@ -1,0 +1,114 @@
+package graft
+
+import graft.extract.{PdfTokenizer, RealPdf}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Byte-level genuine-PDF front end: the committed fixture
+  * (src/test/resources/fixture_real.pdf — 2 pages, uncompressed + Flate
+  * content; Td, TD, Tm, TL, T-star, Tj, TJ, quote, escapes, hex,
+  * UTF-16BE) must extract the expected text at the expected positions,
+  * and the PG/TX serialization
+  * must round-trip through PdfTokenizer exactly.
+  */
+class RealPdfSpec extends AnyFunSuite {
+
+  private lazy val fixture: Array[Byte] =
+    Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_real.pdf").toURI))
+
+  test("magic detection") {
+    assert(RealPdf.isPdf(fixture))
+    assert(!RealPdf.isPdf("PG 612 792\nTX 1 2 3 4 x".getBytes))
+    assert(!RealPdf.isPdf(Array.emptyByteArray))
+    assert(!RealPdf.isPdf("%PDF".getBytes)) // truncated magic
+  }
+
+  test("fixture: pages, dims, text, and positions") {
+    val pages = RealPdf.parse(fixture, firstPage = 1)
+    assert(pages.length == 2)
+
+    val p1 = pages(0)
+    assert(p1.page == 1)
+    assert((p1.width, p1.height) == (612.0, 792.0)) // inherited MediaBox
+    assert(p1.runs.map(_.text).toList == List(
+      "Hello, world!",
+      "Kerned", " pair",
+      "Escapes: (paren) \\ octal A", // \( \) \\ and octal \101 = 'A'
+      "Hi"))                         // UTF-16BE hex string with BOM
+    // run 1: 12pt at (72, 720), 13 glyphs x 6pt estimated advance
+    val r1 = p1.runs(0)
+    assert((r1.x0, r1.y0, r1.x1, r1.y1) == (72.0, 720.0, 150.0, 732.0))
+    // TJ kerning: -120/1000 * 10pt = +1.2pt gap between the two pieces
+    val (k1, k2) = (p1.runs(1), p1.runs(2))
+    assert(k1.x0 == 72.0 && k1.x1 == 102.0)
+    assert(math.abs(k2.x0 - 103.2) < 1e-9)
+    assert(k1.y0 == 700.0 && k2.y0 == 700.0)
+    // Tm scale 14: origin exact, height = fontSize * |d-column|
+    val tm = p1.runs(3)
+    assert(tm.x0 == 72.0 && tm.y0 == 680.0)
+    assert(tm.y1 - tm.y0 == 12.0 * 14.0)
+    // UTF-16BE advance counts glyphs, not bytes: 2 chars * 5.5pt
+    val hi = p1.runs(4)
+    assert(hi.x1 - hi.x0 == 11.0)
+
+    val p2 = pages(1)
+    assert(p2.page == 2) // document-global counter continues
+    assert((p2.width, p2.height) == (300.0, 400.0)) // own MediaBox
+    assert(p2.runs.map(_.text).toList == List(
+      "Second page line one", "line two via quote"))
+    val (s1, s2) = (p2.runs(0), p2.runs(1))
+    assert(s1.x0 == 20.0 && s1.y0 == 380.0)
+    assert(s2.x0 == 20.0 && s2.y0 == 368.0) // ' applied TL 12 leading
+  }
+
+  test("firstPage offsets the document-global page counter") {
+    val pages = RealPdf.parse(fixture, firstPage = 7)
+    assert(pages.map(_.page) == Vector(7, 8))
+  }
+
+  test("PG/TX serialization round-trips through PdfTokenizer exactly") {
+    val pages = RealPdf.parse(fixture, firstPage = 3)
+    val payload = RealPdf.toContentStream(pages)
+    val back = PdfTokenizer.tokenize(payload, firstPage = 3)
+    assert(back.length == pages.length)
+    pages.zip(back).foreach { case (a, b) =>
+      assert(a.page == b.page)
+      assert(a.width == b.width && a.height == b.height)
+      assert(a.runs.toList == b.runs.toList)
+    }
+  }
+
+  test("malformed inputs never throw: garbage, truncation, bad stream") {
+    assert(RealPdf.parse(Array.emptyByteArray, 1) == Vector.empty)
+    assert(RealPdf.parse("%PDF-1.4\njunk and nothing else".getBytes, 1)
+      == Vector.empty)
+    // truncated mid-object: parse what scans, never throw
+    for (cut <- Seq(20, 100, 300, 700, fixture.length - 30))
+      RealPdf.parse(fixture.take(cut), 1) // must not throw
+    // a page whose content stream is corrupt Flate ⇒ page kept, no runs
+    val idx = fixture.indexOfSlice("FlateDecode".getBytes)
+    val broken = fixture.clone()
+    val streamAt = fixture.indexOfSlice("stream".getBytes, idx)
+    for (i <- streamAt + 8 until math.min(streamAt + 24, broken.length))
+      broken(i) = 0x00
+    val pages = RealPdf.parse(broken, 1)
+    assert(pages.length == 2)
+    assert(pages(1).runs.isEmpty)
+    assert(pages(0).runs.nonEmpty) // page 1 unaffected
+  }
+
+  test("fallback page order without a catalog (document-order /Type/Page)") {
+    // strip the catalog object so the tree walk fails
+    val s = new String(fixture,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val noCat = s.replace("/Type /Catalog", "/Type /NotACat")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val pages = RealPdf.parse(noCat, 1)
+    assert(pages.length == 2)
+    // inheritance is lost without the tree: page 1 falls to the default
+    assert((pages(0).width, pages(0).height) == (612.0, 792.0))
+    assert((pages(1).width, pages(1).height) == (300.0, 400.0))
+    assert(pages(0).runs.map(_.text).contains("Hello, world!"))
+  }
+}
