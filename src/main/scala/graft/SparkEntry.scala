@@ -219,6 +219,36 @@ object SparkEntry {
             Seq(".pdf", ".html", ".txt")).as("verdict"))
         .orderBy("doc_id")
     }),
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // Q9 CSV export, driver-visible: export a typed projection through
+      // Serving.exportCsv and read it back with an explicit schema — the
+      // oracle compares against the source rows, so the roundtrip must be
+      // LOSSLESS (quoting, header, long/double/string formatting).
+      val src = t(s, dir, "orders").where(col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-csv-roundtrip").toString
+      graft.ops.Serving.exportCsv(src, tmp)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, " +
+                "o_totalprice DOUBLE, o_orderpriority STRING")
+        .csv(tmp)
+    }),
+    "q_upload" -> ((s, dir) => {
+      // Q10 upload put, driver-visible: two group puts + an idempotent
+      // re-put of the second group through the TableIO seam; the read
+      // back must equal the source exactly (replace, not duplicate —
+      // the P12/Q10 append-sink contract).
+      val src = t(s, dir, "region")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-upload").toString
+      val io = graft.sources.HadoopTableIO(tmp)
+      io.overwriteGroup(src.where(col("r_regionkey") < 3), 0)
+      io.overwriteGroup(src.where(col("r_regionkey") >= 3), 1)
+      io.overwriteGroup(src.where(col("r_regionkey") >= 3), 1) // re-put
+      io.read(s).drop("group")
+    }),
     "q_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = broadcast(e.where(col("vec_id") === 0)
@@ -467,6 +497,23 @@ object SparkEntry {
       Similarity.ivfAssign(e, "vec_id", "embedding", cents)
         .select("vec_id", "cell_id").orderBy("vec_id")
     }),
+    "sim_text_embed" -> ((s, dir) => {
+      // raw text → deterministic hash-projection embedding → cosine
+      // top-k, end to end: the embedding-generation analog (VERDICT r02
+      // missing #2). Query vector = doc 42's own embedding, so its top-1
+      // must be itself at score 1.0 — a semantic sanity the oracle pins.
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+      val emb = docs.select(col("doc_id"),
+          Similarity.embedText(col("text"), 64).as("embedding"))
+        .where(col("embedding").isNotNull)
+      val qText = docs.where(col("doc_id") === 42L)
+        .select("text").head().getString(0)
+      val q = graft.functions.TextEmbed.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(qText), 64)
+        .toFloatArray()
+      Similarity.bruteForceTopK(emb, "doc_id", "embedding", q, 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
     "tx_fingerprints" -> ((s, dir) =>
       // rolling-hash + xxhash64 content fingerprints; oracle = the
       // expected table from the plain reference loop (PlainOracles)
@@ -579,6 +626,20 @@ object SparkEntry {
         sampleN = 200, iters = 3)
       PlainOracles.ivfAssignBrute(vecs, cents).toDF("vec_id", "cell_id")
     }),
+    "sim_text_embed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = collectDocs(s, dir, 500)
+      val qText = docs.find(_._1 == 42L).get._2
+      val q = PlainOracles.textEmbed(qText, 64).get
+      docs.flatMap { case (id, tx) =>
+          PlainOracles.textEmbed(tx, 64)
+            .map(v => (id, PlainOracles.cosineDD(v, q)))
+        }
+        .sortBy { case (id, sc) => (-sc, id) } // raw scores, round after
+        .take(20)
+        .map { case (id, sc) => (id, PlainOracles.round6(sc)) }
+        .toDF("doc_id", "score")
+    }),
     "tx_fingerprints" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select("doc_id", "text").collect()
@@ -646,6 +707,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/dd_embedding_neardup/*.parquet'",
     "sim_ivf_trained" ->
       s"SELECT * FROM '$ExpectedToken/sim_ivf_trained/*.parquet'",
+    "sim_text_embed" ->
+      s"SELECT * FROM '$ExpectedToken/sim_text_embed/*.parquet'",
     "tx_fingerprints" ->
       s"SELECT * FROM '$ExpectedToken/tx_fingerprints/*.parquet'",
     "mm_decode" ->
@@ -1023,6 +1086,11 @@ object SparkEntry {
              ELSE 'ok'
            END AS verdict
          FROM documents ORDER BY doc_id""",
+    "q_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey < 2000""",
+    "q_upload" ->
+      "SELECT r_regionkey, r_name FROM region",
     "q_bm25_topk" ->
       """WITH td AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
                      FROM documents),

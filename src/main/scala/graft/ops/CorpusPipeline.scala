@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *   3. language filter       (TextOps.langIdGuess ∈ keepLangs, if set)
   *   4. exact dedup           (min-id keeper per md5 digest)
   *   5. near-dup removal      (MinHash-LSH pairs → connected components)
-  *   6. duplicated-window cut (Dedup.cutDuplicatedWindows, optional)
+  *   6. benchmark decontamination (Dedup.contaminationReport ≥ threshold
+  *                             → drop; the GPT-3-appendix step — optional,
+  *                             runs when an eval set is supplied)
+  *   7. duplicated-window cut (Dedup.cutDuplicatedWindows, optional)
   *
   * Returns the cleaned (id, text) table plus a per-stage retention report
   * — every stage is one or two shuffles, nothing collects the corpus, and
@@ -26,15 +29,21 @@ object CorpusPipeline {
     keepLangs: Seq[String] = Seq.empty, // empty = keep all
     nearDupMinJaccard: Double = 0.9,
     minhashW: Int = 3, minhashK: Int = 64, minhashBands: Int = 16,
-    cutWindowTokens: Int = 0) // 0 = skip the substring-cut stage
+    cutWindowTokens: Int = 0, // 0 = skip the substring-cut stage
+    contaminationW: Int = 13, // GPT-3's 13-gram collision window
+    maxContamination: Double = 0.0) // drop when rate > this (0 = any hit)
 
   case class StageCount(stage: String, docs: Long)
 
   /** Run the pipeline. Returns (cleaned df with columns (idCol, textCol),
-    * per-stage doc counts in execution order).
+    * per-stage doc counts in execution order). `evalSet` supplies the
+    * held-out benchmark texts (one column named `textCol`) for the
+    * decontamination stage; None skips it.
     */
   def clean(df: DataFrame, idCol: String, textCol: String,
-            cfg: Config = Config()): (DataFrame, Seq[StageCount]) = {
+            cfg: Config = Config(),
+            evalSet: Option[DataFrame] = None)
+      : (DataFrame, Seq[StageCount]) = {
     val counts = Seq.newBuilder[StageCount]
     def count(stage: String, d: DataFrame): DataFrame = {
       counts += StageCount(stage, d.count()); d
@@ -72,13 +81,29 @@ object CorpusPipeline {
     val nearDeduped = count("near_dedup",
       Dedup.removeNearDups(exact, idCol, pairs).localCheckpoint())
 
+    // decontamination AFTER dedup: the window explode runs on the
+    // smallest corpus, and the eval windows stay a broadcast-scale
+    // distinct hash set (Dedup.contaminationReport). Docs with fewer
+    // than w tokens have no windows — absent from the report, kept.
+    val decontaminated = evalSet match {
+      case None => nearDeduped
+      case Some(bench) =>
+        val leaked = Dedup.contaminationReport(nearDeduped, idCol, textCol,
+            bench, textCol, cfg.contaminationW)
+          .where(col("rate") > cfg.maxContamination)
+          .select(col("id").as(idCol))
+        count("decontaminate",
+          nearDeduped.join(leaked, Seq(idCol), "left_anti")
+            .localCheckpoint())
+    }
+
     // after cutting, drop docs whose remaining text is empty (a fully
     // duplicated doc collapses to "") — they carry no training signal,
     // and dropping them makes this stage's retention count meaningful
     val out =
-      if (cfg.cutWindowTokens <= 0) nearDeduped
+      if (cfg.cutWindowTokens <= 0) decontaminated
       else count("window_cut",
-        Dedup.cutDuplicatedWindows(nearDeduped, idCol, textCol,
+        Dedup.cutDuplicatedWindows(decontaminated, idCol, textCol,
             cfg.cutWindowTokens)
           .select(col("id").as(idCol), col("text_clean").as(textCol))
           .where(length(col(textCol)) > 0))

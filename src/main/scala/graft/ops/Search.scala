@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical (BM25) and hybrid lexical+vector retrieval — the public-
@@ -68,15 +67,31 @@ object Search {
       .select(col(idCol), round(col("score"), 6).as("score"))
 
   /** 1-based dense candidate ranks for the top `m` of `scored` by
-    * (scoreCol desc, idCol asc). Global window over m rows only — the
-    * candidate head, not the corpus.
+    * (scoreCol desc, idCol asc). The head is a TakeOrderedAndProject of
+    * ≤ m rows by construction, so it is ranked DRIVER-side (like the IVF
+    * codebook collects) — the previous global-Window formulation was
+    * equally bounded but spammed every log with single-partition
+    * WindowExec warnings, burying real regressions (VERDICT r02 #7).
     */
   private def topRanks(scored: DataFrame, idCol: String, scoreCol: String,
-                       m: Int): DataFrame =
-    scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(m)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
-      .select(col(idCol).as("id"), col("rank"))
+                       m: Int): DataFrame = {
+    val spark = scored.sparkSession
+    val idType = scored.schema(idCol).dataType
+    val head = scored
+      .orderBy(col(scoreCol).desc, col(idCol).asc).limit(m)
+      .select(col(idCol)).collect() // ≤ m (default 100) rows — bounded
+    val rows: Seq[org.apache.spark.sql.Row] =
+      head.toSeq.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i + 1)
+      }
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
 
   /** Reciprocal-rank fusion of two scored candidate lists:
     * rrf(d) = Σ_side 1/(kRrf + rank_side(d)) over the sides' top-m heads

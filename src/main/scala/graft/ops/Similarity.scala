@@ -30,6 +30,16 @@ object Similarity {
       }),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
 
+  /** Deterministic text→vector embedder (feature-hashing projection,
+    * [[graft.functions.TextEmbed]]): search and embedding-dedup compose
+    * from raw text without a precomputed vectors table — the public
+    * analog of the reference's managed EMBED step (setup.sql:187). One
+    * codegen'd pass per row; swap in model vectors through the same
+    * array<float> contract at deployment.
+    */
+  def embedText(text: Column, dim: Int): Column =
+    graft.functions.TextEmbed.embed(text, dim)
+
   /** Exact brute-force cosine top-k for a single query vector: broadcast
     * the query as a literal array, one codegen'd scan, TakeOrderedAndProject
     * for the top-k (no full sort, no shuffle of vectors).

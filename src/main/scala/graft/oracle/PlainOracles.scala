@@ -199,6 +199,31 @@ object PlainOracles {
   /** Brute-force twin of [[graft.ops.Similarity.ivfAssign]]: per vector,
     * the max-cosine centroid, first (lowest cell_id) on exact ties.
     */
+  /** Plain twin of [[graft.functions.TextEmbed]]: L2-normalized
+    * feature-hashing projection — empty tokens skipped, bucket =
+    * ((h mod dim) + dim) mod dim, vote = sign of h, double accumulation,
+    * float32 result; None when no non-empty tokens or all-zero.
+    */
+  def textEmbed(text: String, dim: Int): Option[Array[Float]] = {
+    val acc = new Array[Double](dim)
+    var any = false
+    tokens(text).foreach { t =>
+      if (t.nonEmpty) {
+        val h = xxh64(t)
+        val bucket = (((h % dim) + dim) % dim).toInt
+        acc(bucket) += (if (h < 0) -1.0 else 1.0)
+        any = true
+      }
+    }
+    if (!any) return None
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { ss += acc(i) * acc(i); i += 1 }
+    if (ss == 0.0) return None
+    val inv = 1.0 / math.sqrt(ss)
+    Some(Array.tabulate(dim)(i => (acc(i) * inv).toFloat))
+  }
+
   /** Plain twin of [[graft.ops.Similarity.trainCentroids]] (ADVICE r02:
     * the expected table previously called the engine's own training code,
     * so a k-means bug was invisible to the driver gate). Re-derives the

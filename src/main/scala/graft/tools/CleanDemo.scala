@@ -25,9 +25,15 @@ object CleanDemo {
       .withColumn("doc_id", col("doc_id") + 10000000L)
     val corpus = docs.union(dups)
 
+    // deterministic "held-out eval set": every 101st doc's text — those
+    // corpus docs leak all their windows and must fall in decontamination
+    val evalSet = docs.where(col("doc_id") % 101 === 0).select("text")
+
     val t0 = System.nanoTime()
     val (cleaned, stages) = CorpusPipeline.clean(corpus, "doc_id", "text",
-      CorpusPipeline.Config(minQuality = 0.5, cutWindowTokens = 8))
+      CorpusPipeline.Config(minQuality = 0.5, cutWindowTokens = 8,
+        contaminationW = 8),
+      evalSet = Some(evalSet))
     val outN = cleaned.count()
     val sec = (System.nanoTime() - t0) / 1e9
 

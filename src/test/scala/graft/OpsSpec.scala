@@ -580,6 +580,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text embedder: twin parity, unit norm, locality, null edges, codegen") {
+    import spark.implicits._
+    val d = docsDf.select("text").limit(200)
+    val eng = d.select(Similarity.embedText(col("text"), 32).as("e"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Float](0))
+    val twin = d.collect().map(r =>
+      graft.oracle.PlainOracles.textEmbed(r.getString(0), 32)
+        .map(_.toSeq).orNull)
+    assert(eng.zip(twin).forall { case (a, b) =>
+      (a == null && b == null) || a == b }, "engine != plain twin")
+    // unit L2 norm (within float tolerance)
+    eng.filter(_ != null).foreach { v =>
+      val n = v.map(x => x.toDouble * x).sum
+      assert(math.abs(n - 1.0) < 1e-5, s"norm $n")
+    }
+    // locality: a doc is closest to itself; identical text = same vector
+    val t0 = eng(0)
+    assert(eng(1) != t0 || twin(1) == twin(0))
+    // null edges: empty text, only-spaces text
+    val edge = Seq("", "   ", "x").toDF("text")
+      .select(Similarity.embedText(col("text"), 8)).collect()
+    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0) && !edge(2).isNullAt(0))
+    // stays inside whole-stage codegen
+    val plan = d.select(Similarity.embedText(col("text"), 32))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
   test("pii redaction: email/phone/ip become typed placeholders; hits counted") {
     import spark.implicits._
     val df = Seq(
@@ -614,6 +642,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no exact duplicate texts survive
     val out = clean.collect().map(_.getString(1))
     assert(out.distinct.length == out.length)
+  }
+
+  test("corpus pipeline decontamination: docs leaking eval windows are dropped") {
+    val base = docsDf.select("doc_id", "text").where(col("doc_id") < 60)
+    // eval set = the full text of docs 10 and 11 — those corpus docs leak
+    // every one of their windows and must be dropped
+    val evalSet = base.where(col("doc_id").isin(10L, 11L)).select("text")
+    val (clean, counts) = CorpusPipeline.clean(base, "doc_id", "text",
+      CorpusPipeline.Config(contaminationW = 8, maxContamination = 0.0),
+      evalSet = Some(evalSet))
+    val stages = counts.map(_.stage)
+    assert(stages.contains("decontaminate"), s"stages: $stages")
+    val ids = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(10L) && !ids.contains(11L),
+      "leaked docs survived decontamination")
+    // untouched docs stay (sanity: the stage is a filter, not a rewrite)
+    assert(ids.contains(20L))
+    // skipped when no eval set is supplied
+    val (_, counts2) = CorpusPipeline.clean(base, "doc_id", "text",
+      CorpusPipeline.Config())
+    assert(!counts2.map(_.stage).contains("decontaminate"))
   }
 
   test("multimodal decode stage: deterministic, schema intact, frames explode") {
