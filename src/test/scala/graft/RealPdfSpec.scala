@@ -98,6 +98,53 @@ class RealPdfSpec extends AnyFunSuite {
     assert(pages(0).runs.nonEmpty) // page 1 unaffected
   }
 
+  test("modern layout: catalog/page dicts inside a Flate /ObjStm") {
+    val bytes = Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_objstm.pdf").toURI))
+    val pages = RealPdf.parse(bytes, 1)
+    assert(pages.length == 1)
+    assert((pages(0).width, pages(0).height) == (500.0, 600.0))
+    assert(pages(0).runs.map(_.text).toList ==
+      List("Modern layout via ObjStm"))
+    assert(pages(0).runs.head.x0 == 40.0 && pages(0).runs.head.y0 == 560.0)
+  }
+
+  test("serialization round-trip property: 200 random page sets survive exactly") {
+    // deterministic pseudo-random generator (no external RNG): page dims
+    // positive, runs ordered bboxes, texts non-empty incl. specials the
+    // escape layer must carry (backslash, newline, spaces, unicode)
+    var seed = 0x9e3779b97f4a7c15L
+    def next(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    val alphabets = Vector("word", "a b", "x\\y", "line\nbreak", "中文",
+      "t  t", "\\n", "(p)", " lead", "trail ")
+    (0 until 200).foreach { _ =>
+      val pages = (0 until 1 + next(4)).map { pi =>
+        val runs = new scala.collection.mutable.ArrayBuffer[graft.core.Run]
+        (0 until next(6)).foreach { _ =>
+          val x0 = next(600).toDouble / (1 + next(7))
+          val y0 = next(700).toDouble / (1 + next(3))
+          runs += graft.core.Run(pi + 1, x0, y0,
+            x0 + next(300).toDouble / 2, y0 + next(40).toDouble,
+            (0 until 1 + next(3)).map(_ => alphabets(next(alphabets.size)))
+              .mkString("·"))
+        }
+        PdfTokenizer.Page(pi + 1, 1 + next(1000).toDouble,
+          1 + next(1200).toDouble, runs)
+      }.toVector
+      val back = PdfTokenizer.tokenize(RealPdf.toContentStream(pages), 1)
+      assert(back.length == pages.length)
+      pages.zip(back).foreach { case (a, b) =>
+        assert(a.page == b.page && a.width == b.width &&
+               a.height == b.height)
+        assert(a.runs.toList == b.runs.toList,
+          s"run mismatch:\n  in : ${a.runs}\n  out: ${b.runs}")
+      }
+    }
+  }
+
   test("fallback page order without a catalog (document-order /Type/Page)") {
     // strip the catalog object so the tree walk fails
     val s = new String(fixture,
