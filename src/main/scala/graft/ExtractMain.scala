@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   *   gen <nDocs> <outDir>                  generate the spans table
   *   extract <inDir> <outDir> [groups] [partitions] [runId]
   *                                          snapshot run (checkpoint/resume)
+  *   extract-dir <rawDir> <outDir> [groups] [partitions] [runId]
+  *                                          ingest a RAW FILE directory
+  *                                          (real .pdf via RealPdf, .html,
+  *                                          .txt, media by reference)
   *   incremental <inDir> <outDir> <runId> [groups] [partitions]
   *                                          anti-join only-new-docs run
   *
@@ -40,6 +44,13 @@ object ExtractMain {
           groups = rest.headOption.map(_.toInt).getOrElse(8),
           partitions = rest.lift(1).map(_.toInt).getOrElse(0)))
         println(s"[graft] $rep")
+      case "extract-dir" :: in :: out :: rest =>
+        val docs = graft.sources.RawFiles.read(spark, in)
+        val rep = ExtractJob.run(spark, docs, ExtractJob.Config(out,
+          runId = rest.lift(2).getOrElse("run"),
+          groups = rest.headOption.map(_.toInt).getOrElse(8),
+          partitions = rest.lift(1).map(_.toInt).getOrElse(0)))
+        println(s"[graft] $rep")
       case "incremental" :: in :: out :: runId :: rest =>
         val docs = spark.read.parquet(in).as[InputDoc]
         val rep = ExtractJob.runIncremental(spark, docs, ExtractJob.Config(
@@ -48,7 +59,8 @@ object ExtractMain {
           partitions = rest.lift(1).map(_.toInt).getOrElse(0)))
         println(s"[graft] $rep")
       case other =>
-        System.err.println(s"unknown args: $other (want gen|extract|incremental)")
+        System.err.println(
+          s"unknown args: $other (want gen|extract|extract-dir|incremental)")
         sys.exit(2)
     }
     spark.stop()

@@ -53,10 +53,13 @@ object Dedup {
                         maxShingleFreq: Long = 1000): DataFrame = {
     // (id, shingle-hash) is referenced three times below (sizes, freq
     // filter, self-join) — materialize once; it is 16 bytes/shingle,
-    // orders of magnitude smaller than the text
+    // orders of magnitude smaller than the text. Hashes come straight
+    // from the native ShingleHashes byte-span scan (bit-identical to
+    // xxhash64 over the materialized shingle string — no per-window
+    // string allocation).
     val sh = df.select(col(idCol).as("id"),
-        explode(array_distinct(wordShingles(col(textCol), w))).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+        explode(array_distinct(graft.functions.ShingleHashes
+          .shingleHashes(col(textCol), w))).as("sh"))
       .persist() // lazy: reused 3x below; eager localCheckpoint was pure
                  // fixed overhead (an extra materialization job) at sf tiers
     val filtered = sh.join(
@@ -99,8 +102,9 @@ object Dedup {
   def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
                         w: Int, minDocs: Int = 2): DataFrame = {
     val wnd = df.select(col(idCol).as("id"),
-        posexplode(wordShingles(col(textCol), w)))
-      .select(col("id"), col("pos"), xxhash64(col("col")).as("sh"))
+        posexplode(graft.functions.ShingleHashes
+          .shingleHashes(col(textCol), w)))
+      .select(col("id"), col("pos"), col("col").as("sh"))
       .persist() // lazy reuse point for the frequency agg + join back
     val dup = wnd.groupBy("sh")
       .agg(countDistinct(col("id")).as("n_docs"))
@@ -154,11 +158,12 @@ object Dedup {
                           bench: DataFrame, benchTextCol: String,
                           w: Int): DataFrame = {
     val cw = corpus.select(col(idCol).as("id"),
-        explode(array_distinct(wordShingles(col(textCol), w))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh"))
+        explode(array_distinct(graft.functions.ShingleHashes
+          .shingleHashes(col(textCol), w))).as("sh"))
     val bw = bench.select(
-        explode(array_distinct(wordShingles(col(benchTextCol), w))).as("s"))
-      .select(xxhash64(col("s")).as("sh")).distinct()
+        explode(array_distinct(graft.functions.ShingleHashes
+          .shingleHashes(col(benchTextCol), w))).as("sh"))
+      .distinct()
     cw.join(broadcast(bw.withColumn("hit", lit(1L))), Seq("sh"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_windows"),

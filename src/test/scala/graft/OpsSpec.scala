@@ -219,6 +219,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.sameElements(b))
   }
 
+  test("native ShingleHashes == xxhash64 over materialized shingles") {
+    val d = docsDf.select("text").limit(200)
+    import spark.implicits._
+    val edge = Seq("", " ", "  ", "a", "a b", "a  b", " a b ",
+      "naïve 中文 emoji🙂 x", "a b c d e").toDF("text")
+    for (src <- Seq(d, edge); w <- Seq(1, 2, 3, 5)) {
+      val a = src.select(graft.functions.ShingleHashes
+          .shingleHashes(col("text"), w).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      val b = src.select(transform(Dedup.wordShingles(col("text"), w),
+          s => xxhash64(s)).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      assert(a.zip(b).forall { case (x, y) => x == y },
+        s"shingle-hash mismatch at w=$w")
+    }
+    // codegen'd
+    val plan = d.select(graft.functions.ShingleHashes
+        .shingleHashes(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
   test("native MinHashSig expression == composed formulation (and codegen'd)") {
     val d = docsDf.select("doc_id", "text").limit(200)
     def sigs(c: org.apache.spark.sql.Column): Array[Seq[Long]] =
