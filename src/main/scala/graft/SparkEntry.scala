@@ -188,6 +188,12 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars_actual"),
           round(TextOps.meanTokenLen(col("text")), 4).as("mean_tok_len"))
         .orderBy("doc_id")),
+    "q_bpe_tokens" -> ((s, dir) =>
+      // LLM-token budget estimate: GPT-2-style pre-tokenizer counts (the
+      // RE2-safe pattern runs verbatim in the DuckDB twin)
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
     "q_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
           TextOps.stopwordHits(col("text")).as("stop_hits"),
@@ -891,6 +897,12 @@ object SparkEntry {
            round(CAST(length(text) - (len(string_split(text, ' ')) - 1)
                       AS DOUBLE) / len(string_split(text, ' ')), 4)
              AS mean_tok_len
+         FROM documents ORDER BY doc_id""",
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             AS BIGINT) AS n_bpe
          FROM documents ORDER BY doc_id""",
     "q_quality" ->
       """WITH s AS (

@@ -27,6 +27,19 @@ object TextOps {
           when(text.rlike("^[^A-Za-z0-9]"), 1).otherwise(0) -
           when(text.rlike("[^A-Za-z0-9]$"), 1).otherwise(0))
 
+  /** GPT-2-style pre-tokenizer count — the standard LLM-token budget
+    * estimate (contraction suffixes, space-prefixed letter runs, digit
+    * runs, punctuation runs, whitespace runs). The published GPT-2
+    * pattern's trailing-space lookahead is dropped so the regex stays
+    * RE2-compatible (DuckDB twin runs it verbatim); for budget estimation
+    * the off-by-a-few on trailing whitespace is irrelevant, and the
+    * DuckDB-vs-Java agreement is what the driver gate checks.
+    */
+  private[graft] val BpePattern =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  def bpeTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit(BpePattern), lit(0)))
+
   /** Mean token length over whitespace tokens. */
   def meanTokenLen(text: Column): Column =
     (length(text) - (tokenCount(text) - 1)).cast("double") /

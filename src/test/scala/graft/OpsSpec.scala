@@ -602,6 +602,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpe-ish token estimate: pinned counts and java-regex parity") {
+    import spark.implicits._
+    val cases = Seq(
+      ("It's a test, 42 times!", 8), // It|'s| a| test|,| 42| times|!
+      ("", 0),
+      (" ", 1),          // lone whitespace run
+      ("naïve café", 2), // unicode letters are one run each
+      ("a1b2", 4),       // letter/digit alternation splits
+      ("hello world", 2))
+    val got = cases.map(_._1).toDF("text")
+      .select(TextOps.bpeTokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(got.toSeq == cases.map(_._2),
+      s"got ${got.toSeq}, want ${cases.map(_._2)}")
+    // the RE2-safe pattern means java.util.regex and the DuckDB twin
+    // agree; pin the java side here (driver gate pins the DuckDB side)
+    val p = java.util.regex.Pattern.compile(TextOps.BpePattern)
+    cases.foreach { case (s, n) =>
+      var c = 0; val m = p.matcher(s); while (m.find()) c += 1
+      assert(c == n, s"java regex count $c != $n for '$s'")
+    }
+  }
+
   test("text embedder: twin parity, unit norm, locality, null edges, codegen") {
     import spark.implicits._
     val d = docsDf.select("text").limit(200)
