@@ -145,6 +145,27 @@ class RealPdfSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: mutated fixture bytes and nesting bombs never throw") {
+    var seed = 0x2545f4914f6cdd1dL
+    def next(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    (0 until 300).foreach { _ =>
+      val b = fixture.clone()
+      (0 until 1 + next(40)).foreach { _ =>
+        b(next(b.length)) = next(256).toByte
+      }
+      RealPdf.parse(b, 1) // must not throw, whatever came out
+    }
+    // deep-nesting bomb: bounded recursion, not StackOverflowError
+    val bomb = ("%PDF-1.4\n1 0 obj " + "[" * 100000 +
+      " /Type /Catalog ").getBytes
+    assert(RealPdf.parse(bomb, 1) == Vector.empty)
+    val dictBomb = ("%PDF-1.4\n1 0 obj " + "<< /A " * 50000).getBytes
+    assert(RealPdf.parse(dictBomb, 1) == Vector.empty)
+  }
+
   test("fallback page order without a catalog (document-order /Type/Page)") {
     // strip the catalog object so the tree walk fails
     val s = new String(fixture,
