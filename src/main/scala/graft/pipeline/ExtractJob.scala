@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.core._
 import graft.extract.Extractor
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.CollectionAccumulator
 import scala.jdk.CollectionConverters._
@@ -98,6 +98,31 @@ object ExtractJob {
   }
 
   def run(spark: SparkSession, docs: Dataset[InputDoc], cfg: Config)
+      : RunReport =
+    // group = pmod(xxhash64(doc_id), groups), computed in the scan. NOTE
+    // the per-group filter below cannot prune a computed column, so the
+    // `groups` sub-jobs together re-read the input `groups` times — fine
+    // at bench scale, NOT at 10^12 docs; there, lay the table out with a
+    // physical bucket column and use [[runBucketed]].
+    runImpl(spark, docs.toDF().withColumn("_group",
+      pmod(xxhash64(col("doc_id")), lit(cfg.groups)).cast("int")), cfg)
+
+  /** [[run]] over an input whose PHYSICAL layout already carries the
+    * checkpoint group (parquet `partitionBy(bucketCol)` or an Iceberg
+    * `bucket(groups, …)` partition spec, values integers in
+    * [0, cfg.groups)): the per-group filter becomes a source-level
+    * partition filter (`PartitionFilters` in the scan — asserted in
+    * ExtractJobSpec), so all `groups` sub-jobs together read the table
+    * ONCE instead of `groups` times. This is the 10^12-doc deployment
+    * shape; semantics (checkpoint, resume, salting, metrics, output)
+    * are identical to [[run]].
+    */
+  def runBucketed(spark: SparkSession, docs: DataFrame, cfg: Config,
+                  bucketCol: String): RunReport =
+    runImpl(spark,
+      docs.withColumn("_group", col(bucketCol).cast("int")), cfg)
+
+  private def runImpl(spark: SparkSession, grouped: DataFrame, cfg: Config)
       : RunReport = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
@@ -107,14 +132,11 @@ object ExtractJob {
     val acc = new CollectionAccumulator[PartitionMetrics]
     spark.sparkContext.register(acc, "graft.extract.metrics")
 
-    // group assignment + skew cost proxy, both codegen'd column exprs —
-    // no data pass beyond the scan itself
-    // cost proxy = payload bytes via octet_length (O(1) per span — byte
-    // count off the UTF8 buffer, unlike length() which scans for chars);
-    // catches both many-span docs and single-giant-span docs
-    val withGroup = docs
-      .withColumn("_group",
-        pmod(xxhash64(col("doc_id")), lit(cfg.groups)).cast("int"))
+    // skew cost proxy, a codegen'd column expr — no data pass beyond the
+    // scan itself. cost proxy = payload bytes via octet_length (O(1) per
+    // span — byte count off the UTF8 buffer, unlike length() which scans
+    // for chars); catches both many-span and single-giant-span docs
+    val withGroup = grouped
       .withColumn("_cost",
         coalesce(aggregate(col("spans"), lit(0L),
           (a, s) => a + coalesce(octet_length(s.getField("text")).cast("long"),

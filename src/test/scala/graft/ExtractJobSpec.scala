@@ -58,7 +58,51 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     want.foreach { case (id, seq) =>
       assert(got.getOrElse(id, Seq.empty) == seq, s"mismatch for $id")
     }
-    assert(got.keySet.subsetOf(want.keySet))
+  }
+
+  test("runBucketed: physical bucket column prunes at the source, same output") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val in = tmpDir("bucketed-in")
+    val groups = 4
+    // lay the input out like the 10^12-doc deployment: the checkpoint
+    // group is a PHYSICAL partition column of the input table
+    CorpusGen.dataset(spark, N, 42L)
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("doc_id")),
+          org.apache.spark.sql.functions.lit(groups)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(in)
+    val docs = spark.read.parquet(in)
+
+    // the group filter the job applies must reach the scan as a
+    // PartitionFilter (source pruning), not a post-scan Filter
+    val gPlan = docs.withColumn("_group", col("bucket").cast("int"))
+      .where(col("_group") === 2)
+      .queryExecution.executedPlan.toString
+    assert(gPlan.contains("PartitionFilters: [") &&
+      gPlan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("bucket"),
+      s"group filter did not prune:\n$gPlan")
+
+    val out = tmpDir("bucketed-out")
+    val report = ExtractJob.runBucketed(spark, docs,
+      ExtractJob.Config(out, runId = "tb", groups = groups,
+        partitions = 8), "bucket")
+    assert(report.groupsRun == Seq(0, 1, 2, 3))
+    assert(report.docsProcessed == N)
+    // identical spans to the computed-hash run path
+    val got = ExtractJob.spansView(spark, out).collect()
+      .groupBy(_.getString(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(4)).toSeq
+          .map(r => (r.getString(1), r.getString(2), r.getString(3),
+                     r.getInt(4)))
+      }
+    oracleByDoc.foreach { case (id, seq) =>
+      assert(got.getOrElse(id, Seq.empty) == seq, s"mismatch for $id")
+    }
+    assert(got.keySet.subsetOf(oracleByDoc.keySet))
   }
 
   test("resume recomputes exactly the missing group, no duplicates") {
