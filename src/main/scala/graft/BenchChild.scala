@@ -46,8 +46,12 @@ object BenchChild {
                tag: String): Double = {
       val out = Files.createTempDirectory(s"graft-bench-$tag").toString
       val t0 = System.nanoTime()
+      // FIXED partition count, independent of cores: a strong-scaling
+      // measurement must run the IDENTICAL task graph at both cluster
+      // sizes (cores*3 made the small-file coalesce merge the low side
+      // but not the high side — the two jobs were no longer comparable)
       ExtractJob.run(spark, input, ExtractJob.Config(
-        out, runId = tag, groups = 1, partitions = cores * 3))
+        out, runId = tag, groups = 1, partitions = 64))
       val sec = (System.nanoTime() - t0) / 1e9
       deleteRec(new java.io.File(out))
       sec

@@ -166,6 +166,16 @@ object ExtractJob {
         }
     })
 
+    // small-file sources (a binaryFile directory scan) can arrive with
+    // ONE partition per file — that many write tasks each paying a
+    // parquet-writer init (measured: 40k tiny partitions turned a 30s
+    // ingest into 170s). When the source partitioning is pathological
+    // relative to the configured parallelism, merge with a NARROW
+    // coalesce (no shuffle; skewed inputs take the salted repartition
+    // path instead, which the auto decision already detects).
+    val srcParts = withGroup.rdd.getNumPartitions
+    val mergeDown = !useSalt && srcParts > nPart * 4
+
     (0 until cfg.groups).foreach { g =>
       if (committed.contains(g)) groupsSkipped += g
       else {
@@ -179,6 +189,7 @@ object ExtractJob {
                    xxhash64(col("doc_id"), lit(1)))
                 .otherwise(pmod(xxhash64(col("doc_id")), lit(nPart))))
             .repartition(nPart, col("_salt"))
+          else if (mergeDown) gDocs.coalesce(nPart)
           else gDocs)
           .select("doc_id", "spans").as[InputDoc]
         val out = salted.mapPartitions(it =>

@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Throughput evidence for the GENUINE-PDF ingestion path: writes
+  * `nDocs` real PDF files (deterministic mix of classic layout,
+  * FlateDecode content, and modern ObjStm object streams), then runs the
+  * full directory pipeline — binaryFile scan → RealPdf parse → PG/TX →
+  * extraction job with checkpoint + metrics — and reports docs/sec.
+  * `sbt "runMain graft.tools.RealPdfBench [nDocs]"`; appends to BENCH.md.
+  */
+object RealPdfBench {
+
+  /** Deterministic minimal PDF writer (test/bench-side only): `variant`
+    * 0 = classic uncompressed, 1 = Flate content, 2 = ObjStm dicts.
+    */
+  def makePdf(docId: Long, variant: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(docId * 7919 + variant)
+    val nLines = 8 + rnd.nextInt(25)
+    val content = new StringBuilder("BT /F1 11 Tf 72 760 Td ")
+    (0 until nLines).foreach { i =>
+      val words = (0 until 4 + rnd.nextInt(9))
+        .map(j => s"w${(docId + i * 31 + j * 7) % 997}").mkString(" ")
+      content.append(s"(Line $i: $words) Tj 0 -14 Td ")
+    }
+    content.append("ET\n")
+    val cBytes = content.toString.getBytes("ISO-8859-1")
+    val (cData, cFilter) =
+      if (variant == 1) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(cBytes); d.finish()
+        val buf = new Array[Byte](cBytes.length * 2 + 64)
+        val n = d.deflate(buf); d.end()
+        (java.util.Arrays.copyOf(buf, n), " /Filter /FlateDecode")
+      } else (cBytes, "")
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"4 0 obj\n<< /Length ${cData.length}$cFilter >>\nstream\n")
+    out.write(cData)
+    w("\nendstream\nendobj\n")
+    val dicts = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    if (variant == 2) {
+      // modern layout: the three dicts live in a Flate object stream
+      var data = ""
+      val offs = dicts.map { case (n, b) =>
+        val o = data.length; data += b + " "; (n, o)
+      }
+      val header = offs.map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+      val plain = (header + data).getBytes("ISO-8859-1")
+      val d = new java.util.zip.Deflater()
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](plain.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      w(s"5 0 obj\n<< /Type /ObjStm /N ${dicts.length} /First " +
+        s"${header.length} /Length $n /Filter /FlateDecode >>\nstream\n")
+      out.write(buf, 0, n)
+      w("\nendstream\nendobj\n")
+    } else dicts.foreach { case (n, b) => w(s"$n 0 obj\n$b\nendobj\n") }
+    w("startxref\n0\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("graft-realpdf-corpus")
+    (0 until nDocs).foreach { i =>
+      Files.write(dir.resolve(f"doc_$i%07d.pdf"), makePdf(i, i % 3))
+    }
+    val out = Files.createTempDirectory("graft-realpdf-out").toString
+
+    val t0 = System.nanoTime()
+    val docs = graft.sources.RawFiles.read(spark, dir.toString)
+    // salting="off": the corpus is uniform by construction, and the
+    // auto decision's stats pass would re-list + re-parse every file —
+    // on a real deployment those stats come from table metadata
+    val report = graft.pipeline.ExtractJob.run(spark, docs,
+      graft.pipeline.ExtractJob.Config(out, runId = "realpdf",
+        groups = 1, partitions = 64, salting = "off"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rows = graft.pipeline.ExtractJob.readOutput(spark, out).count()
+    require(report.docsProcessed == nDocs,
+      s"expected $nDocs docs, got ${report.docsProcessed}")
+
+    val line = f"| real-PDF ingestion | $nDocs genuine .pdf files " +
+      f"(1/3 classic, 1/3 Flate, 1/3 ObjStm) scanned+parsed+extracted " +
+      f"in $sec%.1f s = ${nDocs / sec}%.0f docs/s @ local[32]; " +
+      f"$rows output rows |"
+    println("[realpdf-bench] " + line)
+    val benchMd = if (new java.io.File("BENCH.md").exists()) "BENCH.md"
+                  else "/root/repo/BENCH.md"
+    try Files.writeString(Paths.get(benchMd), "\n" + line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: java.io.IOException => () }
+
+    def deleteRec(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(deleteRec)
+      p.delete()
+    }
+    deleteRec(dir.toFile); deleteRec(new java.io.File(out))
+    spark.stop()
+  }
+}
