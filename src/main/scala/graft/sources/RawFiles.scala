@@ -54,6 +54,39 @@ object RawFiles {
     if (i >= 0) uriPath.substring(i + root.length) else uriPath
   }
 
+  /** Payload decode for one text-kind file: genuine PDFs (binary, %PDF-
+    * magic) through the byte-level [[graft.extract.RealPdf]] front end,
+    * re-entering as the canonical PG/TX interchange payload; everything
+    * else as UTF-8. ONE definition shared by the batch directory reader
+    * and the streaming source, so the two ingestion paths cannot drift.
+    */
+  private[graft] def textPayload(kind: String, bytes: Array[Byte]): String =
+    if (kind == "pdf" && graft.extract.RealPdf.isPdf(bytes))
+      graft.extract.RealPdf.toContentStream(
+        graft.extract.RealPdf.parse(bytes, firstPage = 1))
+    else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Classify + decode ONE file into an InputDoc: text kinds decode
+    * their payload, media kinds pass by reference (bytes unused), and
+    * unsupported suffixes return None (the reference's suffix filter).
+    * Row-level twin of the column-level classification in [[read]];
+    * used by [[graft.streaming.StreamingIngest.startRawDir]].
+    */
+  def decodeAny(path: String, content: Array[Byte],
+                root: String): Option[InputDoc] = {
+    val dot = path.lastIndexOf('.')
+    val e = if (dot < 0) path.toLowerCase
+            else path.substring(dot + 1).toLowerCase
+    TextExt.get(e) match {
+      case Some(kind) =>
+        Some(InputDoc(relativize(path, root),
+          Vector(Span(kind, textPayload(kind, content), null, 0))))
+      case None => MediaExt.get(e).map(kind =>
+        InputDoc(relativize(path, root),
+          Vector(Span(kind, null, path, 0))))
+    }
+  }
+
   /** Read a directory tree of raw files as InputDocs. `doc_id` is the
     * file path relative to `dir` (the reference's RELATIVE_PATH).
     */
@@ -71,19 +104,10 @@ object RawFiles {
       .select(col("path"), kindOf(TextExt).as("kind"), col("content"))
       .where(col("kind").isNotNull)
       .map { r =>
-        val bytes = r.getAs[Array[Byte]]("content")
-        // a GENUINE .pdf (binary, %PDF- magic) goes through the byte-level
-        // RealPdf front end and re-enters the engine as the canonical
-        // PG/TX interchange payload — one extraction path (and oracle)
-        // downstream of both front ends. Non-magic "pdf" payloads are the
-        // synthetic content-stream format, decoded as UTF-8 like before.
-        val payload =
-          if (r.getString(1) == "pdf" && graft.extract.RealPdf.isPdf(bytes))
-            graft.extract.RealPdf.toContentStream(
-              graft.extract.RealPdf.parse(bytes, firstPage = 1))
-          else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         InputDoc(relativize(r.getString(0), root),
-          Vector(Span(r.getString(1), payload, null, 0)))
+          Vector(Span(r.getString(1),
+            textPayload(r.getString(1), r.getAs[Array[Byte]]("content")),
+            null, 0)))
       }
 
     val mediaDocs = scan

@@ -56,6 +56,49 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming ingestion of a RAW FILE directory — watch `rawDir` for new
+    * files (genuine .pdf through [[graft.extract.RealPdf]], .html, .txt,
+    * media by reference) and extract each micro-batch with the same
+    * checkpointed machinery as [[start]]. The streaming file index tracks
+    * consumed files; per-batch manifests make re-delivery idempotent —
+    * together: exactly-once over a growing directory, the full
+    * distributed analog of the reference's hourly stage-scan task
+    * (setup.sql:279-286, DIRECTORY(@PDF_STAGE) + NOT-IN resume). The one
+    * stream reads content for media files too (unlike the batch reader's
+    * pruned media scan) — the price of a single streaming source;
+    * media-heavy deployments run a second suffix-filtered stream.
+    */
+  def startRawDir(spark: SparkSession, rawDir: String, outDir: String,
+                  checkpointDir: String, runId: String = "rawstream",
+                  groups: Int = 4, availableNow: Boolean = true)
+      : StreamingQuery = {
+    import spark.implicits._
+    val root = if (rawDir.endsWith("/")) rawDir else rawDir + "/"
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+              "length LONG, content BINARY")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 256)
+      .load(rawDir)
+      .select("path", "content")
+      .flatMap(r => graft.sources.RawFiles.decodeAny(
+        r.getString(0), r.getAs[Array[Byte]](1), root))
+
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[InputDoc],
+                       batchId: Long) =>
+        ExtractJob.run(batch.sparkSession, batch, ExtractJob.Config(
+          outDir = s"$outDir/batch=$batchId",
+          runId = s"$runId-$batchId",
+          groups = groups))
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("60 seconds")))
+      .start()
+  }
+
   /** Read back everything ingested so far: each batch's MANIFEST-COMMITTED
     * groups only (same exactly-once read rule as ExtractJob.readAllRuns —
     * orphaned files from a crash mid-batch are invisible until their

@@ -62,4 +62,44 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .outSpans.map(o => (o.kind, o.text, o.media_ref, o.order))
     assert(got.toSeq == want)
   }
+
+  test("raw-dir streaming: new real PDFs extracted exactly once across restarts") {
+    spark.sparkContext.setLogLevel("WARN")
+    val in = Files.createTempDirectory("graft-rawstream-in")
+    val out = Files.createTempDirectory("graft-rawstream-out").toString
+    val ckpt = Files.createTempDirectory("graft-rawstream-ckpt").toString
+    val fixture = Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixture_real.pdf").toURI))
+    val objstm = Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixture_objstm.pdf").toURI))
+
+    // wave 1: one classic PDF + a text file
+    Files.write(in.resolve("a.pdf"), fixture)
+    Files.writeString(in.resolve("b.txt"), "first text body")
+    val q1 = StreamingIngest.startRawDir(spark, in.toString, out, ckpt,
+      groups = 2)
+    q1.awaitTermination()
+    val ids1 = StreamingIngest.readOutput(spark, out)
+      .select("doc_id").distinct().collect().map(_.getString(0)).toSet
+    assert(ids1 == Set("a.pdf", "b.txt"), s"wave 1: $ids1")
+
+    // wave 2: a modern ObjStm PDF arrives; restart ingests ONLY it
+    Files.write(in.resolve("c.pdf"), objstm)
+    val q2 = StreamingIngest.startRawDir(spark, in.toString, out, ckpt,
+      groups = 2)
+    q2.awaitTermination()
+    val all = StreamingIngest.readOutput(spark, out)
+    val ids2 = all.select("doc_id").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(ids2 == Set("a.pdf", "b.txt", "c.pdf"), s"wave 2: $ids2")
+    // exactly once: no duplicated (doc_id, order)
+    val dupes2 = all.groupBy("doc_id", "order").count()
+      .where(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(dupes2 == 0)
+    // content flowed through the real-PDF front end
+    val texts = all.where(
+        org.apache.spark.sql.functions.col("doc_id") === "c.pdf")
+      .select("text").collect().map(_.getString(0)).mkString
+    assert(texts.contains("Modern layout via ObjStm"), s"got: $texts")
+  }
 }
