@@ -284,6 +284,26 @@ object SparkEntry {
       graft.ops.Search.hybridTopK(lex, "doc_id", "score",
         vec, "vec_id", "score", k = 20)
     }),
+    "q_hybrid_from_text" -> ((s, dir) => {
+      // the FULL serving path from raw text alone: BM25 lexical head +
+      // hash-projection-embedding cosine head, RRF-fused — no
+      // precomputed vectors table anywhere (the reference's managed
+      // hybrid service end to end, built from this engine's own parts)
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+      val queryText = "hash join vector"
+      val terms = queryText.split(" ").toSeq
+      val lex = graft.ops.Search.bm25Scores(docs, "doc_id", "text", terms)
+      val emb = docs.select(col("doc_id"),
+          Similarity.embedText(col("text"), 64).as("e"))
+        .where(col("e").isNotNull)
+      val qv = array(graft.functions.TextEmbed.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(queryText), 64)
+        .toFloatArray().map(v => lit(v.toDouble)): _*)
+      val vec = emb.select(col("doc_id"),
+        Dedup.cosine(col("e").cast("array<double>"), qv).as("score"))
+      graft.ops.Search.hybridTopK(lex, "doc_id", "score",
+        vec, "doc_id", "score", k = 20)
+    }),
     "q_redact_pii" -> ((s, dir) => {
       // PII scrubbing: deterministic injected email/phone/IP per doc must
       // come out as typed placeholders, with the audit hit count
@@ -646,6 +666,18 @@ object SparkEntry {
         .map { case (id, sc) => (id, PlainOracles.round6(sc)) }
         .toDF("doc_id", "score")
     }),
+    "q_hybrid_from_text" -> ((s, dir) => {
+      import s.implicits._
+      val docs = collectDocs(s, dir, 500)
+      val queryText = "hash join vector"
+      val lex = PlainOracles.bm25Scores(docs, queryText.split(" ").toSeq)
+      val q = PlainOracles.textEmbed(queryText, 64).get
+      val vec = docs.flatMap { case (id, tx) =>
+        PlainOracles.textEmbed(tx, 64)
+          .map(v => (id, PlainOracles.cosineDD(v, q)))
+      }
+      PlainOracles.rrfFuse(lex, vec, k = 20).toDF("id", "rrf")
+    }),
     "tx_fingerprints" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select("doc_id", "text").collect()
@@ -715,6 +747,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/sim_ivf_trained/*.parquet'",
     "sim_text_embed" ->
       s"SELECT * FROM '$ExpectedToken/sim_text_embed/*.parquet'",
+    "q_hybrid_from_text" ->
+      s"SELECT * FROM '$ExpectedToken/q_hybrid_from_text/*.parquet'",
     "tx_fingerprints" ->
       s"SELECT * FROM '$ExpectedToken/tx_fingerprints/*.parquet'",
     "mm_decode" ->

@@ -199,6 +199,55 @@ object PlainOracles {
   /** Brute-force twin of [[graft.ops.Similarity.ivfAssign]]: per vector,
     * the max-cosine centroid, first (lowest cell_id) on exact ties.
     */
+  /** Plain twin of [[graft.ops.Search.bm25Scores]] — Robertson k1/b with
+    * Lucene's plus-one idf, over lowercased whitespace tokens. Double
+    * arithmetic mirrors the engine expression op-for-op (left-assoc
+    * products, k1+1.0 computed not folded, (b*dl)/avgdl association);
+    * dl sums are integers, exact in double at any fold order.
+    */
+  def bm25Scores(docs: Seq[(Long, String)], terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75)
+      : Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    }
+    val n = docs.length.toLong
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+    val dfs = terms.map(t => toks.count(_._2.contains(t)).toLong)
+    toks.map { case (id, tk) =>
+      val dl = tk.length.toDouble
+      val score = terms.indices.map { i =>
+        val tf = tk.count(_ == terms(i)).toDouble
+        val idf = math.log(1.0 + (n - dfs(i) + 0.5) / (dfs(i) + 0.5))
+        idf * tf * (k1 + 1.0) /
+          (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+      }.reduce(_ + _)
+      (id, score)
+    }
+  }
+
+  /** Plain twin of [[graft.ops.Search.hybridTopK]] RRF fusion: 1-based
+    * ranks over each side's top-m head by (score desc, id asc);
+    * rrf = Σ 1/(kRrf + rank); top-k by (rrf desc, id asc), rounded.
+    */
+  def rrfFuse(lex: Seq[(Long, Double)], vec: Seq[(Long, Double)],
+              k: Int, m: Int = 100, kRrf: Int = 60)
+      : Seq[(Long, Double)] = {
+    def ranks(xs: Seq[(Long, Double)]): Map[Long, Int] =
+      xs.sortBy { case (id, sc) => (-sc, id) }.take(m)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val lr = ranks(lex); val vr = ranks(vec)
+    (lr.keySet ++ vr.keySet).toSeq
+      .map { id =>
+        val r = lr.get(id).map(r => 1.0 / (kRrf + r)).getOrElse(0.0) +
+                vr.get(id).map(r => 1.0 / (kRrf + r)).getOrElse(0.0)
+        (id, r)
+      }
+      .sortBy { case (id, r) => (-r, id) }
+      .take(k)
+      .map { case (id, r) => (id, round6(r)) }
+  }
+
   /** Plain twin of [[graft.functions.TextEmbed]]: L2-normalized
     * feature-hashing projection — empty tokens skipped, bucket =
     * ((h mod dim) + dim) mod dim, vote = sign of h, double accumulation,

@@ -145,6 +145,27 @@ class RealPdfSpec extends AnyFunSuite {
     }
   }
 
+  test("/Contents array: multiple streams concatenate as one content stream") {
+    // real writers split page content across streams; ISO 32000 §7.8.2
+    // says treat the array as a single stream. A text object can even
+    // span the boundary (BT in one stream, ET in the next).
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    def stream(n: Int, data: String) =
+      s"$n 0 obj\n<< /Length ${data.length} >>\nstream\n${data}\nendstream\nendobj\n"
+    val pdf = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>") +
+      stream(4, "BT /F1 12 Tf 72 700 Td (part one) Tj") +
+      stream(5, "0 -20 Td (part two) Tj ET") +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    val pages = RealPdf.parse(pdf, 1)
+    assert(pages.length == 1)
+    assert(pages(0).runs.map(_.text).toList == List("part one", "part two"))
+    // text state carried across the stream boundary: Td applied
+    assert(pages(0).runs(1).y0 == 680.0)
+  }
+
   test("fuzz: mutated fixture bytes and nesting bombs never throw") {
     var seed = 0x2545f4914f6cdd1dL
     def next(n: Int): Int = {
