@@ -188,6 +188,13 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars_actual"),
           round(TextOps.meanTokenLen(col("text")), 4).as("mean_tok_len"))
         .orderBy("doc_id")),
+    "q_split_assign" -> ((s, dir) =>
+      // deterministic train/val/test split: pure function of the id —
+      // identical under any partitioning/executor count/re-run
+      graft.ops.CorpusPipeline.assignSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 7L)
+        .orderBy("doc_id")),
     "q_bpe_tokens" -> ((s, dir) =>
       // LLM-token budget estimate: GPT-2-style pre-tokenizer counts (the
       // RE2-safe pattern runs verbatim in the DuckDB twin)
@@ -666,6 +673,13 @@ object SparkEntry {
         .map { case (id, sc) => (id, PlainOracles.round6(sc)) }
         .toDF("doc_id", "score")
     }),
+    "q_split_assign" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id").collect()
+        .map(r => (r.getLong(0), PlainOracles.splitOf(r.getLong(0),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 7L)))
+        .toSeq.toDF("doc_id", "split")
+    }),
     "q_hybrid_from_text" -> ((s, dir) => {
       import s.implicits._
       val docs = collectDocs(s, dir, 500)
@@ -749,6 +763,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/sim_text_embed/*.parquet'",
     "q_hybrid_from_text" ->
       s"SELECT * FROM '$ExpectedToken/q_hybrid_from_text/*.parquet'",
+    "q_split_assign" ->
+      s"SELECT * FROM '$ExpectedToken/q_split_assign/*.parquet'",
     "tx_fingerprints" ->
       s"SELECT * FROM '$ExpectedToken/tx_fingerprints/*.parquet'",
     "mm_decode" ->

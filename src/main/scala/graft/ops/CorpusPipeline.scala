@@ -110,4 +110,29 @@ object CorpusPipeline {
 
     (out, counts.result())
   }
+
+  /** Deterministic train/validation split: a doc lands in the split whose
+    * [0,1) interval contains xxhash64(salt, id)/2^64 — a pure function of
+    * the id, so the assignment is identical under any partitioning,
+    * executor count, or re-run (the reproducibility property a training
+    * pipeline needs; `salt` yields independent re-splits). Returns the
+    * input plus a `split` column. No shuffle — one codegen'd projection.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)], salt: Long = 0L)
+      : DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must be non-negative and sum to 1")
+    // u = hash mapped into [0,1): (h >>> 11) * 2^-53 — 53 uniform bits,
+    // exactly representable, twin-reproducible in plain Scala
+    val u = shiftrightunsigned(xxhash64(lit(salt), col(idCol)), 11)
+      .cast("double") * lit(1.0 / (1L << 53))
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val expr = fractions.zip(cuts).reverse.tail.foldLeft(
+      lit(fractions.last._1)) { case (acc, ((name, _), cut)) =>
+        when(u < cut, name).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
 }

@@ -199,6 +199,21 @@ object PlainOracles {
   /** Brute-force twin of [[graft.ops.Similarity.ivfAssign]]: per vector,
     * the max-cosine centroid, first (lowest cell_id) on exact ties.
     */
+  /** Plain twin of [[graft.ops.CorpusPipeline.assignSplit]]: u =
+    * (xxhash64(salt, id) >>> 11) * 2^-53, first cumulative-fraction cut
+    * containing u wins. Spark folds xxhash64's children left to right
+    * with the running hash as seed: hashLong(id, hashLong(salt, 42)).
+    */
+  def splitOf(id: Long, fractions: Seq[(String, Double)],
+              salt: Long): String = {
+    val h = XXH64.hashLong(id, XXH64.hashLong(salt, Seed))
+    val u = (h >>> 11).toDouble * (1.0 / (1L << 53))
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    fractions.zip(cuts).collectFirst {
+      case ((name, _), cut) if u < cut => name
+    }.getOrElse(fractions.last._1)
+  }
+
   /** Plain twin of [[graft.ops.Search.bm25Scores]] — Robertson k1/b with
     * Lucene's plus-one idf, over lowercased whitespace tokens. Double
     * arithmetic mirrors the engine expression op-for-op (left-assoc

@@ -116,6 +116,12 @@ object ExtractJob {
     * ONCE instead of `groups` times. This is the 10^12-doc deployment
     * shape; semantics (checkpoint, resume, salting, metrics, output)
     * are identical to [[run]].
+    *
+    * CONTRACT: bucket values outside [0, cfg.groups) are SILENTLY
+    * skipped (the group loop only visits 0..groups-1) — validating would
+    * cost a full pass. Compare `RunReport.docsProcessed` against your
+    * input count after the run; a mismatch means the bucket layout and
+    * cfg.groups disagree.
     */
   def runBucketed(spark: SparkSession, docs: DataFrame, cfg: Config,
                   bucketCol: String): RunReport =
