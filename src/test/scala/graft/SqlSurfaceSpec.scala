@@ -79,4 +79,38 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
           FROM document_chunks WHERE doc_id = '$doc'""").collect()(0)
     assert(r.getLong(0) > 0 && r.getInt(1) >= 1)
   }
+
+  test("all graft native expressions are SQL-registrable and match the API") {
+    ready
+    import spark.implicits._
+    org.apache.spark.sql.GraftExprBridge.registerAll(spark)
+    Seq("alpha beta gamma delta", "one two", "naïve 中文 x y z")
+      .toDF("t").createOrReplaceTempView("t_native")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash64(t), graft_rolling_hash64(t),
+                graft_minhash_sig(t, 2, 8), graft_shingle_hashes(t, 2),
+                graft_text_embed(t, 16)
+         FROM t_native""").collect()
+    val viaApi = spark.table("t_native").select(
+      graft.functions.SimHash64.simhash64(org.apache.spark.sql.functions.col("t")),
+      graft.ops.TextOps.rollingFingerprint(org.apache.spark.sql.functions.col("t")),
+      graft.ops.Dedup.minhashSignature(org.apache.spark.sql.functions.col("t"), 2, 8),
+      graft.functions.ShingleHashes.shingleHashes(org.apache.spark.sql.functions.col("t"), 2),
+      graft.ops.Similarity.embedText(org.apache.spark.sql.functions.col("t"), 16))
+      .collect()
+    viaSql.zip(viaApi).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(a.getSeq[Long](2) == b.getSeq[Long](2))
+      assert(a.getSeq[Long](3) == b.getSeq[Long](3))
+      assert(a.getSeq[Float](4) == b.getSeq[Float](4))
+    }
+    // non-literal parameter is rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_text_embed(t, length(t)) FROM t_native")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
 }
