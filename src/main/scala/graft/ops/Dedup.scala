@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for web-scale training-data pipelines:
   * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
