@@ -166,6 +166,63 @@ class RealPdfSpec extends AnyFunSuite {
     assert(pages(0).runs(1).y0 == 680.0)
   }
 
+  test("filter chains: ASCIIHexDecode, ASCII85Decode, and Hex-over-Flate") {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    def mk(filterSpec: String, data: Array[Byte]): Array[Byte] = {
+      val head = ("%PDF-1.4\n" +
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+        obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>") +
+        s"4 0 obj\n<< /Length ${data.length} $filterSpec >>\nstream\n")
+        .getBytes("ISO-8859-1")
+      head ++ data ++ "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+    }
+    val content = "BT /F1 12 Tf 72 700 Td (filtered text) Tj ET"
+      .getBytes("ISO-8859-1")
+    def texts(pdf: Array[Byte]): List[String] =
+      RealPdf.parse(pdf, 1).flatMap(_.runs.map(_.text)).toList
+
+    // ASCIIHexDecode, with whitespace and > terminator
+    val hex = content.map(b => f"${b & 0xff}%02x").mkString(" ") + " >"
+    assert(texts(mk("/Filter /ASCIIHexDecode",
+      hex.getBytes("ISO-8859-1"))) == List("filtered text"))
+
+    // ASCII85Decode (encode here in the test, decode in the parser)
+    def a85(bs: Array[Byte]): String = {
+      val sb = new StringBuilder
+      bs.grouped(4).foreach { g =>
+        val padded = g.padTo(4, 0.toByte)
+        var t = 0L
+        padded.foreach(b => t = (t << 8) | (b & 0xff))
+        if (t == 0 && g.length == 4) sb.append('z')
+        else {
+          val cs = new Array[Char](5)
+          var x = t
+          (4 to 0 by -1).foreach { i => cs(i) = ('!' + (x % 85)).toChar
+            x /= 85 }
+          sb.appendAll(cs, 0, g.length + 1)
+        }
+      }
+      sb.append("~>").toString
+    }
+    assert(texts(mk("/Filter /ASCII85Decode",
+      a85(content).getBytes("ISO-8859-1"))) == List("filtered text"))
+
+    // chain: Flate compressed, then hex-armored; decode hex THEN flate
+    val d = new java.util.zip.Deflater()
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](content.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    val flated = java.util.Arrays.copyOf(buf, n)
+    val hexOverFlate = flated.map(b => f"${b & 0xff}%02x").mkString + ">"
+    assert(texts(mk("/Filter [/ASCIIHexDecode /FlateDecode]",
+      hexOverFlate.getBytes("ISO-8859-1"))) == List("filtered text"))
+
+    // unknown filter in the chain: page survives, no text
+    val p = RealPdf.parse(mk("/Filter /DCTDecode", content), 1)
+    assert(p.length == 1 && p(0).runs.isEmpty)
+  }
+
   test("fuzz: mutated fixture bytes and nesting bombs never throw") {
     var seed = 0x2545f4914f6cdd1dL
     def next(n: Int): Int = {
