@@ -34,6 +34,9 @@ object Bench {
       // 128MB default so the scan/shuffle-map side parallelizes
       .config("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
       .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      // zstd dominates snappy on this text corpus: +15% extraction
+      // throughput AND 30% smaller output (CodecBench row in BENCH.md)
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -193,9 +196,11 @@ object Bench {
       System.err.println(f"[bench] $tag at ${(System.nanoTime()-tStart)/1e9}%.0f s")
     val inputDir = prepareInput(nDocs)
     phase("input prepared")
+    // budget sized so a LONG VM-throttle window still gets ~6 attempts
+    // at an honest pair (good windows early-stop at raw >= 0.9 anyway)
     val (thrLow, thrHigh, eff, adjEff, hwEff, medianEff, allPairs) =
       pairedScaling(nLow, nHigh, inputDir, nDocs,
-        budgetSec = 240, minPairs = 3, maxPairs = 6)
+        budgetSec = 420, minPairs = 3, maxPairs = 6)
     phase("scaling done")
     deleteRec(new java.io.File(inputDir))
     // ceiling > 1.0 is probe noise (nothing scales super-ideally); clamp

@@ -32,6 +32,7 @@ object BenchChild {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
       .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      .config("spark.sql.parquet.compression.codec", "zstd") // see BENCH.md
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

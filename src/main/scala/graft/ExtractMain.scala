@@ -27,6 +27,9 @@ object ExtractMain {
       .appName("graft-extract")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // measured on the text corpus: zstd beats snappy on BOTH speed and
+      // size (BENCH.md CodecBench row); override via spark-submit --conf
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
