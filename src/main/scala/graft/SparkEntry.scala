@@ -47,11 +47,37 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dir for queries that exercise a write path (q_csv_roundtrip,
+    * q_upload): created per invocation, deleted recursively at JVM exit so
+    * Verify/Bench runs don't accumulate /tmp garbage. Exit-time (not
+    * eager) because the returned DataFrame reads the dir lazily.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+  /** sf tier → corpus size cache: `documents.count()` is one tiny parquet
+    * footer job, but Verify/Bench call [[corpusFor]] for ~15 queries in
+    * one process and the repeated count showed up as the ex_catalog
+    * bench-watch item (VERDICT r03 "What's wrong" #2).
+    */
+  private val corpusSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Deterministic corpus sized from the sf tier (4 docs per documents
     * row: sf0.001→2k, sf0.1→20k), generated distributed.
     */
   def corpusFor(spark: SparkSession, dir: String): Dataset[InputDoc] = {
-    val nDocs = t(spark, dir, "documents").count() * 4
+    val nDocs = corpusSizeCache.computeIfAbsent(dir,
+      d => t(spark, d, "documents").count() * 4)
     CorpusGen.dataset(spark, nDocs, 42L)
   }
 
@@ -240,8 +266,7 @@ object SparkEntry {
       val src = t(s, dir, "orders").where(col("o_orderkey") < 2000)
         .select("o_orderkey", "o_orderstatus", "o_totalprice",
                 "o_orderpriority")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-csv-roundtrip").toString
+      val tmp = scratchDir("graft-csv-roundtrip")
       graft.ops.Serving.exportCsv(src, tmp)
       s.read.option("header", "true")
         .schema("o_orderkey BIGINT, o_orderstatus STRING, " +
@@ -254,8 +279,7 @@ object SparkEntry {
       // back must equal the source exactly (replace, not duplicate —
       // the P12/Q10 append-sink contract).
       val src = t(s, dir, "region")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-upload").toString
+      val tmp = scratchDir("graft-upload")
       val io = graft.sources.HadoopTableIO(tmp)
       io.overwriteGroup(src.where(col("r_regionkey") < 3), 0)
       io.overwriteGroup(src.where(col("r_regionkey") >= 3), 1)

@@ -58,6 +58,8 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     want.foreach { case (id, seq) =>
       assert(got.getOrElse(id, Seq.empty) == seq, s"mismatch for $id")
     }
+    // and no SPURIOUS doc_ids either (output ⊆ oracle universe)
+    assert(got.keySet.subsetOf(want.keySet))
   }
 
   test("runBucketed: physical bucket column prunes at the source, same output") {
@@ -103,6 +105,26 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.getOrElse(id, Seq.empty) == seq, s"mismatch for $id")
     }
     assert(got.keySet.subsetOf(oracleByDoc.keySet))
+  }
+
+  test("runBucketed fails fast when bucket values exceed cfg.groups") {
+    import spark.implicits._
+    val in = tmpDir("bucketed-bad-in")
+    // 8 physical buckets but a config expecting 4: buckets 4..7 would be
+    // silently dropped by the group loop — the min/max probe must raise
+    CorpusGen.dataset(spark, 64, 42L)
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("doc_id")),
+          org.apache.spark.sql.functions.lit(8)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(in)
+    val docs = spark.read.parquet(in)
+    val ex = intercept[IllegalArgumentException] {
+      ExtractJob.runBucketed(spark, docs,
+        ExtractJob.Config(tmpDir("bucketed-bad-out"), runId = "tbad",
+          groups = 4, partitions = 8), "bucket")
+    }
+    assert(ex.getMessage.contains("silently dropped"))
   }
 
   test("resume recomputes exactly the missing group, no duplicates") {
