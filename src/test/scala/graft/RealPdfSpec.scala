@@ -223,6 +223,145 @@ class RealPdfSpec extends AnyFunSuite {
     assert(p.length == 1 && p(0).runs.isEmpty)
   }
 
+  private def onePagePdf(filterSpec: String, data: Array[Byte])
+      : Array[Byte] = {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val head = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>") +
+      s"4 0 obj\n<< /Length ${data.length} $filterSpec >>\nstream\n")
+      .getBytes("ISO-8859-1")
+    head ++ data ++ "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+  }
+
+  /** Spec-side LZW encoder (9→12-bit variable width, clear + EOD codes,
+    * encoder widens at nextIdx+early-1 — one entry before the decoder,
+    * matching its one-add lag). Independent of the production decoder.
+    */
+  private def lzwEncode(data: Array[Byte], early: Int = 1): Array[Byte] = {
+    val dict = scala.collection.mutable.HashMap.empty[List[Byte], Int]
+    (0 until 256).foreach(i => dict(List(i.toByte)) = i)
+    var nextIdx = 258
+    var width = 9
+    val out = new java.io.ByteArrayOutputStream
+    var bitBuf = 0L; var bitCnt = 0
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    put(256) // clear
+    var w = List.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (dict.contains(wb)) w = wb
+      else {
+        put(dict(w))
+        if (nextIdx < 4096) {
+          dict(wb) = nextIdx; nextIdx += 1
+          if (nextIdx + early - 1 >= (1 << width) && width < 12) width += 1
+        }
+        w = List(b)
+      }
+    }
+    if (w.nonEmpty) put(dict(w))
+    put(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("LZWDecode: old-toolchain streams extract (incl. width growth past 511 entries)") {
+    val content = "BT /F1 12 Tf 72 700 Td (lzw encoded text) Tj ET"
+      .getBytes("ISO-8859-1")
+    def texts(pdf: Array[Byte]): List[String] =
+      RealPdf.parse(pdf, 1).flatMap(_.runs.map(_.text)).toList
+    assert(texts(onePagePdf("/Filter /LZWDecode", lzwEncode(content)))
+      == List("lzw encoded text"))
+
+    // force the 9->10-bit width transition: >253 distinct-pair adds.
+    // 600 two-byte pairs over a 25-symbol alphabet learn ~625 entries
+    var seed = 12345L
+    def next(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    val big = ("BT /F1 12 Tf 72 700 Td (" +
+      (0 until 600).map(_ => ('a' + next(25)).toChar.toString * 2)
+        .mkString + ") Tj ET").getBytes("ISO-8859-1")
+    val got = texts(onePagePdf("/Filter /LZWDecode", lzwEncode(big)))
+    assert(got == List(new String(big, "ISO-8859-1")
+      .split("[()]")(1)))
+
+    // EarlyChange 0 via DecodeParms round-trips with an early=0 encoder
+    assert(texts(onePagePdf(
+      "/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+      lzwEncode(big, early = 0))) == List(new String(big, "ISO-8859-1")
+      .split("[()]")(1)))
+
+    // truncated stream: decodes the prefix, never throws
+    val enc = lzwEncode(content)
+    RealPdf.parse(onePagePdf("/Filter /LZWDecode",
+      enc.take(enc.length / 2)), 1)
+  }
+
+  test("RunLengthDecode: literal and repeat runs, EOD honored") {
+    val content = ("BT /F1 12 Tf 72 700 Td (run" + "n" * 40 +
+      " length) Tj ET").getBytes("ISO-8859-1")
+    // encode: literal chunks of <=128, long 'n' run as a repeat
+    val out = new java.io.ByteArrayOutputStream
+    var i = 0
+    while (i < content.length) {
+      var runLen = 1
+      while (i + runLen < content.length && runLen < 128 &&
+             content(i + runLen) == content(i)) runLen += 1
+      if (runLen >= 3) {
+        out.write(257 - runLen); out.write(content(i)); i += runLen
+      } else {
+        val lit = math.min(128, content.length - i)
+        // stop a literal chunk early if a 3-repeat starts inside it
+        var take = 0
+        var stop = false
+        while (take < lit && !stop) {
+          if (take + 2 < content.length - i &&
+              content(i + take) == content(i + take + 1) &&
+              content(i + take) == content(i + take + 2)) stop = true
+          else take += 1
+        }
+        if (take == 0) take = 1
+        out.write(take - 1); out.write(content, i, take); i += take
+      }
+    }
+    out.write(128) // EOD
+    out.write('X') // trailing garbage after EOD must be ignored
+    val got = RealPdf.parse(onePagePdf("/Filter /RunLengthDecode",
+      out.toByteArray), 1).flatMap(_.runs.map(_.text)).toList
+    assert(got == List("run" + "n" * 40 + " length"))
+  }
+
+  test("RC4 empty-user-password decryption: per-object keys, decrypt before inflate") {
+    // fixture_rc4.pdf (tools/make_rc4_fixture.py): V2/R3 128-bit, /O /U
+    // from the real algorithms, one plain-RC4 stream + one RC4-over-
+    // Flate stream with different object numbers
+    val bytes = Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_rc4.pdf").toURI))
+    val pages = RealPdf.parse(bytes, 1)
+    assert(pages.length == 1)
+    assert(pages(0).runs.map(_.text).toList ==
+      List("rc4 plain stream", "rc4 over flate"))
+    assert(pages(0).runs(0).y0 == 700.0 && pages(0).runs(1).y0 == 680.0)
+
+    // tampered /U (wrong password check) ⇒ no decryption ⇒ honest
+    // empty page, never garbage text
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = s.indexOf("/U <") + 4
+    val broken = bytes.clone()
+    broken(uAt) = (if (broken(uAt) == '0') '1' else '0').toByte
+    val locked = RealPdf.parse(broken, 1)
+    assert(locked.length == 1 && locked(0).runs.isEmpty)
+  }
+
   test("fuzz: mutated fixture bytes and nesting bombs never throw") {
     var seed = 0x2545f4914f6cdd1dL
     def next(n: Int): Int = {
@@ -242,6 +381,69 @@ class RealPdfSpec extends AnyFunSuite {
     assert(RealPdf.parse(bomb, 1) == Vector.empty)
     val dictBomb = ("%PDF-1.4\n1 0 obj " + "<< /A " * 50000).getBytes
     assert(RealPdf.parse(dictBomb, 1) == Vector.empty)
+  }
+
+  test("font-aware: simple font /Widths + /ToUnicode give exact text and widths") {
+    // fixture_font.pdf (tools/make_font_fixtures.py): /FirstChar 65,
+    // /Widths [600 700 800], /MissingWidth 350, ToUnicode bfrange
+    // <41><43>-><0061> + bfchar <44>->U+20AC — the §9.6.2 simple-font
+    // shape the reference's pdfminer resolves (setup.sql:72-91)
+    val bytes = Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_font.pdf").toURI))
+    val pages = RealPdf.parse(bytes, 1)
+    assert(pages.length == 1)
+    assert(pages(0).runs.map(_.text).toList == List("abc€", "a b"))
+    val r1 = pages(0).runs(0)
+    // exact per-glyph advances: (600+700+800+350)/1000 * 10pt = 24.5
+    assert(r1.x0 == 50.0 && r1.y0 == 700.0)
+    assert(math.abs(r1.x1 - 74.5) < 1e-9)
+    assert(r1.y1 - r1.y0 == 10.0)
+    // word spacing on code 32 + MissingWidth for the unlisted space:
+    // 6.0 + (3.5 + Tw 5) + 7.0 = 21.5
+    val r2 = pages(0).runs(1)
+    assert(r2.x0 == 50.0 && r2.y0 == 650.0)
+    assert(math.abs(r2.x1 - 71.5) < 1e-9)
+  }
+
+  test("font-aware: Type0 Identity-H CID font — /W + /DW widths, CMap text, inherited resources") {
+    // fixture_cid.pdf: the embedded-subset shape (LaTeX/Chrome/Word),
+    // /Resources inherited from the /Pages node, Flate ToUnicode,
+    // /W [1 [500 600 700] 5 6 800], /DW 1000, dummy /FontFile2
+    val bytes = Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_cid.pdf").toURI))
+    val pages = RealPdf.parse(bytes, 1)
+    assert(pages.length == 1)
+    assert((pages(0).width, pages(0).height) == (400.0, 600.0))
+    // 2-byte CIDs decode through the CMap: bfchar, scalar bfrange,
+    // array bfrange, a two-unit "fi" mapping, and U+FFFD for CID 7
+    // which the CMap does not cover
+    assert(pages(0).runs.map(_.text).toList ==
+      List("Hel", "lo", "fi", "�"))
+    val Seq(hel, lo, fi, bad) = pages(0).runs.toSeq
+    // (500+600+700)/1000 * 12 = 21.6
+    assert(hel.x0 == 40.0 && hel.y0 == 560.0)
+    assert(math.abs(hel.x1 - 61.6) < 1e-9)
+    // CID 4 -> /DW 1000, CID 5 -> range width 800: (1000+800)/1000*12
+    assert(lo.x0 == 40.0 && math.abs(lo.x1 - 61.6) < 1e-9)
+    // TJ kern -250 => +3pt gap, then CID 6 at range width 800
+    assert(math.abs(fi.x0 - 64.6) < 1e-9)
+    assert(math.abs(fi.x1 - 74.2) < 1e-9)
+    // unmapped CID: default width applies, text is the replacement char
+    assert(bad.x0 == 40.0 && math.abs(bad.x1 - 52.0) < 1e-9)
+    // and the new characters survive the PG/TX round-trip exactly
+    val back = PdfTokenizer.tokenize(RealPdf.toContentStream(pages), 1)
+    assert(back.head.runs.toList == pages(0).runs.toList)
+  }
+
+  test("font-aware: metric-less standard-14 font keeps the estimate path") {
+    // fixture_real.pdf's /F1 is Helvetica with no /Widths and no
+    // /ToUnicode — its pinned numbers (0.5-em estimates) must be
+    // byte-identical to the pre-font-aware rounds: the Font resolves
+    // but hasMetrics=false falls back. Covered by the main fixture
+    // test above; this pins the interaction explicitly on one run.
+    val pages = RealPdf.parse(fixture, 1)
+    val r1 = pages(0).runs(0)
+    assert((r1.x0, r1.x1) == (72.0, 150.0)) // 13 glyphs x 6pt estimate
   }
 
   test("fallback page order without a catalog (document-order /Type/Page)") {
