@@ -110,6 +110,27 @@ object SparkEntry {
       extractedRows(s, dir)
         .select("doc_id", "kind", "text", "media_ref", "order")
     }),
+    "ex_realpdf" -> ((s, dir) => {
+      // genuine-PDF ingestion, driver-visible: deterministic real .pdf
+      // files (classic / Flate / ObjStm / LZW quarters) written to a
+      // scratch dir, ingested by the SAME binaryFile scan → RealPdf
+      // parse → PG/TX → Extractor path production uses, reduced to
+      // text rows. The oracle is the GENERATOR's ground truth
+      // (RealPdfBench.contentLines) — independent of the parser.
+      import s.implicits._
+      val tmp = scratchDir("graft-expdf")
+      (0 until 48).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, f"doc_$i%04d.pdf"),
+          graft.tools.RealPdfBench.makePdf(i.toLong, i % 4))
+      }
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("order").as("ord"), col("text"))
+        .orderBy("doc_id", "ord")
+    }),
     "ex_chunks" -> ((s, dir) => {
       // ≅ reference document_chunks incl. P13 extracted_at (setup.sql:123;
       // deterministic base + chunk_n so the driver oracle can hash it)
@@ -236,6 +257,26 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
           TextOps.langIdGuess(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
+    "q_langid2" -> ((s, dir) => {
+      // 21-language Cavnar-Trenkle trigram classifier (native
+      // TrigramLangId expression) over the corpus (all-English) plus
+      // deterministic seed sentences for EVERY supported language —
+      // the known-language accuracy surface the 6-language heuristic
+      // (q_langid) could not provide. Checked against the independent
+      // plain twin (PlainOracles.langIdTrigramPlain) expected table.
+      import s.implicits._
+      val base = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val nLangs = graft.functions.TrigramLangId.Seeds.all.size
+      val synth = s.range(nLangs * 20L).map { i =>
+        (2000000L + i, graft.functions.TrigramLangId.seedSentence(
+          (i / 20).toInt, (i % 20).toInt))
+      }.toDF("doc_id", "text")
+      base.union(synth)
+        .select(col("doc_id"),
+          graft.functions.TrigramLangId.langId(col("text")).as("lang"))
+        .orderBy("doc_id")
+    }),
     "q_context_assembly" -> ((s, dir) => {
       // Q8 RAG context assembly (streamlit_app.py:724-760)
       val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
@@ -750,6 +791,30 @@ object SparkEntry {
         PlainOracles.frameSamples(m.duration_ms, 5000L)
           .map(ms => (m.media_ref, ms))
       }.toDF("media_ref", "sample_ms")
+    }),
+    "ex_realpdf" -> ((s, dir) => {
+      import s.implicits._
+      // generator ground truth: what makePdf wrote — ExtractionSpec
+      // emits one span per page, every reading-order line newline-
+      // terminated (pdfminer get_text() semantics)
+      (0 until 48).map { i =>
+        (f"doc_$i%04d.pdf", 0,
+          graft.tools.RealPdfBench.contentLines(i.toLong, i % 4)
+            .map(_ + "\n").mkString)
+      }.toDF("doc_id", "ord", "text")
+    }),
+    "q_langid2" -> ((s, dir) => {
+      import s.implicits._
+      // same bounded corpus slice + the same deterministic seed
+      // sentences, classified by the independent plain twin
+      val nLangs = graft.functions.TrigramLangId.Seeds.all.size
+      val synth = (0 until nLangs * 20).map { i =>
+        (2000000L + i,
+          graft.functions.TrigramLangId.seedSentence(i / 20, i % 20))
+      }
+      (collectDocs(s, dir, 300) ++ synth).map { case (id, tx) =>
+        (id, PlainOracles.langIdTrigramPlain(tx))
+      }.toDF("doc_id", "lang")
     })
   )
 
@@ -775,6 +840,10 @@ object SparkEntry {
           GROUP BY doc_id ORDER BY doc_id""",
     "dd_minhash_lsh" ->
       s"SELECT * FROM '$ExpectedToken/dd_minhash_lsh/*.parquet'",
+    "q_langid2" ->
+      s"SELECT * FROM '$ExpectedToken/q_langid2/*.parquet'",
+    "ex_realpdf" ->
+      s"SELECT * FROM '$ExpectedToken/ex_realpdf/*.parquet'",
     "dd_simhash" ->
       s"SELECT * FROM '$ExpectedToken/dd_simhash/*.parquet'",
     "dd_dedup_removal" ->

@@ -59,11 +59,18 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(graft.functions.ShingleHashes
           .shingleHashes(col(textCol), w))).as("sh"))
-      .persist() // lazy: reused 3x below; eager localCheckpoint was pure
-                 // fixed overhead (an extra materialization job) at sf tiers
+      .persist() // lazy is safe here: both uses (freq agg map side, join
+                 // probe side) are sequential stages of the ONE eager
+                 // checkpoint job below — fill then hit, no cross-job race
+    // The filtered set is read three times below (sizes + both self-join
+    // sides). r03's lazy-persist-everywhere variant let those reads race
+    // on recomputing the freq-filter join under AQE (the one genuine
+    // bench regression of that round); an EAGER checkpoint of the compact
+    // (sh, id) rows materializes it once and gives AQE exact stats.
     val filtered = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("f"))
         .where(col("f") <= maxShingleFreq).select("sh"), Seq("sh"))
+      .localCheckpoint()
     // sizes over the SAME filtered shingle universe as the common counts —
     // otherwise the Jaccard denominator includes shingles the numerator
     // can never match once stop-shingle filtering engages (ADVICE r01)

@@ -442,4 +442,60 @@ object PlainOracles {
     */
   def frameSamples(durationMs: Long, stepMs: Long): Seq[Long] =
     if (durationMs <= 0) Seq.empty else 0L.to(durationMs, stepMs)
+
+  // ---- trigram language ID (independent twin of
+  // ---- graft.functions.TrigramLangId; shares only the Seeds DATA and
+  // ---- the pinned semantics in that class's scaladoc) ----
+
+  /** Doc profile: top-300 per-word-padded trigrams by (count desc,
+    * trigram asc). Functional path (map/split/sliding/groupBy) vs the
+    * engine's while-loop + java HashMap.
+    */
+  private def plainTrigramProfile(text: String): Vector[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .map(c => if (Character.isLetter(c)) c else ' ')
+      .split(" +").toVector.filter(_.nonEmpty)
+      .flatMap(w => (" " + w + " ").sliding(3).toVector)
+      .groupBy(identity).map { case (t, g) => (t, g.size) }
+      .toVector.sortBy { case (t, n) => (-n, t) }.take(300).map(_._1)
+
+  private lazy val plainLangProfiles: Vector[(String, Map[String, Int])] =
+    graft.functions.TrigramLangId.Seeds.latin.map { case (code, words) =>
+      code -> plainTrigramProfile(words.mkString(" ")).zipWithIndex.toMap
+    }.sortBy(_._1).toVector
+
+  /** Script shortcut via java.lang.Character.UnicodeBlock — independent
+    * of the engine's literal hex ranges but block-for-block identical
+    * (HIRAGANA+KATAKANA = 3040-30FF etc.).
+    */
+  private def plainScriptOf(text: String): Option[String] = {
+    import java.lang.Character.UnicodeBlock
+    import java.lang.Character.UnicodeBlock._
+    def has(blocks: UnicodeBlock*): Boolean =
+      text.exists(c => blocks.contains(UnicodeBlock.of(c)))
+    if (has(HIRAGANA, KATAKANA)) Some("ja")
+    else if (has(CJK_UNIFIED_IDEOGRAPHS)) Some("zh")
+    else if (has(HANGUL_SYLLABLES, HANGUL_JAMO)) Some("ko")
+    else if (has(CYRILLIC)) Some("ru")
+    else if (has(ARABIC)) Some("ar")
+    else if (has(GREEK)) Some("el")
+    else if (has(HEBREW)) Some("he")
+    else if (has(DEVANAGARI)) Some("hi")
+    else if (has(THAI)) Some("th")
+    else None
+  }
+
+  /** Plain twin of [[graft.functions.TrigramLangId]].classify. */
+  def langIdTrigramPlain(text: String): String =
+    plainScriptOf(text).getOrElse {
+      if (!text.exists(Character.isLetter)) "und"
+      else {
+        val doc = plainTrigramProfile(text)
+        plainLangProfiles.map { case (code, prof) =>
+          val d = doc.zipWithIndex.map { case (t, i) =>
+            math.abs(i - prof.getOrElse(t, 300)).toLong }.sum
+          (code, d)
+        }.minBy { case (code, d) => (d, code) }._1
+      }
+    }
 }

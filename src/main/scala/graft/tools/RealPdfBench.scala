@@ -12,17 +12,65 @@ import java.nio.file.{Files, Paths}
   */
 object RealPdfBench {
 
-  /** Deterministic minimal PDF writer (test/bench-side only): `variant`
-    * 0 = classic uncompressed, 1 = Flate content, 2 = ObjStm dicts.
+  /** PDF LZW encoder (ISO 32000 §7.4.4 semantics: 9-12 bit MSB-first
+    * codes, Clear=256, EOD=257, EarlyChange via `early`) — bench/test
+    * fixture generation only; the decoder under test is RealPdf's.
     */
-  def makePdf(docId: Long, variant: Int): Array[Byte] = {
+  def lzwEncode(data: Array[Byte], early: Int = 1): Array[Byte] = {
+    val dict = scala.collection.mutable.HashMap.empty[List[Byte], Int]
+    (0 until 256).foreach(i => dict(List(i.toByte)) = i)
+    var nextIdx = 258
+    var width = 9
+    val out = new java.io.ByteArrayOutputStream
+    var bitBuf = 0L; var bitCnt = 0
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    put(256) // clear
+    var w = List.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (dict.contains(wb)) w = wb
+      else {
+        put(dict(w))
+        if (nextIdx < 4096) {
+          dict(wb) = nextIdx; nextIdx += 1
+          if (nextIdx + early - 1 >= (1 << width) && width < 12) width += 1
+        }
+        w = List(b)
+      }
+    }
+    if (w.nonEmpty) put(dict(w))
+    put(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Ground-truth text lines of [[makePdf]]'s page, in reading order —
+    * the GENERATOR's knowledge of what it wrote, used as the
+    * parser-independent oracle for the driver's ex_realpdf query.
+    */
+  def contentLines(docId: Long, variant: Int): Seq[String] = {
     val rnd = new scala.util.Random(docId * 7919 + variant)
     val nLines = 8 + rnd.nextInt(25)
-    val content = new StringBuilder("BT /F1 11 Tf 72 760 Td ")
-    (0 until nLines).foreach { i =>
+    (0 until nLines).map { i =>
       val words = (0 until 4 + rnd.nextInt(9))
         .map(j => s"w${(docId + i * 31 + j * 7) % 997}").mkString(" ")
-      content.append(s"(Line $i: $words) Tj 0 -14 Td ")
+      s"Line $i: $words"
+    }
+  }
+
+  /** Deterministic minimal PDF writer (test/bench-side only): `variant`
+    * 0 = classic uncompressed, 1 = Flate content, 2 = ObjStm dicts,
+    * 3 = LZWDecode content (the old-toolchain filter added in r04).
+    */
+  def makePdf(docId: Long, variant: Int): Array[Byte] = {
+    val content = new StringBuilder("BT /F1 11 Tf 72 760 Td ")
+    contentLines(docId, variant).foreach { line =>
+      content.append(s"($line) Tj 0 -14 Td ")
     }
     content.append("ET\n")
     val cBytes = content.toString.getBytes("ISO-8859-1")
@@ -33,7 +81,8 @@ object RealPdfBench {
         val buf = new Array[Byte](cBytes.length * 2 + 64)
         val n = d.deflate(buf); d.end()
         (java.util.Arrays.copyOf(buf, n), " /Filter /FlateDecode")
-      } else (cBytes, "")
+      } else if (variant == 3) (lzwEncode(cBytes), " /Filter /LZWDecode")
+      else (cBytes, "")
 
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -77,7 +126,7 @@ object RealPdfBench {
 
     val dir = Files.createTempDirectory("graft-realpdf-corpus")
     (0 until nDocs).foreach { i =>
-      Files.write(dir.resolve(f"doc_$i%07d.pdf"), makePdf(i, i % 3))
+      Files.write(dir.resolve(f"doc_$i%07d.pdf"), makePdf(i, i % 4))
     }
     val out = Files.createTempDirectory("graft-realpdf-out").toString
 
@@ -90,14 +139,22 @@ object RealPdfBench {
       graft.pipeline.ExtractJob.Config(out, runId = "realpdf",
         groups = 1, partitions = 64, salting = "off"))
     val sec = (System.nanoTime() - t0) / 1e9
-    val rows = graft.pipeline.ExtractJob.readOutput(spark, out).count()
+    val outDf = graft.pipeline.ExtractJob.readOutput(spark, out)
+    val rows = outDf.count()
+    // recall: every generated PDF has exactly one page of text — a doc
+    // with no output row means its page vanished (unsupported filter /
+    // parse failure). This was the silent-loss channel the r03 verdict
+    // flagged; the LZW quarter of the mix exercises the fix.
+    val docsWithText = outDf.select("doc_id").distinct().count()
+    val recall = docsWithText.toDouble / nDocs
     require(report.docsProcessed == nDocs,
       s"expected $nDocs docs, got ${report.docsProcessed}")
 
     val line = f"| real-PDF ingestion | $nDocs genuine .pdf files " +
-      f"(1/3 classic, 1/3 Flate, 1/3 ObjStm) scanned+parsed+extracted " +
-      f"in $sec%.1f s = ${nDocs / sec}%.0f docs/s @ local[32]; " +
-      f"$rows output rows |"
+      f"(1/4 classic, 1/4 Flate, 1/4 ObjStm, 1/4 LZW) " +
+      f"scanned+parsed+extracted in $sec%.1f s = ${nDocs / sec}%.0f " +
+      f"docs/s @ local[32]; $rows output rows; text recall " +
+      f"$docsWithText/$nDocs = $recall%.4f |"
     println("[realpdf-bench] " + line)
     val benchMd = if (new java.io.File("BENCH.md").exists()) "BENCH.md"
                   else "/root/repo/BENCH.md"

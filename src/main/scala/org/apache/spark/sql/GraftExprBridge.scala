@@ -30,7 +30,8 @@ object GraftExprBridge {
   /** Register every graft native expression for SQL use:
     * graft_simhash64(text), graft_minhash_sig(text, w, k),
     * graft_shingle_hashes(text, w), graft_text_embed(text, dim),
-    * graft_rolling_hash64(text). Int parameters must be literals.
+    * graft_rolling_hash64(text), graft_langid(text). Int parameters
+    * must be literals.
     */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -40,6 +41,7 @@ object GraftExprBridge {
         s"$what must be an integer literal, got $other")
     }
     register(spark, "graft_simhash64", graft.functions.SimHash64(_))
+    register(spark, "graft_langid", graft.functions.TrigramLangId(_))
     register(spark, "graft_rolling_hash64",
       graft.functions.RollingHash64(_))
     registerN(spark, "graft_minhash_sig", es =>

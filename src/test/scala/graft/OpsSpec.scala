@@ -426,6 +426,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ImageIoCodec decodes a REAL PNG through the batched stage") {
+    import spark.implicits._
+    // the committed 13x7 fixture + an in-memory 5x3 PNG: genuine codec
+    // work (true pixel dims, luminance histogram) through the SAME
+    // decodeStage seam the fake-media queries use
+    val fixture = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixture_13x7.png").toURI))
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5) img.setRGB(x, y, 0xFF0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      ("png://fixture", "image", fixture),
+      ("png://red", "image", bos.toByteArray),
+      ("media://not-an-image", "image", Array[Byte](1, 2, 3)),
+      ("media://audio", "audio", Array[Byte](9, 9, 9)))
+      .toDF("media_ref", "kind", "content")
+    val got = Multimodal
+      .decodeStage(spark, media, Multimodal.ImageIoCodec)
+      .collect().map(m => m.media_ref -> m).toMap
+    assert(got("png://fixture").width == 13 &&
+           got("png://fixture").height == 7)
+    assert(got("png://red").width == 5 && got("png://red").height == 3)
+    // all-red image: luminance 76 -> bin 2 holds the whole mass
+    assert(math.abs(got("png://red").feature(2) - 1.0f) < 1e-6)
+    assert(got("png://red").feature.sum > 0.999f)
+    // undecodable image bytes and non-image kinds fall back to FakeCodec
+    val fake1 = Multimodal.FakeCodec.decode("media://not-an-image",
+      "image", Array[Byte](1, 2, 3))
+    assert(got("media://not-an-image").width == fake1.width)
+    val fake2 = Multimodal.FakeCodec.decode("media://audio", "audio",
+      Array[Byte](9, 9, 9))
+    assert(got("media://audio").duration_ms == fake2.duration_ms)
+  }
+
   // ---------- similarity ----------
 
   test("cosine column expr == scala dot product") {

@@ -239,38 +239,10 @@ class RealPdfSpec extends AnyFunSuite {
     * encoder widens at nextIdx+early-1 — one entry before the decoder,
     * matching its one-add lag). Independent of the production decoder.
     */
-  private def lzwEncode(data: Array[Byte], early: Int = 1): Array[Byte] = {
-    val dict = scala.collection.mutable.HashMap.empty[List[Byte], Int]
-    (0 until 256).foreach(i => dict(List(i.toByte)) = i)
-    var nextIdx = 258
-    var width = 9
-    val out = new java.io.ByteArrayOutputStream
-    var bitBuf = 0L; var bitCnt = 0
-    def put(code: Int): Unit = {
-      bitBuf = (bitBuf << width) | code; bitCnt += width
-      while (bitCnt >= 8) {
-        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
-      }
-    }
-    put(256) // clear
-    var w = List.empty[Byte]
-    data.foreach { b =>
-      val wb = w :+ b
-      if (dict.contains(wb)) w = wb
-      else {
-        put(dict(w))
-        if (nextIdx < 4096) {
-          dict(wb) = nextIdx; nextIdx += 1
-          if (nextIdx + early - 1 >= (1 << width) && width < 12) width += 1
-        }
-        w = List(b)
-      }
-    }
-    if (w.nonEmpty) put(dict(w))
-    put(257) // EOD
-    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
-    out.toByteArray
-  }
+  // shared with the bench corpus generator (main scope) so the LZW
+  // quarter of RealPdfBench's mix uses the identical encoder
+  private def lzwEncode(data: Array[Byte], early: Int = 1): Array[Byte] =
+    graft.tools.RealPdfBench.lzwEncode(data, early)
 
   test("LZWDecode: old-toolchain streams extract (incl. width growth past 511 entries)") {
     val content = "BT /F1 12 Tf 72 700 Td (lzw encoded text) Tj ET"
