@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   *
   *   1. PII scrubbing         (TextOps.redactPii)
   *   2. quality gate          (TextOps.qualityScore >= minQuality)
-  *   3. language filter       (TextOps.langIdGuess ∈ keepLangs, if set)
+  *   3. language filter       (langClassifier ∈ keepLangs, if set:
+  *                             "heuristic" langIdGuess or "trigram"
+  *                             TrigramLangId)
   *   4. exact dedup           (min-id keeper per md5 digest)
   *   5. near-dup removal      (MinHash-LSH pairs → connected components)
   *   6. benchmark decontamination (Dedup.contaminationReport ≥ threshold
@@ -27,6 +29,10 @@ object CorpusPipeline {
   case class Config(
     minQuality: Double = 0.5,
     keepLangs: Seq[String] = Seq.empty, // empty = keep all
+    // "heuristic" = TextOps.langIdGuess (6-language cascade, SQL twin);
+    // "trigram" = functions.TrigramLangId (21-language Cavnar-Trenkle
+    // classifier, native expression — the production choice)
+    langClassifier: String = "heuristic",
     nearDupMinJaccard: Double = 0.9,
     minhashW: Int = 3, minhashK: Int = 64, minhashBands: Int = 16,
     cutWindowTokens: Int = 0, // 0 = skip the substring-cut stage
@@ -61,10 +67,13 @@ object CorpusPipeline {
     val quality = count("quality_gate", redacted.where(
       TextOps.qualityScore(col(textCol)) >= cfg.minQuality))
 
+    val langExpr =
+      if (cfg.langClassifier == "trigram")
+        graft.functions.TrigramLangId.langId(col(textCol))
+      else TextOps.langIdGuess(col(textCol))
     val lang = count("lang_filter",
       if (cfg.keepLangs.isEmpty) quality
-      else quality.where(
-        TextOps.langIdGuess(col(textCol)).isin(cfg.keepLangs: _*)))
+      else quality.where(langExpr.isin(cfg.keepLangs: _*)))
 
     // exact dedup: keep the min-id row per identical text. The digest
     // groupBy shuffles (digest, id) only; the keeper join is id-equi.

@@ -745,6 +745,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!counts2.map(_.stage).contains("decontaminate"))
   }
 
+  test("pipeline lang stage with trigram classifier drops foreign docs") {
+    import spark.implicits._
+    import graft.functions.TrigramLangId
+    // long-enough English docs that pass the quality gate + foreign
+    // seed sentences (which fail quality anyway — so give them quality
+    // shape by repeating to length and checking the lang stage delta)
+    // digit suffixes make every doc shingle-distinct (so near-dedup
+    // keeps them) without touching the letters-only trigram profile
+    val pool = gen.CorpusGen.Words
+    val en = (0 until 10).map { i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and " +
+        "then it runs far away from all of the other animals " +
+        (0 until 40).map(k => pool((i * 13 + k * 7) % pool.length) +
+          i.toString + k.toString).mkString(" ")) }
+    val foreign = (0 until 10).map { i =>
+      val li = TrigramLangId.Seeds.all.indexWhere(_._1 == "de")
+      (100L + i, (TrigramLangId.seedSentence(li, i) + " ") * 6) }
+    val base = (en ++ foreign).toDF("doc_id", "text")
+    val (clean, counts) = CorpusPipeline.clean(base, "doc_id", "text",
+      CorpusPipeline.Config(minQuality = 0.0, keepLangs = Seq("en"),
+        langClassifier = "trigram"))
+    val kept = clean.select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 10L).toSet,
+      s"kept $kept; stages ${counts.mkString(", ")}")
+    assert(counts.find(_.stage == "lang_filter").get.docs == 10)
+  }
+
   test("multimodal decode stage: deterministic, schema intact, frames explode") {
     val media = Multimodal.fakeMediaTable(spark, 60, 42L)
     val meta = Multimodal.decodeStage(spark, media)
