@@ -10,8 +10,10 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   * pdfminer over real files, /root/reference/setup.sql:52-102).
   *
   * Supported (the uncompressed / FlateDecode text subset):
-  *  - object scan `N G obj … endobj` over the raw bytes (no xref
-  *    dependence — damaged or sloppy xref tables still parse, the same
+  *  - object scan `N G obj … endobj` over the raw bytes, stream
+  *    interiors excluded (no xref dependence — damaged or sloppy xref
+  *    tables still parse, and binary stream payloads containing
+  *    `N G obj` byte runs cannot fabricate objects — the same
   *    robustness posture as the tokenizer's skip-malformed rules);
   *  - page tree walk from /Root → /Pages → /Kids with /MediaBox
   *    inheritance; fallback to document-order /Type/Page objects;
@@ -140,9 +142,20 @@ object RealPdf {
     val s = l1(bytes)
     val out = MHashMap.empty[Int, Indirect]
     val m = ObjStart.matcher(s)
-    while (m.find()) {
+    // The scan NEVER looks inside stream bodies: after an object with a
+    // stream, matching resumes past its `endstream`. Compressed/binary
+    // payloads legally contain `N G obj` byte runs — scanning them
+    // could fabricate objects that overwrite real ones (the classic
+    // endobj-in-stream misfire an xref-trusting parser avoids by
+    // construction; we get the same immunity without trusting xref).
+    // With stream interiors excluded, a same-number re-definition later
+    // in the file is a genuine incremental update, and last-wins is the
+    // correct ISO 32000 §7.5.6 semantics.
+    var searchFrom = 0
+    while (searchFrom < s.length && m.find(searchFrom)) {
       val num = try m.group(1).toInt catch { case _: Exception => -1 }
       val gen = try m.group(2).toInt catch { case _: Exception => 0 }
+      searchFrom = m.end()
       if (num >= 0) {
         val bodyStart = m.end()
         val p = new Parser(s, bodyStart)
@@ -172,6 +185,10 @@ object RealPdf {
                   val e = s.indexOf("endstream", d)
                   if (e < 0) d else e
                 }
+              // resume the object scan after this stream's endstream
+              val es = s.indexOf("endstream", end)
+              searchFrom = math.max(searchFrom,
+                if (es >= 0) es + "endstream".length else end)
               Some(java.util.Arrays.copyOfRange(bytes, d, end))
             } else None
           out(num) = Indirect(value, data, gen)

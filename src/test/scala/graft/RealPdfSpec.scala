@@ -431,4 +431,19 @@ class RealPdfSpec extends AnyFunSuite {
     assert((pages(1).width, pages(1).height) == (300.0, 400.0))
     assert(pages(0).runs.map(_.text).contains("Hello, world!"))
   }
+
+  test("obj-in-stream poison: scan never reads stream interiors") {
+    // the content STREAM's bytes contain a fake `3 0 obj` page
+    // redefinition and a fake `4 0 obj` — a scanner that matches inside
+    // stream bodies fabricates objects that overwrite the real page /
+    // content (the classic endobj-in-string misfire); the scan must
+    // resume after `endstream` instead and extract the text intact
+    val poison = "keep endobj 3 0 obj << /Type /Page >> endobj " +
+      "4 0 obj << /Length 1 >> all of it"
+    val content =
+      s"BT /F1 12 Tf 72 700 Td ($poison) Tj ET".getBytes("ISO-8859-1")
+    val texts = RealPdf.parse(onePagePdf("", content), 1)
+      .flatMap(_.runs.map(_.text)).toList
+    assert(texts == List(poison))
+  }
 }
