@@ -112,17 +112,17 @@ object SparkEntry {
     }),
     "ex_realpdf" -> ((s, dir) => {
       // genuine-PDF ingestion, driver-visible: deterministic real .pdf
-      // files (classic / Flate / ObjStm / LZW quarters) written to a
-      // scratch dir, ingested by the SAME binaryFile scan → RealPdf
-      // parse → PG/TX → Extractor path production uses, reduced to
-      // text rows. The oracle is the GENERATOR's ground truth
-      // (RealPdfBench.contentLines) — independent of the parser.
+      // files (classic / Flate / ObjStm / LZW / two-page-Flate fifths)
+      // written to a scratch dir, ingested by the SAME binaryFile scan
+      // → RealPdf parse → PG/TX → Extractor path production uses,
+      // reduced to text rows. The oracle is the GENERATOR's ground
+      // truth (RealPdfBench.pagesOf) — independent of the parser.
       import s.implicits._
       val tmp = scratchDir("graft-expdf")
-      (0 until 48).foreach { i =>
+      (0 until 50).foreach { i =>
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, f"doc_$i%04d.pdf"),
-          graft.tools.RealPdfBench.makePdf(i.toLong, i % 4))
+          graft.tools.RealPdfBench.makePdf(i.toLong, i % 5))
       }
       graft.sources.RawFiles.read(s, tmp)
         .flatMap(d => Extractor.extractRows(d))
@@ -797,10 +797,10 @@ object SparkEntry {
       // generator ground truth: what makePdf wrote — ExtractionSpec
       // emits one span per page, every reading-order line newline-
       // terminated (pdfminer get_text() semantics)
-      (0 until 48).map { i =>
-        (f"doc_$i%04d.pdf", 0,
-          graft.tools.RealPdfBench.contentLines(i.toLong, i % 4)
-            .map(_ + "\n").mkString)
+      (0 until 50).flatMap { i =>
+        graft.tools.RealPdfBench.pagesOf(i.toLong, i % 5).zipWithIndex
+          .map { case (lines, k) =>
+            (f"doc_$i%04d.pdf", k, lines.map(_ + "\n").mkString) }
       }.toDF("doc_id", "ord", "text")
     }),
     "q_langid2" -> ((s, dir) => {

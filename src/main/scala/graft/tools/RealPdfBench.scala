@@ -63,29 +63,67 @@ object RealPdfBench {
     }
   }
 
+  /** The per-page line split: variants 0-3 put every line on one page;
+    * variant 4 splits them across two pages at the midpoint (page
+    * sequencing through a real /Kids array).
+    */
+  def pagesOf(docId: Long, variant: Int): Seq[Seq[String]] = {
+    val lines = contentLines(docId, variant)
+    if (variant == 4) {
+      val mid = lines.length / 2
+      Seq(lines.take(mid), lines.drop(mid))
+    } else Seq(lines)
+  }
+
   /** Deterministic minimal PDF writer (test/bench-side only): `variant`
     * 0 = classic uncompressed, 1 = Flate content, 2 = ObjStm dicts,
-    * 3 = LZWDecode content (the old-toolchain filter added in r04).
+    * 3 = LZWDecode content (the old-toolchain filter added in r04),
+    * 4 = TWO Flate pages (multi-kid page tree).
     */
   def makePdf(docId: Long, variant: Int): Array[Byte] = {
-    val content = new StringBuilder("BT /F1 11 Tf 72 760 Td ")
-    contentLines(docId, variant).foreach { line =>
-      content.append(s"($line) Tj 0 -14 Td ")
+    def render(lines: Seq[String]): Array[Byte] = {
+      val content = new StringBuilder("BT /F1 11 Tf 72 760 Td ")
+      lines.foreach(line => content.append(s"($line) Tj 0 -14 Td "))
+      content.append("ET\n")
+      content.toString.getBytes("ISO-8859-1")
     }
-    content.append("ET\n")
-    val cBytes = content.toString.getBytes("ISO-8859-1")
-    val (cData, cFilter) =
-      if (variant == 1) {
-        val d = new java.util.zip.Deflater()
-        d.setInput(cBytes); d.finish()
-        val buf = new Array[Byte](cBytes.length * 2 + 64)
-        val n = d.deflate(buf); d.end()
-        (java.util.Arrays.copyOf(buf, n), " /Filter /FlateDecode")
-      } else if (variant == 3) (lzwEncode(cBytes), " /Filter /LZWDecode")
-      else (cBytes, "")
-
+    def flate(bytes: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](bytes.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+
+    if (variant == 4) {
+      val Seq(p1, p2) = pagesOf(docId, variant)
+      w("%PDF-1.5\n")
+      Seq(4 -> p1, 7 -> p2).foreach { case (n, lines) =>
+        val c = flate(render(lines))
+        w(s"$n 0 obj\n<< /Length ${c.length} /Filter /FlateDecode >>" +
+          "\nstream\n")
+        out.write(c)
+        w("\nendstream\nendobj\n")
+      }
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> ("<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 " +
+          "/MediaBox [0 0 612 792] >>"),
+        3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        6 -> "<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>")
+        .foreach { case (n, b) => w(s"$n 0 obj\n$b\nendobj\n") }
+      w("startxref\n0\n%%EOF\n")
+      return out.toByteArray
+    }
+
+    val cBytes = render(contentLines(docId, variant))
+    val (cData, cFilter) =
+      if (variant == 1) (flate(cBytes), " /Filter /FlateDecode")
+      else if (variant == 3) (lzwEncode(cBytes), " /Filter /LZWDecode")
+      else (cBytes, "")
+
     w("%PDF-1.5\n")
     w(s"4 0 obj\n<< /Length ${cData.length}$cFilter >>\nstream\n")
     out.write(cData)
