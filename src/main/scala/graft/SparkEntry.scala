@@ -258,7 +258,7 @@ object SparkEntry {
           TextOps.langIdGuess(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
     "q_langid2" -> ((s, dir) => {
-      // 21-language Cavnar-Trenkle trigram classifier (native
+      // 25-language Cavnar-Trenkle trigram classifier (native
       // TrigramLangId expression) over the corpus (all-English) plus
       // deterministic seed sentences for EVERY supported language —
       // the known-language accuracy surface the 6-language heuristic

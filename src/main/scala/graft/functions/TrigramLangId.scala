@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * "N-Gram-Based Text Categorization" — public knowledge) as a native
   * codegen'd Catalyst [[Expression]]. Replaces the 6-language
   * stopword-cascade heuristic ([[graft.ops.TextOps.langIdGuess]], kept
-  * for the stable q_langid oracle) with a 21-language classifier whose
+  * for the stable q_langid oracle) with a 25-language classifier whose
   * per-language profiles are TRAINED at class-load time from the seeded
   * public word lists in [[TrigramLangId.Seeds]] — no external data, no
   * model files, deterministic on every JVM.
@@ -29,11 +29,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     letters, each token t padded to " t ", trigrams = all length-3
   *     windows of the padded token; doc profile = top-300 trigrams by
   *     (count desc, trigram asc); language profiles likewise from the
-  *     seed lists. Distance to a language = sum over doc-profile
-  *     trigrams of |docRank - langRank|, with missing trigrams costing
-  *     300 (the out-of-place measure of the paper, trigrams-only).
-  *     Result = argmin over the 12 Latin-script languages, ties broken
-  *     by language code ascending.
+  *     seed lists. Score vs a language = (hits, outOfPlace) where hits
+  *     = number of doc-profile trigrams present in the language
+  *     profile and outOfPlace = sum of |docRank - langRank| with
+  *     missing trigrams costing 300 (the paper's measure). Result =
+  *     max hits, ties broken by min outOfPlace, then language code
+  *     ascending. Hit count leads because the profiles are trained
+  *     from WORD LISTS (each word once): rank order beyond the first
+  *     few is alphabetical noise, and pure rank distance structurally
+  *     favors languages whose profile happens to be SMALL (fewer
+  *     entries ⇒ all ranks low ⇒ small |i-j|), which coverage-counting
+  *     is immune to.
   *
   * Scale: O(len) trigram counting + O(U log U) doc-profile sort per
   * document (U = distinct trigrams, bounded by len), one static-call
@@ -82,6 +88,49 @@ object TrigramLangId {
     // few very-high-frequency content words — public knowledge; ASCII-
     // folded, diacritics dropped, consistently per language).
     val latin: Seq[(String, Seq[String])] = Seq(
+      "cs" -> Seq("a", "se", "na", "je", "v", "ze", "to", "s", "do",
+        "o", "ale", "pro", "za", "jako", "po", "co", "tak", "jsem",
+        "jsou", "byl", "byla", "bylo", "jeho", "jen", "uz", "pak",
+        "kdyz", "nebo", "tim", "pred", "pri", "od", "podle", "roku",
+        "take", "muze", "rekl", "velmi", "dnes", "jeste", "letech",
+        "dva", "tri", "byt", "nez", "ktery", "ktera", "ktere", "tento",
+        "teto", "svou", "svym", "vsak", "mezi", "jsme", "neni", "bude",
+        "lidi", "clovek", "zivot", "doba", "prace", "den", "svet",
+        "czech", "praha", "tady", "proto", "protoze", "tomu", "toho"),
+      "da" -> Seq("og", "i", "jeg", "det", "at", "en", "den", "til",
+        "er", "som", "paa", "de", "med", "han", "af", "for", "ikke",
+        "der", "var", "mig", "sig", "men", "et", "har", "om", "vi",
+        "min", "havde", "ham", "hun", "nu", "over", "da", "fra", "du",
+        "ud", "sin", "dem", "os", "op", "man", "hans", "hvor", "eller",
+        "hvad", "skal", "selv", "her", "alle", "vil", "blev", "kunne",
+        "ind", "naar", "vaere", "dog", "noget", "ville", "jo", "deres",
+        "efter", "ned", "skulle", "denne", "end", "dette", "mit",
+        "ogsaa", "under", "have", "dig", "anden", "hende", "mine",
+        "alt", "meget", "sit", "sine", "vor", "mod", "disse", "hvis",
+        "din", "nogle", "hos", "blive", "mange", "ad", "bliver",
+        "hendes", "vaeret", "thi", "jer", "saadan"),
+      "fi" -> Seq("ja", "on", "ei", "se", "etta", "han", "oli", "ovat",
+        "mutta", "niin", "kun", "joka", "hanen", "myos", "sen", "olla",
+        "mita", "sita", "tama", "taman", "mina", "sina", "me", "te",
+        "he", "jos", "vain", "nyt", "siis", "kuin", "sitten", "viela",
+        "jo", "voi", "kaikki", "ollut", "sille", "mikaan", "itse",
+        "vuoden", "vuonna", "hyvin", "sanoi", "jalkeen", "kaksi",
+        "kolme", "paljon", "taalla", "siella", "miksi", "koska",
+        "aivan", "ennen", "mukaan", "nain", "yksi", "toinen", "uusi",
+        "suuri", "oma", "hyva", "paiva", "aika", "vuosi", "ihminen",
+        "asia", "maa", "tyo", "osa", "kanssa", "ilman", "kautta",
+        "asti", "saakka", "kohti", "takia", "vuoksi"),
+      "hu" -> Seq("a", "az", "es", "hogy", "nem", "is", "egy", "ez",
+        "de", "meg", "mar", "csak", "volt", "el", "ki", "mi", "van",
+        "te", "ha", "o", "en", "lesz", "ezt", "itt", "most", "majd",
+        "mint", "olyan", "akkor", "ott", "annak", "arra", "azt",
+        "ebben", "ennek", "erre", "ezek", "ezen", "ezert", "fel",
+        "hanem", "hat", "igen", "igy", "ilyen", "jo", "kell", "ket",
+        "kozott", "lehet", "le", "magyar", "mert", "minden", "mindig",
+        "nagy", "nagyon", "neki", "nincs", "pedig", "soha", "sok",
+        "szerint", "tobb", "tudom", "ugy", "utan", "vagy", "valami",
+        "vele", "vissza", "ember", "elet", "ido", "nap", "orszag",
+        "varos", "munka", "mond", "tud", "all"),
       "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das",
         "mit", "sich", "des", "auf", "ist", "im", "dem", "nicht", "ein",
         "eine", "als", "auch", "es", "an", "werden", "aus", "er", "hat",
@@ -165,7 +214,13 @@ object TrigramLangId {
         "eerste", "toen", "ging", "weer", "weg", "zelf", "kunnen",
         "jaar", "tijd", "nieuwe", "maken", "na", "werden", "hebben",
         "moeten", "waar", "dus", "al", "iets", "huis", "snel",
-        "elkaar", "zij", "wij"),
+        "elkaar", "zij", "wij", "vrij", "bijna", "altijd", "tijdens",
+        "eigen", "krijgen", "kijken", "blijven", "schrijven", "school",
+        "mensen", "kinderen", "nieuw", "vrouw", "water", "weten",
+        "zeggen", "zien", "gaan", "staan", "komen", "doen", "ons",
+        "uur", "jaren", "goede", "groot", "klein", "buiten", "binnen",
+        "achter", "zonder", "samen", "steeds", "toch", "wanneer",
+        "waarom", "springen", "bruin", "honderd", "vijf", "tien"),
       "pl" -> Seq("w", "i", "na", "z", "do", "to", "ze", "a", "o", "jak",
         "jest", "nie", "sie", "co", "tak", "po", "za", "od", "przez",
         "przy", "czy", "tylko", "juz", "byc", "dla", "moze", "go", "ale",
@@ -433,13 +488,16 @@ object TrigramLangId {
     }
     if (!hasLetter) return "und"
     val doc = topK(trigramCounts(text))
+    val hits = new Array[Int](latinCodes.length)
     val dist = new Array[Long](latinCodes.length)
     var r = 0
     while (r < doc.length) {
       val ranks = profileRanks.get(doc(r))
       var li = 0
       while (li < latinCodes.length) {
-        dist(li) += math.abs(r - (if (ranks == null) K else ranks(li)))
+        val rank = if (ranks == null) K else ranks(li)
+        if (rank < K) hits(li) += 1
+        dist(li) += math.abs(r - rank)
         li += 1
       }
       r += 1
@@ -447,7 +505,8 @@ object TrigramLangId {
     var best = 0
     var li = 1
     while (li < latinCodes.length) { // ties keep the earlier (asc) code
-      if (dist(li) < dist(best)) best = li
+      if (hits(li) > hits(best) ||
+          (hits(li) == hits(best) && dist(li) < dist(best))) best = li
       li += 1
     }
     latinCodes(best)

@@ -30,7 +30,7 @@ object CorpusPipeline {
     minQuality: Double = 0.5,
     keepLangs: Seq[String] = Seq.empty, // empty = keep all
     // "heuristic" = TextOps.langIdGuess (6-language cascade, SQL twin);
-    // "trigram" = functions.TrigramLangId (21-language Cavnar-Trenkle
+    // "trigram" = functions.TrigramLangId (25-language Cavnar-Trenkle
     // classifier, native expression — the production choice)
     langClassifier: String = "heuristic",
     nearDupMinJaccard: Double = 0.9,

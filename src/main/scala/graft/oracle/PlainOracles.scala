@@ -485,17 +485,20 @@ object PlainOracles {
     else None
   }
 
-  /** Plain twin of [[graft.functions.TrigramLangId]].classify. */
+  /** Plain twin of [[graft.functions.TrigramLangId]].classify: max
+    * hit count, ties by min out-of-place distance, then code asc.
+    */
   def langIdTrigramPlain(text: String): String =
     plainScriptOf(text).getOrElse {
       if (!text.exists(Character.isLetter)) "und"
       else {
         val doc = plainTrigramProfile(text)
         plainLangProfiles.map { case (code, prof) =>
+          val hits = doc.count(prof.contains)
           val d = doc.zipWithIndex.map { case (t, i) =>
             math.abs(i - prof.getOrElse(t, 300)).toLong }.sum
-          (code, d)
-        }.minBy { case (code, d) => (d, code) }._1
+          (code, hits, d)
+        }.minBy { case (code, hits, d) => (-hits, d, code) }._1
       }
     }
 }

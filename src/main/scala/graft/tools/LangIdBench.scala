@@ -43,7 +43,7 @@ object LangIdBench {
     val correct = byLang.filter { case (l, w, _) => l == w }.map(_._3).sum
     val accuracy = correct.toDouble / nDocs
     val line = f"| trigram lang-ID volume | $nDocs docs (~60 words, " +
-      f"21-language round-robin) classified+grouped in $sec%.1f s = " +
+      f"per-language round-robin) classified+grouped in $sec%.1f s = " +
       f"${nDocs / sec}%.0f docs/s @ local[32]; per-doc accuracy vs " +
       f"generator language ${accuracy * 100}%.2f%% |"
     println("[langid-bench] " + line)
