@@ -201,7 +201,7 @@ object RealPdf {
     // expansion — object-stream contents are themselves encrypted as
     // streams, while strings inside them are not re-encrypted
     // (§7.5.7). The /Encrypt dict's own strings and XRef streams are
-    // exempt (§7.5.8.2). Unsupported schemes (AES, non-blank
+    // exempt (§7.5.8.2). Unsupported schemes (AES-256, non-blank
     // password) leave data untouched ⇒ filters fail ⇒ empty pages,
     // the declared honest degradation.
     encryptionOf(s, out.toMap).foreach { case (crypt, encNum) =>
@@ -683,10 +683,15 @@ object RealPdf {
     .map(_.toByte)
 
   /** File-key holder; [[dec]] derives the per-object key (Algorithm 1:
-    * MD5(fileKey ‖ objNum:3LE ‖ gen:2LE), first min(n+5,16) bytes) and
-    * RC4-decrypts.
+    * MD5(fileKey ‖ objNum:3LE ‖ gen:2LE ‖ — for AES — the "sAlT"
+    * constant 73 41 6C 54), first min(n+5,16) bytes) and decrypts:
+    * RC4, or for /CFM /AESV2 AES-128-CBC with the ciphertext's first
+    * 16 bytes as IV and PKCS#7 padding stripped (§7.6.2). Malformed
+    * AES payloads (shorter than one block / ragged length) return the
+    * raw bytes — downstream filters then fail ⇒ empty page, the
+    * declared honest degradation.
     */
-  private final case class Crypt(key: Array[Byte]) {
+  private final case class Crypt(key: Array[Byte], aes: Boolean = false) {
     def dec(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(key)
@@ -694,9 +699,22 @@ object RealPdf {
         (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
         ((num >> 16) & 0xff).toByte,
         (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+      if (aes) md.update(Array[Byte](0x73, 0x41, 0x6C, 0x54))
       val k = java.util.Arrays.copyOf(md.digest(),
         math.min(key.length + 5, 16))
-      rc4(k, data)
+      if (!aes) return rc4(k, data)
+      if (data.length < 32 || (data.length - 16) % 16 != 0) return data
+      try {
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+        val plain = cipher.doFinal(data, 16, data.length - 16)
+        val pad = plain(plain.length - 1) & 0xff
+        if (pad >= 1 && pad <= 16 && pad <= plain.length)
+          java.util.Arrays.copyOf(plain, plain.length - pad)
+        else plain
+      } catch { case _: java.security.GeneralSecurityException => data }
     }
   }
 
@@ -725,8 +743,9 @@ object RealPdf {
     * returns the verified file key + the /Encrypt object's number (its
     * own strings are plaintext). /Encrypt and /ID come from `trailer`
     * dicts or (xref-stream files) /Type/XRef dicts. Supported: V 1/2
-    * (RC4 40–128 bit, R 2/3) and V 4 with /StdCF /CFM /V2; AES or a
-    * real password ⇒ None (honest empty pages, never wrong text).
+    * (RC4 40–128 bit, R 2/3) and V 4 R 4 with /StdCF /CFM /V2 (RC4)
+    * or /AESV2 (AES-128-CBC); AES-256 (V 5) or a real password ⇒ None
+    * (honest empty pages, never wrong text).
     */
   private def encryptionOf(s: String, objs: Map[Int, Indirect])
       : Option[(Crypt, Int)] = try {
@@ -772,10 +791,12 @@ object RealPdf {
       case PNum(x) => x.toInt
       case _       => 2
     }
-    if (v == 4) { // crypt filters: only plain RC4 (/CFM /V2) supported
+    var aes = false
+    if (v == 4) { // crypt filters: RC4 (/CFM /V2) or AES-128 (/AESV2)
       val cfm = dictGet(dictGet(dictGet(ed, "CF", objs), "StdCF", objs),
                         "CFM", objs)
-      if (cfm != PName("V2")) return None
+      if (cfm == PName("AESV2")) aes = true
+      else if (cfm != PName("V2")) return None
     } else if (v != 1 && v != 2) return None
     val o = dictGet(ed, "O", objs) match {
       case PStr(b) => b
@@ -796,7 +817,8 @@ object RealPdf {
     val n = if (v == 1) 5 else math.max(5, math.min(16, nBits / 8))
     val encMeta = dictGet(ed, "EncryptMetadata", objs) != PBool(false)
     val key = fileKey(o, perm, id0, n, r, encMeta)
-    if (checkEmptyUserPassword(key, u, id0, r)) Some((Crypt(key), encRef))
+    if (checkEmptyUserPassword(key, u, id0, r))
+      Some((Crypt(key, aes), encRef))
     else None
   } catch { case _: Exception => None }
 

@@ -334,6 +334,33 @@ class RealPdfSpec extends AnyFunSuite {
     assert(locked.length == 1 && locked(0).runs.isEmpty)
   }
 
+  test("AES-128 (V4/R4 /AESV2) empty-password decryption") {
+    // fixture_aes.pdf (tools/make_aes_fixture.py): /CF /StdCF /CFM
+    // /AESV2, sAlT-extended per-object keys, IV-prefixed CBC payloads
+    // with PKCS#7 padding; one plain-AES stream + one AES-over-Flate
+    val bytes = Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_aes.pdf").toURI))
+    val pages = RealPdf.parse(bytes, 1)
+    assert(pages.length == 1)
+    assert(pages(0).runs.map(_.text).toList ==
+      List("aes plain stream", "aes over flate"))
+    assert(pages(0).runs(0).y0 == 700.0 && pages(0).runs(1).y0 == 680.0)
+
+    // tampered /U ⇒ key check fails ⇒ honest empty page
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = s.indexOf("/U <") + 4
+    val broken = bytes.clone()
+    broken(uAt) = (if (broken(uAt) == '0') '1' else '0').toByte
+    val locked = RealPdf.parse(broken, 1)
+    assert(locked.length == 1 && locked(0).runs.isEmpty)
+    // corrupted ciphertext must not throw (and never yields text runs
+    // that the tokenizer would mistake for valid operators crashing)
+    val mangled = bytes.clone()
+    val streamAt = s.indexOf("stream\n") + 7
+    mangled(streamAt + 20) = 0x7f
+    RealPdf.parse(mangled, 1)
+  }
+
   test("fuzz: mutated fixture bytes and nesting bombs never throw") {
     var seed = 0x2545f4914f6cdd1dL
     def next(n: Int): Int = {
@@ -353,6 +380,16 @@ class RealPdfSpec extends AnyFunSuite {
     assert(RealPdf.parse(bomb, 1) == Vector.empty)
     val dictBomb = ("%PDF-1.4\n1 0 obj " + "<< /A " * 50000).getBytes
     assert(RealPdf.parse(dictBomb, 1) == Vector.empty)
+    // the five ex_realpdf generator variants (classic/Flate/ObjStm/
+    // LZW/two-page) under the same mutation storm — these bytes feed a
+    // driver query, so crash-robustness is contract, not nicety
+    (0 until 150).foreach { i =>
+      val b = graft.tools.RealPdfBench.makePdf(i % 10L, i % 5)
+      (0 until 1 + next(30)).foreach { _ =>
+        b(next(b.length)) = next(256).toByte
+      }
+      RealPdf.parse(b, 1)
+    }
   }
 
   test("font-aware: simple font /Widths + /ToUnicode give exact text and widths") {
