@@ -34,11 +34,14 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   *    to text — so embedded-subset-font PDFs (LaTeX, Chrome print,
   *    Word) extract real text with exact bbox widths.
   *
-  * Declared approximations, now FALLBACKS for metric-less fonts only
-  * (a font with neither /Widths nor /ToUnicode, e.g. the standard-14
-  * Helvetica, whose metrics are conventionally built into viewers):
-  * glyph advance is 0.5 em + Tc (+ Tw on 0x20), so those bbox WIDTHS
-  * are estimates while x/y ORIGINS and page geometry stay exact;
+  * Declared approximations, now FALLBACKS only for fonts with neither
+  * /Widths nor /ToUnicode NOR a standard-14 /BaseFont name (the
+  * Helvetica/Arial, Times, and Courier families resolve to built-in
+  * Adobe Core AFM width tables like every conforming viewer; Bold/
+  * Oblique variants approximate with the regular table; Symbol/
+  * ZapfDingbats/unknown names estimate): the estimate advance is
+  * 0.5 em + Tc (+ Tw on 0x20), so those bbox WIDTHS are estimates
+  * while x/y ORIGINS and page geometry stay exact;
   * non-UTF-16 strings decode as Latin-1 (≈ WinAnsi for printable
   * text); unmapped CIDs render U+FFFD. Base-encoding /Differences
   * arrays are not consulted (ToUnicode wins in practice — writers that
@@ -386,7 +389,9 @@ object RealPdf {
              toUnicodeOf(fd, objs))
       case _ =>
         // simple font: /Widths indexed from /FirstChar (§9.6.2); absent
-        // ⇒ metric-less (standard-14), the estimate fallback
+        // ⇒ standard-14 built-in AFM metrics by /BaseFont family
+        // (Helvetica/Arial, Times, Courier — the conventional viewer
+        // behavior §9.6.2.2), else the estimate fallback
         val fc = dictGet(fd, "FirstChar", objs) match {
           case PNum(v) => v.toInt
           case _       => -1
@@ -396,7 +401,12 @@ object RealPdf {
             items.zipWithIndex.collect {
               case (PNum(w), i) => (fc + i) -> w
             }.toMap
-          case _ => Map.empty[Int, Double]
+          case _ =>
+            val base = dictGet(fd, "BaseFont", objs) match {
+              case PName(n) => n
+              case _        => ""
+            }
+            Std14.widthsFor(base)
         }
         val mw = dictGet(dictGet(fd, "FontDescriptor", objs),
                          "MissingWidth", objs) match {
@@ -405,6 +415,52 @@ object RealPdf {
         }
         Font(isCid = false, ws, mw, toUnicodeOf(fd, objs))
     }
+
+  /** Built-in widths for the standard-14 base fonts (Adobe Core AFM
+    * metrics — public data), ASCII 32–126. Family matching strips the
+    * `ABCDEF+` subset prefix and is case-insensitive; Bold/Oblique/
+    * Italic variants use the regular table (a few-units-per-glyph
+    * approximation, far closer than the 0.5-em flat estimate, which
+    * remains the fallback for Symbol/ZapfDingbats/unknown names and
+    * for codes outside 32–126).
+    */
+  private object Std14 {
+    private val helvetica = Array(
+      278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278,
+      333, 278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556,
+      278, 278, 584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611,
+      778, 722, 278, 500, 667, 556, 833, 722, 778, 667, 778, 722, 667,
+      611, 722, 667, 944, 667, 667, 611, 278, 278, 278, 469, 556, 333,
+      556, 556, 500, 556, 556, 278, 556, 556, 222, 222, 500, 222, 833,
+      556, 556, 556, 556, 333, 500, 278, 556, 500, 722, 500, 500, 500,
+      334, 260, 334, 584)
+    private val times = Array(
+      250, 333, 408, 500, 500, 833, 778, 180, 333, 333, 500, 564, 250,
+      333, 250, 278, 500, 500, 500, 500, 500, 500, 500, 500, 500, 500,
+      278, 278, 564, 564, 564, 444, 921, 722, 667, 667, 722, 611, 556,
+      722, 722, 333, 389, 722, 611, 889, 722, 722, 556, 722, 667, 556,
+      611, 722, 722, 944, 722, 722, 611, 333, 278, 333, 469, 500, 333,
+      444, 500, 444, 500, 444, 333, 500, 500, 278, 278, 500, 278, 778,
+      500, 500, 500, 500, 333, 389, 278, 500, 500, 722, 500, 500, 444,
+      480, 200, 480, 541)
+    private def toMap(a: Array[Int]): Map[Int, Double] =
+      a.iterator.zipWithIndex.map { case (w, i) =>
+        (i + 32) -> w.toDouble }.toMap
+    private val helveticaMap = toMap(helvetica)
+    private val timesMap = toMap(times)
+    private val courierMap =
+      (32 to 126).map(c => c -> 600.0).toMap
+
+    def widthsFor(baseFont: String): Map[Int, Double] = {
+      val name = baseFont.substring(baseFont.indexOf('+') + 1)
+        .toLowerCase(java.util.Locale.ROOT)
+      if (name.contains("courier") || name.contains("mono")) courierMap
+      else if (name.contains("times")) timesMap
+      else if (name.contains("helvetica") || name.contains("arial"))
+        helveticaMap
+      else Map.empty
+    }
+  }
 
   /** CID /W array → code → width: runs are either `c [w1 w2 …]`
     * (consecutive from c) or `cFirst cLast w` (range). Range length is
@@ -1197,7 +1253,25 @@ object RealPdf {
     def show(strBytes: Array[Byte]): Unit = {
       var text: String = null
       var adv = 0.0
-      if (curFont != null && curFont.hasMetrics) {
+      val bomSimple = curFont != null && curFont.hasMetrics &&
+        !curFont.isCid && strBytes.length >= 2 &&
+        strBytes(0) == 0xfe.toByte && strBytes(1) == 0xff.toByte
+      if (bomSimple) {
+        // nonstandard BOM'd UTF-16 literal under a simple font: keep
+        // the unicode text identity (matching the tokenizer's PG/TX
+        // semantics) and advance each DECODED char by its width table
+        // entry (char code ≈ glyph code for the Latin-1 range)
+        val ft = curFont
+        text = decodeText(strBytes)
+        var i = 0
+        while (i < text.length) {
+          val ch = text.charAt(i).toInt
+          adv += ft.widths.getOrElse(ch, ft.defaultWidth) / 1000.0 *
+            fontSize + charSp
+          if (ch == 32) adv += wordSp
+          i += 1
+        }
+      } else if (curFont != null && curFont.hasMetrics) {
         val ft = curFont
         val sb = new java.lang.StringBuilder
         val step = if (ft.isCid) 2 else 1

@@ -36,21 +36,24 @@ class RealPdfSpec extends AnyFunSuite {
       "Kerned", " pair",
       "Escapes: (paren) \\ octal A", // \( \) \\ and octal \101 = 'A'
       "Hi"))                         // UTF-16BE hex string with BOM
-    // run 1: 12pt at (72, 720), 13 glyphs x 6pt estimated advance
+    // run 1: 12pt at (72, 720) — Helvetica built-in AFM widths (the
+    // r04 standard-14 tables): Σ(Hello, world!) = 5501/1000 em
     val r1 = p1.runs(0)
-    assert((r1.x0, r1.y0, r1.x1, r1.y1) == (72.0, 720.0, 150.0, 732.0))
+    assert(r1.x0 == 72.0 && r1.y0 == 720.0 && r1.y1 == 732.0)
+    assert(math.abs(r1.x1 - 138.012) < 1e-9)
     // TJ kerning: -120/1000 * 10pt = +1.2pt gap between the two pieces
+    // (Kerned = 3224/1000 em at 10pt = 32.24pt)
     val (k1, k2) = (p1.runs(1), p1.runs(2))
-    assert(k1.x0 == 72.0 && k1.x1 == 102.0)
-    assert(math.abs(k2.x0 - 103.2) < 1e-9)
+    assert(k1.x0 == 72.0 && math.abs(k1.x1 - 104.24) < 1e-9)
+    assert(math.abs(k2.x0 - 105.44) < 1e-9)
     assert(k1.y0 == 700.0 && k2.y0 == 700.0)
     // Tm scale 14: origin exact, height = fontSize * |d-column|
     val tm = p1.runs(3)
     assert(tm.x0 == 72.0 && tm.y0 == 680.0)
     assert(tm.y1 - tm.y0 == 12.0 * 14.0)
-    // UTF-16BE advance counts glyphs, not bytes: 2 chars * 5.5pt
+    // UTF-16BE advance counts glyphs, not bytes: H 722 + i 222 at 11pt
     val hi = p1.runs(4)
-    assert(hi.x1 - hi.x0 == 11.0)
+    assert(math.abs((hi.x1 - hi.x0) - 10.384) < 1e-9)
 
     val p2 = pages(1)
     assert(p2.page == 2) // document-global counter continues
@@ -444,15 +447,21 @@ class RealPdfSpec extends AnyFunSuite {
     assert(back.head.runs.toList == pages(0).runs.toList)
   }
 
-  test("font-aware: metric-less standard-14 font keeps the estimate path") {
+  test("font-aware: standard-14 Helvetica uses built-in AFM widths") {
     // fixture_real.pdf's /F1 is Helvetica with no /Widths and no
-    // /ToUnicode — its pinned numbers (0.5-em estimates) must be
-    // byte-identical to the pre-font-aware rounds: the Font resolves
-    // but hasMetrics=false falls back. Covered by the main fixture
-    // test above; this pins the interaction explicitly on one run.
+    // /ToUnicode — r04 resolves it to the built-in Adobe Core AFM
+    // table (pdfminer ships the same metrics), so advances are exact:
+    // Σwidths("Hello, world!") = 5501/1000 em x 12pt = 66.012
     val pages = RealPdf.parse(fixture, 1)
     val r1 = pages(0).runs(0)
-    assert((r1.x0, r1.x1) == (72.0, 150.0)) // 13 glyphs x 6pt estimate
+    assert(r1.x0 == 72.0 && math.abs(r1.x1 - 138.012) < 1e-9)
+    // a font OUTSIDE the standard 14 still takes the estimate path
+    val s = new String(fixture,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val odd = s.replace("/BaseFont /Helvetica", "/BaseFont /Oddball12")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val est = RealPdf.parse(odd, 1)(0).runs(0)
+    assert((est.x0, est.x1) == (72.0, 150.0)) // 13 glyphs x 6pt
   }
 
   test("fallback page order without a catalog (document-order /Type/Page)") {
