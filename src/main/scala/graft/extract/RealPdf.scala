@@ -204,7 +204,7 @@ object RealPdf {
     // expansion — object-stream contents are themselves encrypted as
     // streams, while strings inside them are not re-encrypted
     // (§7.5.7). The /Encrypt dict's own strings and XRef streams are
-    // exempt (§7.5.8.2). Unsupported schemes (AES-256, non-blank
+    // exempt (§7.5.8.2). Unsupported schemes (non-blank
     // password) leave data untouched ⇒ filters fail ⇒ empty pages,
     // the declared honest degradation.
     encryptionOf(s, out.toMap).foreach { case (crypt, encNum) =>
@@ -747,18 +747,23 @@ object RealPdf {
     * raw bytes — downstream filters then fail ⇒ empty page, the
     * declared honest degradation.
     */
-  private final case class Crypt(key: Array[Byte], aes: Boolean = false) {
+  private final case class Crypt(key: Array[Byte], aes: Boolean = false,
+                                 v5: Boolean = false) {
     def dec(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(key)
-      md.update(Array[Byte](
-        (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
-        ((num >> 16) & 0xff).toByte,
-        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
-      if (aes) md.update(Array[Byte](0x73, 0x41, 0x6C, 0x54))
-      val k = java.util.Arrays.copyOf(md.digest(),
-        math.min(key.length + 5, 16))
-      if (!aes) return rc4(k, data)
+      val k =
+        if (v5) key // AESV3 (§7.6.3.2): the FILE key, no per-object mix
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(key)
+          md.update(Array[Byte](
+            (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+            ((num >> 16) & 0xff).toByte,
+            (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+          if (aes) md.update(Array[Byte](0x73, 0x41, 0x6C, 0x54))
+          java.util.Arrays.copyOf(md.digest(),
+            math.min(key.length + 5, 16))
+        }
+      if (!aes && !v5) return rc4(k, data)
       if (data.length < 32 || (data.length - 16) % 16 != 0) return data
       try {
         val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
@@ -772,6 +777,42 @@ object RealPdf {
         else plain
       } catch { case _: java.security.GeneralSecurityException => data }
     }
+  }
+
+  /** ISO 32000-2 Algorithm 2.B (R6 password hash): SHA-256 seed, then
+    * rounds of AES-128-CBC over 64 repeats of (pw ‖ K ‖ udata) with
+    * the digest picked by E's first-16-byte sum mod 3, stopping after
+    * round 64 once E's last byte ≤ round−32.
+    */
+  private def hash2B(pw: Array[Byte], salt: Array[Byte],
+                     udata: Array[Byte]): Array[Byte] = {
+    def sha(n: Int, d: Array[Byte]) =
+      java.security.MessageDigest.getInstance(s"SHA-$n").digest(d)
+    var k = sha(256, pw ++ salt ++ udata)
+    var i = 0
+    var done = false
+    var last: Array[Byte] = null
+    while (!done) {
+      val block = pw ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(block, 0, k1, j * block.length, block.length)
+        j += 1
+      }
+      val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      last = cipher.doFinal(k1)
+      var sum = 0
+      j = 0
+      while (j < 16) { sum += last(j) & 0xff; j += 1 }
+      k = sha(256 + (sum % 3) * 128, last)
+      i += 1
+      if (i >= 64 && (last(last.length - 1) & 0xff) <= i - 32) done = true
+    }
+    java.util.Arrays.copyOf(k, 32)
   }
 
   private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
@@ -800,7 +841,7 @@ object RealPdf {
     * own strings are plaintext). /Encrypt and /ID come from `trailer`
     * dicts or (xref-stream files) /Type/XRef dicts. Supported: V 1/2
     * (RC4 40–128 bit, R 2/3) and V 4 R 4 with /StdCF /CFM /V2 (RC4)
-    * or /AESV2 (AES-128-CBC); AES-256 (V 5) or a real password ⇒ None
+    * or /AESV2 (AES-128-CBC), and V 5 R 6 /AESV3 (AES-256); a real password ⇒ None
     * (honest empty pages, never wrong text).
     */
   private def encryptionOf(s: String, objs: Map[Int, Indirect])
@@ -846,6 +887,34 @@ object RealPdf {
     val r = dictGet(ed, "R", objs) match {
       case PNum(x) => x.toInt
       case _       => 2
+    }
+    if (v == 5) {
+      // AES-256 (V5/R6 /AESV3, §7.6.4.3.3 ISO 32000-2): /U carries
+      // hash(32) ‖ validation salt(8) ‖ key salt(8); the file key is
+      // AES-256-CBC(iv=0) decryption of /UE under hash2B(pw ‖ keySalt)
+      val cfm = dictGet(dictGet(dictGet(ed, "CF", objs), "StdCF", objs),
+                        "CFM", objs)
+      if (cfm != PName("AESV3")) return None
+      val u5 = dictGet(ed, "U", objs) match {
+        case PStr(b) if b.length >= 48 => b
+        case _                         => return None
+      }
+      val ue = dictGet(ed, "UE", objs) match {
+        case PStr(b) if b.length >= 32 => b
+        case _                         => return None
+      }
+      val none = Array.emptyByteArray
+      val vSalt = java.util.Arrays.copyOfRange(u5, 32, 40)
+      val kSalt = java.util.Arrays.copyOfRange(u5, 40, 48)
+      if (!java.util.Arrays.equals(hash2B(none, vSalt, none),
+            java.util.Arrays.copyOf(u5, 32))) return None // real password
+      val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(hash2B(none, kSalt, none),
+          "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      val fk = cipher.doFinal(java.util.Arrays.copyOf(ue, 32))
+      return Some((Crypt(fk, aes = true, v5 = true), encRef))
     }
     var aes = false
     if (v == 4) { // crypt filters: RC4 (/CFM /V2) or AES-128 (/AESV2)

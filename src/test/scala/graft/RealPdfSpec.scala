@@ -364,6 +364,27 @@ class RealPdfSpec extends AnyFunSuite {
     RealPdf.parse(mangled, 1)
   }
 
+  test("AES-256 (V5/R6 /AESV3) empty-password decryption") {
+    // fixture_aes256.pdf (tools/make_aes256_fixture.py): the modern
+    // Acrobat-X+ scheme — R6 Algorithm-2.B password hash validates /U,
+    // the file key unwraps from /UE (AES-256-CBC, zero IV), and
+    // objects decrypt with the FILE key directly (no per-object mix)
+    val bytes = Files.readAllBytes(Paths.get(
+      getClass.getResource("/fixture_aes256.pdf").toURI))
+    val pages = RealPdf.parse(bytes, 1)
+    assert(pages.length == 1)
+    assert(pages(0).runs.map(_.text).toList ==
+      List("aes256 plain stream", "aes256 over flate"))
+
+    // tampered /U hash ⇒ password check fails ⇒ honest empty page
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = s.indexOf("/U <") + 4
+    val broken = bytes.clone()
+    broken(uAt) = (if (broken(uAt) == '0') '1' else '0').toByte
+    val locked = RealPdf.parse(broken, 1)
+    assert(locked.length == 1 && locked(0).runs.isEmpty)
+  }
+
   test("fuzz: mutated fixture bytes and nesting bombs never throw") {
     var seed = 0x2545f4914f6cdd1dL
     def next(n: Int): Int = {
