@@ -393,6 +393,21 @@ object SparkEntry {
         "doc_id", "text")),
     "q_corpus_by_lang" -> ((s, dir) =>
       graft.ops.CorpusReport.byLanguage(t(s, dir, "documents"), "text")),
+    "q_corpus_by_lang2" -> ((s, dir) => {
+      // per-language corpus report under the 25-language trigram
+      // classifier, over the same mixed corpus as q_langid2 (English
+      // documents + seed sentences of every language) so the report
+      // actually has 25+ rows to roll up
+      import s.implicits._
+      val base = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val nLangs = graft.functions.TrigramLangId.Seeds.all.size
+      val synth = s.range(nLangs * 20L).map { i =>
+        (2000000L + i, graft.functions.TrigramLangId.seedSentence(
+          (i / 20).toInt, (i % 20).toInt))
+      }.toDF("doc_id", "text")
+      graft.ops.CorpusReport.byLanguageTrigram(base.union(synth), "text")
+    }),
     "q_rollup" -> ((s, dir) =>
       // grouping-sets rollup (X3: absent in the reference; present here)
       t(s, dir, "documents")
@@ -815,6 +830,24 @@ object SparkEntry {
       (collectDocs(s, dir, 300) ++ synth).map { case (id, tx) =>
         (id, PlainOracles.langIdTrigramPlain(tx))
       }.toDF("doc_id", "lang")
+    }),
+    "q_corpus_by_lang2" -> ((s, dir) => {
+      import s.implicits._
+      // plain-twin classification + driver-side rollup with Spark's
+      // round(avg, 2) HALF_UP semantics
+      val nLangs = graft.functions.TrigramLangId.Seeds.all.size
+      val synth = (0 until nLangs * 20).map { i =>
+        (2000000L + i,
+          graft.functions.TrigramLangId.seedSentence(i / 20, i % 20))
+      }
+      (collectDocs(s, dir, 300) ++ synth)
+        .groupBy { case (_, tx) => PlainOracles.langIdTrigramPlain(tx) }
+        .toSeq.map { case (lang, docs) =>
+          val avg = docs.map(_._2.length.toLong).sum.toDouble / docs.size
+          (lang, docs.size.toLong,
+            java.math.BigDecimal.valueOf(avg)
+              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+        }.sortBy(_._1).toDF("lang", "n", "avg_chars")
     })
   )
 
@@ -844,6 +877,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_langid2/*.parquet'",
     "ex_realpdf" ->
       s"SELECT * FROM '$ExpectedToken/ex_realpdf/*.parquet'",
+    "q_corpus_by_lang2" ->
+      s"SELECT * FROM '$ExpectedToken/q_corpus_by_lang2/*.parquet'",
     "dd_simhash" ->
       s"SELECT * FROM '$ExpectedToken/dd_simhash/*.parquet'",
     "dd_dedup_removal" ->

@@ -43,10 +43,11 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   * 0.5 em + Tc (+ Tw on 0x20), so those bbox WIDTHS are estimates
   * while x/y ORIGINS and page geometry stay exact;
   * non-UTF-16 strings decode as Latin-1 (≈ WinAnsi for printable
-  * text); unmapped CIDs render U+FFFD. Base-encoding /Differences
-  * arrays are not consulted (ToUnicode wins in practice — writers that
-  * subset fonts emit it). These are scaladoc'd limits, not silent
-  * corruption.
+  * text); unmapped CIDs render U+FFFD. /Encoding /Differences arrays
+  * ARE consulted (AGL-subset + uniXXXX names → text, /ToUnicode wins
+  * on conflict); only the named base encodings' non-Latin-1 slots
+  * (MacRoman oddities) keep the byte identity. These are scaladoc'd
+  * limits, not silent corruption.
   *
   * Output is [[PdfTokenizer.Page]] — one model downstream of both front
   * ends; [[toContentStream]] serializes pages into the engine's PG/TX
@@ -413,8 +414,125 @@ object RealPdf {
           case PNum(v) => v
           case _       => EmAdvance * 1000.0
         }
-        Font(isCid = false, ws, mw, toUnicodeOf(fd, objs))
+        // /Encoding /Differences remap byte codes to glyph names
+        // (§9.6.5.3); AGL-resolved names feed the same code→text map
+        // as /ToUnicode, with the CMap winning on conflict (it is the
+        // writer's explicit text-extraction intent)
+        val diffs = encodingDifferences(dictGet(fd, "Encoding", objs),
+                                        objs)
+        Font(isCid = false, ws, mw, diffs ++ toUnicodeOf(fd, objs))
     }
+
+  /** /Differences array → code → unicode text, for names the AGL
+    * subset below resolves; unknown names still consume their code
+    * slot (the array's increment rule) and fall back to the Latin-1
+    * byte identity at show time.
+    */
+  private def encodingDifferences(enc: PObj, objs: Map[Int, Indirect])
+      : Map[Int, String] =
+    dictGet(enc, "Differences", objs) match {
+      case PArr(items) =>
+        val out = Map.newBuilder[Int, String]
+        var code = -1
+        items.foreach {
+          case PNum(v) => code = v.toInt
+          case PName(n) =>
+            if (code >= 0 && code < 0x10000) {
+              glyphToUnicode(n).foreach(u => out += code -> u)
+              code += 1
+            }
+          case _ => ()
+        }
+        out.result()
+      case _ => Map.empty
+    }
+
+  /** Adobe Glyph List subset (public data): ASCII names, the common
+    * punctuation/ligature/symbol names, Latin-1 accented letters, and
+    * the algorithmic `uniXXXX` form. Enough for the /Differences
+    * arrays real writers emit; unmatched names → None (Latin-1 byte
+    * fallback).
+    */
+  private def glyphToUnicode(name: String): Option[String] = {
+    if (name.length == 1) return Some(name) // /A /a etc: name IS the char
+    if (name.startsWith("uni") && name.length == 7) {
+      try return Some(Integer.parseInt(name.substring(3), 16)
+        .toChar.toString)
+      catch { case _: NumberFormatException => () }
+    }
+    AglSubset.get(name)
+  }
+
+  private val AglSubset: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+    "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+    "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+    "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+    "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+    "eight" -> "8", "nine" -> "9", "colon" -> ":", "semicolon" -> ";",
+    "less" -> "<", "equal" -> "=", "greater" -> ">", "question" -> "?",
+    "at" -> "@", "bracketleft" -> "[", "backslash" -> "\\",
+    "bracketright" -> "]", "asciicircum" -> "^", "underscore" -> "_",
+    "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "ellipsis" -> "…", "fi" -> "ﬁ", "fl" -> "ﬂ",
+    "dagger" -> "†", "daggerdbl" -> "‡", "Euro" -> "€",
+    "sterling" -> "£", "yen" -> "¥", "cent" -> "¢",
+    "copyright" -> "©", "registered" -> "®",
+    "trademark" -> "™", "degree" -> "°",
+    "plusminus" -> "±", "section" -> "§",
+    "paragraph" -> "¶", "periodcentered" -> "·",
+    "agrave" -> "à", "aacute" -> "á",
+    "acircumflex" -> "â", "atilde" -> "ã",
+    "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ",
+    "ccedilla" -> "ç", "egrave" -> "è", "eacute" -> "é",
+    "ecircumflex" -> "ê", "edieresis" -> "ë",
+    "igrave" -> "ì", "iacute" -> "í",
+    "icircumflex" -> "î", "idieresis" -> "ï",
+    "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+    "ocircumflex" -> "ô", "otilde" -> "õ",
+    "odieresis" -> "ö", "oslash" -> "ø",
+    "ugrave" -> "ù", "uacute" -> "ú",
+    "ucircumflex" -> "û", "udieresis" -> "ü",
+    "yacute" -> "ý", "ydieresis" -> "ÿ",
+    "Agrave" -> "À", "Aacute" -> "Á",
+    "Acircumflex" -> "Â", "Atilde" -> "Ã",
+    "Adieresis" -> "Ä", "Aring" -> "Å", "AE" -> "Æ",
+    "Ccedilla" -> "Ç", "Egrave" -> "È", "Eacute" -> "É",
+    "Ecircumflex" -> "Ê", "Edieresis" -> "Ë",
+    "Igrave" -> "Ì", "Iacute" -> "Í",
+    "Icircumflex" -> "Î", "Idieresis" -> "Ï",
+    "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó",
+    "Ocircumflex" -> "Ô", "Otilde" -> "Õ",
+    "Odieresis" -> "Ö", "Oslash" -> "Ø",
+    "Ugrave" -> "Ù", "Uacute" -> "Ú",
+    "Ucircumflex" -> "Û", "Udieresis" -> "Ü",
+    "Yacute" -> "Ý", "szlig" -> "ß", "thorn" -> "þ",
+    "Thorn" -> "Þ", "eth" -> "ð", "Eth" -> "Ð",
+    "exclamdown" -> "¡", "questiondown" -> "¿",
+    "guillemotleft" -> "«", "guillemotright" -> "»",
+    "germandbls" -> "ß", "dotlessi" -> "ı",
+    "OE" -> "Œ", "oe" -> "œ", "Scaron" -> "Š",
+    "scaron" -> "š", "Zcaron" -> "Ž", "zcaron" -> "ž",
+    "Ydieresis" -> "Ÿ", "florin" -> "ƒ",
+    "circumflex" -> "ˆ", "tilde" -> "˜",
+    "perthousand" -> "‰", "guilsinglleft" -> "‹",
+    "guilsinglright" -> "›", "quotesinglbase" -> "‚",
+    "quotedblbase" -> "„", "minus" -> "−",
+    "multiply" -> "×", "divide" -> "÷",
+    "brokenbar" -> "¦", "currency" -> "¤",
+    "onequarter" -> "¼", "onehalf" -> "½",
+    "threequarters" -> "¾", "onesuperior" -> "¹",
+    "twosuperior" -> "²", "threesuperior" -> "³",
+    "ordfeminine" -> "ª", "ordmasculine" -> "º",
+    "logicalnot" -> "¬", "macron" -> "¯",
+    "acute" -> "´", "cedilla" -> "¸", "dieresis" -> "¨",
+    "mu" -> "µ", "nbspace" -> " ")
 
   /** Built-in widths for the standard-14 base fonts (Adobe Core AFM
     * metrics — public data), ASCII 32–126. Family matching strips the

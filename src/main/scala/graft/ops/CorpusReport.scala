@@ -32,4 +32,15 @@ object CorpusReport {
       .agg(count(lit(1)).as("n"),
            round(avg(length(col(textCol))), 2).as("avg_chars"))
       .orderBy("lang_guess")
+
+  /** Same per-language rollup under the 25-language trigram classifier
+    * ([[graft.functions.TrigramLangId]]) — the corpus-routing report a
+    * multilingual pipeline actually keys shards on.
+    */
+  def byLanguageTrigram(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(graft.functions.TrigramLangId.langId(col(textCol))
+        .as("lang"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(length(col(textCol))), 2).as("avg_chars"))
+      .orderBy("lang")
 }

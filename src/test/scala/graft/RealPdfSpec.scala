@@ -364,6 +364,31 @@ class RealPdfSpec extends AnyFunSuite {
     RealPdf.parse(mangled, 1)
   }
 
+  test("font-aware: /Encoding /Differences remaps codes via the AGL") {
+    // codes 65..68 remapped to eacute, emdash, uni0171, and an unknown
+    // glyph name (falls back to the Latin-1 byte 'D'); widths by CODE
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val content = "BT /F1 10 Tf 50 700 Td (ABCD) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>") +
+      obj(4, s"<< /Length ${content.length} >>\nstream\n$content" +
+        "\nendstream") +
+      obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Custom1 " +
+        "/FirstChar 65 /Widths [500 600 700 800] /Encoding << " +
+        "/Type /Encoding /Differences [65 /eacute /emdash /uni0171 " +
+        "/glyph9999] >> >>") +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    val pages = RealPdf.parse(pdf, 1)
+    assert(pages(0).runs.map(_.text).toList == List("é—űD"))
+    // widths still index by code: (500+600+700+800)/1000 * 10 = 26
+    val r = pages(0).runs(0)
+    assert(r.x0 == 50.0 && math.abs(r.x1 - 76.0) < 1e-9)
+  }
+
   test("AES-256 (V5/R6 /AESV3) empty-password decryption") {
     // fixture_aes256.pdf (tools/make_aes256_fixture.py): the modern
     // Acrobat-X+ scheme — R6 Algorithm-2.B password hash validates /U,
