@@ -730,9 +730,10 @@ object RealPdf {
     * RunLengthDecode, ASCIIHexDecode, ASCII85Decode supported (the
     * text-bearing filters; DCT/JBIG2/CCITT are image codecs that never
     * carry page text). An unsupported filter anywhere in the chain ⇒
-    * empty (caller keeps the page, sans text). /DecodeParms is
-    * consulted for LZW's /EarlyChange; /Predictor is NOT applied —
-    * predictors appear on xref/image streams, not text content.
+    * empty (caller keeps the page, sans text). /DecodeParms supplies
+    * LZW's /EarlyChange and the /Predictor post-pass (TIFF + PNG row
+    * filters) on Flate/LZW output — some writers predictor-compress
+    * ObjStm payloads, where losing the pass means losing the pages.
     */
   private def decode(dict: PObj, data: Array[Byte],
                      objs: Map[Int, Indirect]): Array[Byte] = {
@@ -754,19 +755,91 @@ object RealPdf {
     filters.zipWithIndex.foldLeft(data) { case (d, (f, i)) =>
       val parm = if (i < parms.length) parms(i) else PNull
       f match {
-        case "FlateDecode"     => inflate(d)
+        case "FlateDecode"     => unpredict(inflate(d), parm, objs)
         case "LZWDecode" =>
           val early = dictGet(parm, "EarlyChange", objs) match {
             case PNum(v) => v.toInt
             case _       => 1
           }
-          lzwDecode(d, early)
+          unpredict(lzwDecode(d, early), parm, objs)
         case "RunLengthDecode" => runLengthDecode(d)
         case "ASCIIHexDecode"  => asciiHexDecode(d)
         case "ASCII85Decode"   => ascii85Decode(d)
         case _                 => Array.emptyByteArray
       }
     }
+  }
+
+  /** /DecodeParms /Predictor post-pass for Flate/LZW (§7.4.4.4):
+    * 2 = TIFF horizontal differencing, 10–15 = PNG row filters (None/
+    * Sub/Up/Average/Paeth, one tag byte per row). Byte-granularity
+    * (8-bit components; bpp = Colors·BPC/8 rounded up) — the shape
+    * every real xref/ObjStm/image stream uses. Predictor 1/absent is
+    * the identity; malformed rows decode as far as the data allows.
+    */
+  private def unpredict(d: Array[Byte], parm: PObj,
+                        objs: Map[Int, Indirect]): Array[Byte] = {
+    def num(k: String, dflt: Int): Int = dictGet(parm, k, objs) match {
+      case PNum(v) => v.toInt
+      case _       => dflt
+    }
+    val pred = num("Predictor", 1)
+    if (pred <= 1) return d
+    val colors = math.max(1, num("Colors", 1))
+    val bpc = math.max(1, num("BitsPerComponent", 8))
+    val columns = math.max(1, num("Columns", 1))
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val rowLen = (colors * bpc * columns + 7) / 8
+    if (pred == 2) { // TIFF horizontal differencing
+      val out = d.clone()
+      var r = 0
+      while (r * rowLen < out.length) {
+        val base = r * rowLen
+        var i = bpp
+        while (i < rowLen && base + i < out.length) {
+          out(base + i) =
+            ((out(base + i) + out(base + i - bpp)) & 0xff).toByte
+          i += 1
+        }
+        r += 1
+      }
+      return out
+    }
+    // PNG predictors: rows of (tag, rowLen bytes)
+    val nRows = d.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val src = r * (rowLen + 1)
+      val dst = r * rowLen
+      val tag = d(src) & 0xff
+      var i = 0
+      while (i < rowLen) {
+        val raw = d(src + 1 + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff
+                 else 0
+        val v = tag match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else ul)
+          case _ => raw
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** LZW variable-width decode (ISO 32000 §7.4.4, the TIFF/PDF variant):

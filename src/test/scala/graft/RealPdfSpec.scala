@@ -364,6 +364,62 @@ class RealPdfSpec extends AnyFunSuite {
     RealPdf.parse(mangled, 1)
   }
 
+  test("/DecodeParms /Predictor: PNG row filters and TIFF differencing") {
+    val content = ("BT /F1 12 Tf 72 700 Td (predictor protected text " +
+      "with enough bytes to span many rows) Tj ET").getBytes("ISO-8859-1")
+    def texts(pdf: Array[Byte]): List[String] =
+      RealPdf.parse(pdf, 1).flatMap(_.runs.map(_.text)).toList
+    val want = List("predictor protected text with enough bytes to " +
+      "span many rows")
+
+    // PNG predictors, Columns=16: rows tagged Up(2) except row 0 Sub(1)
+    val cols = 16
+    val nRows = (content.length + cols - 1) / cols
+    val padded = java.util.Arrays.copyOf(content, nRows * cols)
+    val png = new java.io.ByteArrayOutputStream()
+    for (r <- 0 until nRows) {
+      val tag = if (r == 0) 1 else 2
+      png.write(tag)
+      for (i <- 0 until cols) {
+        val cur = padded(r * cols + i) & 0xff
+        val ref =
+          if (tag == 1) { if (i > 0) padded(r * cols + i - 1) & 0xff else 0 }
+          else padded((r - 1) * cols + i) & 0xff
+        png.write((cur - ref) & 0xff)
+      }
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(png.toByteArray); d.finish()
+      val buf = new Array[Byte](png.size() * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    // trailing NUL padding decodes to empty-operand noise the
+    // interpreter skips; the text run must come through intact
+    assert(texts(onePagePdf(
+      "/Filter /FlateDecode /DecodeParms << /Predictor 12 " +
+        s"/Columns $cols >>", deflated)) == want)
+
+    // TIFF predictor 2: horizontal differencing, one row
+    val tiff = content.clone()
+    var i = tiff.length - 1
+    while (i >= 1) {
+      tiff(i) = ((tiff(i) - tiff(i - 1)) & 0xff).toByte
+      i -= 1
+    }
+    val deflated2 = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(tiff); d.finish()
+      val buf = new Array[Byte](tiff.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assert(texts(onePagePdf(
+      "/Filter /FlateDecode /DecodeParms << /Predictor 2 " +
+        s"/Columns ${content.length} >>", deflated2)) == want)
+  }
+
   test("font-aware: /Encoding /Differences remaps codes via the AGL") {
     // codes 65..68 remapped to eacute, emdash, uni0171, and an unknown
     // glyph name (falls back to the Latin-1 byte 'D'); widths by CODE
