@@ -112,17 +112,18 @@ object SparkEntry {
     }),
     "ex_realpdf" -> ((s, dir) => {
       // genuine-PDF ingestion, driver-visible: deterministic real .pdf
-      // files (classic / Flate / ObjStm / LZW / two-page-Flate fifths)
-      // written to a scratch dir, ingested by the SAME binaryFile scan
-      // → RealPdf parse → PG/TX → Extractor path production uses,
-      // reduced to text rows. The oracle is the GENERATOR's ground
-      // truth (RealPdfBench.pagesOf) — independent of the parser.
+      // files (classic / Flate / ObjStm / LZW / two-page-Flate /
+      // RC4-encrypted sixths) written to a scratch dir, ingested by
+      // the SAME binaryFile scan → RealPdf parse → PG/TX → Extractor
+      // path production uses, reduced to text rows. The oracle is the
+      // GENERATOR's ground truth (RealPdfBench.pagesOf) — independent
+      // of the parser.
       import s.implicits._
       val tmp = scratchDir("graft-expdf")
-      (0 until 50).foreach { i =>
+      (0 until 60).foreach { i =>
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, f"doc_$i%04d.pdf"),
-          graft.tools.RealPdfBench.makePdf(i.toLong, i % 5))
+          graft.tools.RealPdfBench.makePdf(i.toLong, i % 6))
       }
       graft.sources.RawFiles.read(s, tmp)
         .flatMap(d => Extractor.extractRows(d))
@@ -812,8 +813,8 @@ object SparkEntry {
       // generator ground truth: what makePdf wrote — ExtractionSpec
       // emits one span per page, every reading-order line newline-
       // terminated (pdfminer get_text() semantics)
-      (0 until 50).flatMap { i =>
-        graft.tools.RealPdfBench.pagesOf(i.toLong, i % 5).zipWithIndex
+      (0 until 60).flatMap { i =>
+        graft.tools.RealPdfBench.pagesOf(i.toLong, i % 6).zipWithIndex
           .map { case (lines, k) =>
             (f"doc_$i%04d.pdf", k, lines.map(_ + "\n").mkString) }
       }.toDF("doc_id", "ord", "text")

@@ -63,9 +63,9 @@ object RealPdfBench {
     }
   }
 
-  /** The per-page line split: variants 0-3 put every line on one page;
-    * variant 4 splits them across two pages at the midpoint (page
-    * sequencing through a real /Kids array).
+  /** The per-page line split: variants 0-3 and 5 put every line on one
+    * page; variant 4 splits them across two pages at the midpoint
+    * (page sequencing through a real /Kids array).
     */
   def pagesOf(docId: Long, variant: Int): Seq[Seq[String]] = {
     val lines = contentLines(docId, variant)
@@ -75,12 +75,114 @@ object RealPdfBench {
     } else Seq(lines)
   }
 
+  // ---- ENCRYPTION side of the ISO 32000 §7.6 standard handler (the
+  // ---- generator's half; RealPdf implements the decrypt half
+  // ---- independently): V2/R3 128-bit RC4, empty user password.
+
+  private val EncPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
+    .map(_.toByte)
+
+  private def benchRc4(key: Array[Byte], data: Array[Byte])
+      : Array[Byte] = {
+    val st = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + st(i) + key(i % key.length)) & 0xff
+      val t = st(i); st(i) = st(j); st(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0; var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + st(x)) & 0xff
+      val t = st(x); st(x) = st(y); st(y) = t
+      out(k) = (data(k) ^ st((st(x) + st(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** Encrypted-variant internals for one doc: (id0, O, U, fileKey). */
+  private def encMaterial(docId: Long)
+      : (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    val perm = -3904
+    val pLe = Array[Byte](
+      (perm & 0xff).toByte, ((perm >> 8) & 0xff).toByte,
+      ((perm >> 16) & 0xff).toByte, ((perm >> 24) & 0xff).toByte)
+    val id0 = Array.tabulate(16)(i => ((docId * 37 + i * 11) & 0xff)
+      .toByte)
+    var h = md5(EncPad)
+    (0 until 50).foreach(_ => h = md5(h))
+    val keyO = java.util.Arrays.copyOf(h, 16)
+    var o = benchRc4(keyO, EncPad)
+    (1 to 19).foreach { i =>
+      o = benchRc4(keyO.map(b => (b ^ i).toByte), o)
+    }
+    var fk = md5(EncPad, o, pLe, id0)
+    (0 until 50).foreach(_ =>
+      fk = md5(java.util.Arrays.copyOf(fk, 16)))
+    val fileKey = java.util.Arrays.copyOf(fk, 16)
+    var u16 = benchRc4(fileKey, md5(EncPad, id0))
+    (1 to 19).foreach { i =>
+      u16 = benchRc4(fileKey.map(b => (b ^ i).toByte), u16)
+    }
+    (id0, o, u16 ++ new Array[Byte](16), fileKey)
+  }
+
+  /** Variant 5: classic single-page layout, content stream RC4-
+    * encrypted under the blank user password, real /Encrypt + trailer
+    * /ID. The DRIVER-VISIBLE proof that decryption sits on the
+    * production ingest path, not just in fixture tests.
+    */
+  def makeEncryptedPdf(docId: Long): Array[Byte] = {
+    val (id0, o, u, fileKey) = encMaterial(docId)
+    val content = new StringBuilder("BT /F1 11 Tf 72 760 Td ")
+    contentLines(docId, 5).foreach(line =>
+      content.append(s"($line) Tj 0 -14 Td "))
+    content.append("ET\n")
+    val objKey = java.util.Arrays.copyOf(
+      md5(fileKey, Array[Byte](4, 0, 0, 0, 0)), 16)
+    val enc = benchRc4(objKey, content.toString.getBytes("ISO-8859-1"))
+    def hex(b: Array[Byte]): String =
+      "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w(s"4 0 obj\n<< /Length ${enc.length} >>\nstream\n")
+    out.write(enc)
+    w("\nendstream\nendobj\n")
+    Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> ("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/MediaBox [0 0 612 792] >>"),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      6 -> ("<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904 /O " +
+        hex(o) + " /U " + hex(u) + " >>"))
+      .foreach { case (n, b) => w(s"$n 0 obj\n$b\nendobj\n") }
+    w("trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R /ID [" +
+      hex(id0) + " " + hex(id0) + "] >>\nstartxref\n0\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Deterministic minimal PDF writer (test/bench-side only): `variant`
     * 0 = classic uncompressed, 1 = Flate content, 2 = ObjStm dicts,
     * 3 = LZWDecode content (the old-toolchain filter added in r04),
-    * 4 = TWO Flate pages (multi-kid page tree).
+    * 4 = TWO Flate pages (multi-kid page tree), 5 = RC4-encrypted
+    * (empty user password, [[makeEncryptedPdf]]).
     */
   def makePdf(docId: Long, variant: Int): Array[Byte] = {
+    if (variant == 5) return makeEncryptedPdf(docId)
     def render(lines: Seq[String]): Array[Byte] = {
       val content = new StringBuilder("BT /F1 11 Tf 72 760 Td ")
       lines.foreach(line => content.append(s"($line) Tj 0 -14 Td "))

@@ -488,13 +488,21 @@ class RealPdfSpec extends AnyFunSuite {
     // the five ex_realpdf generator variants (classic/Flate/ObjStm/
     // LZW/two-page) under the same mutation storm — these bytes feed a
     // driver query, so crash-robustness is contract, not nicety
-    (0 until 150).foreach { i =>
-      val b = graft.tools.RealPdfBench.makePdf(i % 10L, i % 5)
+    (0 until 180).foreach { i =>
+      val b = graft.tools.RealPdfBench.makePdf(i % 10L, i % 6)
       (0 until 1 + next(30)).foreach { _ =>
         b(next(b.length)) = next(256).toByte
       }
       RealPdf.parse(b, 1)
     }
+  }
+
+  test("generator RC4 variant decrypts to its ground-truth lines") {
+    val pdf = graft.tools.RealPdfBench.makePdf(7L, 5)
+    val pages = RealPdf.parse(pdf, 1)
+    assert(pages.length == 1)
+    assert(pages(0).runs.map(_.text).toList ==
+      graft.tools.RealPdfBench.contentLines(7L, 5).toList)
   }
 
   test("font-aware: simple font /Widths + /ToUnicode give exact text and widths") {
