@@ -266,7 +266,7 @@ object RealPdfBench {
 
     val dir = Files.createTempDirectory("graft-realpdf-corpus")
     (0 until nDocs).foreach { i =>
-      Files.write(dir.resolve(f"doc_$i%07d.pdf"), makePdf(i, i % 4))
+      Files.write(dir.resolve(f"doc_$i%07d.pdf"), makePdf(i, i % 6))
     }
     val out = Files.createTempDirectory("graft-realpdf-out").toString
 
@@ -291,10 +291,10 @@ object RealPdfBench {
       s"expected $nDocs docs, got ${report.docsProcessed}")
 
     val line = f"| real-PDF ingestion | $nDocs genuine .pdf files " +
-      f"(1/4 classic, 1/4 Flate, 1/4 ObjStm, 1/4 LZW) " +
-      f"scanned+parsed+extracted in $sec%.1f s = ${nDocs / sec}%.0f " +
-      f"docs/s @ local[32]; $rows output rows; text recall " +
-      f"$docsWithText/$nDocs = $recall%.4f |"
+      f"(classic / Flate / ObjStm / LZW / two-page / RC4-encrypted " +
+      f"sixths) scanned+parsed+extracted in $sec%.1f s = " +
+      f"${nDocs / sec}%.0f docs/s @ local[32]; $rows output rows; " +
+      f"text recall $docsWithText/$nDocs = $recall%.4f |"
     println("[realpdf-bench] " + line)
     val benchMd = if (new java.io.File("BENCH.md").exists()) "BENCH.md"
                   else "/root/repo/BENCH.md"
