@@ -66,6 +66,10 @@ class LangIdSpec extends AnyFunSuite with BeforeAndAfterAll {
       "el zorro marron salta sobre el perro y corre por el bosque" -> "es",
       "a raposa marrom salta sobre o cachorro e corre pela floresta" -> "pt",
       "de snelle bruine vos springt over de luie hond en rent weg" -> "nl",
+      "den hurtige brune raev hopper over den dovne hund og lober vaek" -> "da",
+      "nopea ruskea kettu hyppaa laiskan koiran yli ja juoksee pois" -> "fi",
+      "a gyors barna roka atugrik a lusta kutya felett es elszalad" -> "hu",
+      "rychla hneda liska skace pres lineho psa a utika pryc" -> "cs",
       "быстрая лиса прыгает через ленивую собаку" -> "ru",
       "素早い茶色のキツネは怠け者の犬を飛び越えます" -> "ja",
       "敏捷的棕色狐狸跳过了懒狗" -> "zh",
