@@ -45,9 +45,9 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   * non-UTF-16 strings decode as Latin-1 (≈ WinAnsi for printable
   * text); unmapped CIDs render U+FFFD. /Encoding /Differences arrays
   * ARE consulted (AGL-subset + uniXXXX names → text, /ToUnicode wins
-  * on conflict); only the named base encodings' non-Latin-1 slots
-  * (MacRoman oddities) keep the byte identity. These are scaladoc'd
-  * limits, not silent corruption.
+  * on conflict), as are the named base encodings (WinAnsi's 0x80-9F
+  * smart-quote block, MacRoman's full upper half). These are
+  * scaladoc'd limits, not silent corruption.
   *
   * Output is [[PdfTokenizer.Page]] — one model downstream of both front
   * ends; [[toContentStream]] serializes pages into the engine's PG/TX
@@ -414,14 +414,53 @@ object RealPdf {
           case PNum(v) => v
           case _       => EmAdvance * 1000.0
         }
-        // /Encoding /Differences remap byte codes to glyph names
-        // (§9.6.5.3); AGL-resolved names feed the same code→text map
-        // as /ToUnicode, with the CMap winning on conflict (it is the
+        // named base encodings remap the high bytes (WinAnsi's 0x80-9F
+        // smart-quote block; MacRoman's whole upper half), then
+        // /Encoding /Differences remap individual codes via AGL names
+        // (§9.6.5.3), then /ToUnicode wins on conflict (it is the
         // writer's explicit text-extraction intent)
-        val diffs = encodingDifferences(dictGet(fd, "Encoding", objs),
-                                        objs)
-        Font(isCid = false, ws, mw, diffs ++ toUnicodeOf(fd, objs))
+        val encObj = dictGet(fd, "Encoding", objs)
+        val baseMap = (encObj match {
+          case PName(n) => n
+          case d: PDict => dictGet(d, "BaseEncoding", objs) match {
+            case PName(n) => n
+            case _        => ""
+          }
+          case _ => ""
+        }) match {
+          case "WinAnsiEncoding"  => WinAnsiHighMap
+          case "MacRomanEncoding" => MacRomanHighMap
+          case _                  => Map.empty[Int, String]
+        }
+        val diffs = encodingDifferences(encObj, objs)
+        Font(isCid = false, ws, mw,
+             baseMap ++ diffs ++ toUnicodeOf(fd, objs))
     }
+
+  /** WinAnsi (CP1252) 0x80-0x9F — the block where Latin-1 has C1
+    * controls but real documents have smart quotes and dashes.
+    * Unassigned slots keep the byte identity (absent from the map).
+    */
+  private val WinAnsiHighMap: Map[Int, String] = Map(
+    0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„", 0x85 -> "…",
+    0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ", 0x89 -> "‰", 0x8A -> "Š",
+    0x8B -> "‹", 0x8C -> "Œ", 0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’",
+    0x93 -> "“", 0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+    0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›", 0x9C -> "œ",
+    0x9E -> "ž", 0x9F -> "Ÿ")
+
+  /** MacRoman upper half 0x80-0xFF → unicode (the classic Mac OS
+    * encoding table — public data; 0xF0 is the private-use Apple mark).
+    */
+  private val MacRomanHighMap: Map[Int, String] = {
+    val high = "ÄÅÇÉÑÖÜáàâäãåçéèêëíìîïñóòôöõúùûü" +
+      "†°¢£§•¶ß®©™´¨≠ÆØ∞±≤≥¥µ∂∑∏π∫ªºΩæø" +
+      "¿¡¬√ƒ≈∆«»…\u00A0ÀÃÕŒœ–—“”‘’÷◊ÿŸ⁄¤‹›ﬁﬂ" +
+      "‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔ\uF8FFÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ"
+    require(high.length == 128)
+    high.iterator.zipWithIndex.map { case (c, i) =>
+      (0x80 + i) -> c.toString }.toMap
+  }
 
   /** /Differences array → code → unicode text, for names the AGL
     * subset below resolves; unknown names still consume their code

@@ -420,6 +420,40 @@ class RealPdfSpec extends AnyFunSuite {
         s"/Columns ${content.length} >>", deflated2)) == want)
   }
 
+  test("named base encodings: WinAnsi smart quotes, MacRoman upper half") {
+    def onePageFont(encoding: String, bytes: Array[Byte]): Array[Byte] = {
+      def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+      val hexContent = "BT /F1 10 Tf 50 700 Td <" +
+        bytes.map(b => f"${b & 0xff}%02X").mkString + "> Tj ET"
+      ("%PDF-1.4\n" +
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+        obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+          "/MediaBox [0 0 612 792] >>") +
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /Font << /F1 5 0 R >> >> >>") +
+        obj(4, s"<< /Length ${hexContent.length} >>\nstream\n" +
+          hexContent + "\nendstream") +
+        obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Custom1 " +
+          s"/FirstChar 32 /Widths [500] /Encoding $encoding >>") +
+        "%%EOF\n").getBytes("ISO-8859-1")
+    }
+    def text(pdf: Array[Byte]): String =
+      RealPdf.parse(pdf, 1).flatMap(_.runs.map(_.text)).mkString
+    // WinAnsi: 93 94 = double quotes, 97 = em dash, 80 = euro
+    assert(text(onePageFont("/WinAnsiEncoding",
+      Array(0x93, 0x48, 0x94, 0x97, 0x80).map(_.toByte))) == "“H”—€")
+    // MacRoman: 8E=eacute, A5=bullet, D5=quoteright, F5=dotlessi
+    assert(text(onePageFont("/MacRomanEncoding",
+      Array(0x8E, 0xA5, 0xD5, 0xF5).map(_.toByte))) == "é•’ı")
+    // dict form with /BaseEncoding
+    assert(text(onePageFont(
+      "<< /Type /Encoding /BaseEncoding /MacRomanEncoding >>",
+      Array(0x87).map(_.toByte))) == "á")
+    // no named encoding: Latin-1 byte identity as before
+    assert(text(onePageFont("/StandardEncoding",
+      Array(0xE9).map(_.toByte))) == "é") // Latin-1 fallback path
+  }
+
   test("font-aware: /Encoding /Differences remaps codes via the AGL") {
     // codes 65..68 remapped to eacute, emdash, uni0171, and an unknown
     // glyph name (falls back to the Latin-1 byte 'D'); widths by CODE
