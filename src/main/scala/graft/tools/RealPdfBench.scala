@@ -85,7 +85,7 @@ object RealPdfBench {
     0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
     .map(_.toByte)
 
-  private def benchRc4(key: Array[Byte], data: Array[Byte])
+  private[graft] def benchRc4(key: Array[Byte], data: Array[Byte])
       : Array[Byte] = {
     val st = Array.tabulate(256)(_.toByte)
     var j = 0
@@ -107,14 +107,14 @@ object RealPdfBench {
     out
   }
 
-  private def md5(parts: Array[Byte]*): Array[Byte] = {
+  private[graft] def md5(parts: Array[Byte]*): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     parts.foreach(md.update)
     md.digest()
   }
 
   /** Encrypted-variant internals for one doc: (id0, O, U, fileKey). */
-  private def encMaterial(docId: Long)
+  private[graft] def encMaterial(docId: Long)
       : (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
     val perm = -3904
     val pLe = Array[Byte](

@@ -531,6 +531,60 @@ class RealPdfSpec extends AnyFunSuite {
     }
   }
 
+  test("encrypted ObjStm: streams decrypt BEFORE object-stream expansion") {
+    // the §7.5.7 interplay every modern encrypted PDF exercises: the
+    // catalog/pages/page dicts live in an ObjStm whose bytes are
+    // Flate-compressed THEN RC4-encrypted; the content stream is
+    // encrypted independently under its own object key
+    import graft.tools.RealPdfBench.{benchRc4, encMaterial, md5}
+    val (id0, o, u, fileKey) = encMaterial(99L)
+    def objKey(num: Int): Array[Byte] = java.util.Arrays.copyOf(
+      md5(fileKey, Array[Byte](num.toByte, 0, 0, 0, 0)), 16)
+    def hex(b: Array[Byte]): String =
+      "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+    def flate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val content = "BT /F1 12 Tf 72 700 Td (inside encrypted objstm) Tj ET"
+      .getBytes("ISO-8859-1")
+    val encContent = benchRc4(objKey(4), content)
+    val dicts = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    var data = ""
+    val offs = dicts.map { case (n, b) =>
+      val off = data.length; data += b + " "; (n, off) }
+    val header = offs.map { case (n, off) => s"$n $off" }.mkString(" ") + " "
+    val objStmPlain = (header + data).getBytes("ISO-8859-1")
+    val encObjStm = benchRc4(objKey(7), flate(objStmPlain))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"4 0 obj\n<< /Length ${encContent.length} >>\nstream\n")
+    out.write(encContent)
+    w("\nendstream\nendobj\n")
+    w(s"7 0 obj\n<< /Type /ObjStm /N ${dicts.length} /First " +
+      s"${header.length} /Length ${encObjStm.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    out.write(encObjStm)
+    w("\nendstream\nendobj\n")
+    w("6 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904 " +
+      "/O " + hex(o) + " /U " + hex(u) + " >>\nendobj\n")
+    w("trailer\n<< /Size 8 /Root 1 0 R /Encrypt 6 0 R /ID [" +
+      hex(id0) + " " + hex(id0) + "] >>\nstartxref\n0\n%%EOF\n")
+
+    val pages = RealPdf.parse(out.toByteArray, 1)
+    assert(pages.length == 1)
+    assert(pages(0).runs.map(_.text).toList ==
+      List("inside encrypted objstm"))
+  }
+
   test("generator RC4 variant decrypts to its ground-truth lines") {
     val pdf = graft.tools.RealPdfBench.makePdf(7L, 5)
     val pages = RealPdf.parse(pdf, 1)
