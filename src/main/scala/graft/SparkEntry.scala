@@ -132,6 +132,27 @@ object SparkEntry {
         .select(col("doc_id"), col("order").as("ord"), col("text"))
         .orderBy("doc_id", "ord")
     }),
+    "ex_mixed" -> ((s, dir) => {
+      // mixed-format directory ingestion, driver-visible: genuine PDFs
+      // (text-only / image-XObject / form-XObject sixths), HTML pages
+      // with known boilerplate, plain-text notes, and standalone media
+      // files in ONE scratch tree, through the production binaryFile
+      // scan → RawFiles classification → Extractor. Output is the
+      // north-rule span invariant (kind, text, media_ref, order);
+      // media_ref reduced to its path-independent tail so the result
+      // hashes identically across scratch dirs. Oracle = the
+      // GENERATOR's ground truth (MixedGen.expected).
+      import s.implicits._
+      val tmp = scratchDir("graft-exmix")
+      graft.gen.MixedGen.write(tmp, 48)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "ex_chunks" -> ((s, dir) => {
       // ≅ reference document_chunks incl. P13 extracted_at (setup.sql:123;
       // deterministic base + chunk_n so the driver oracle can hash it)
@@ -819,6 +840,14 @@ object SparkEntry {
             (f"doc_$i%04d.pdf", k, lines.map(_ + "\n").mkString) }
       }.toDF("doc_id", "ord", "text")
     }),
+    "ex_mixed" -> ((s, dir) => {
+      // generator ground truth — what MixedGen wrote (page lines, kept
+      // HTML blocks, image paint order), independent of every parser
+      import s.implicits._
+      graft.gen.MixedGen.expected(48)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
     "q_langid2" -> ((s, dir) => {
       import s.implicits._
       // same bounded corpus slice + the same deterministic seed
@@ -878,6 +907,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_langid2/*.parquet'",
     "ex_realpdf" ->
       s"SELECT * FROM '$ExpectedToken/ex_realpdf/*.parquet'",
+    "ex_mixed" ->
+      s"SELECT * FROM '$ExpectedToken/ex_mixed/*.parquet'",
     "q_corpus_by_lang2" ->
       s"SELECT * FROM '$ExpectedToken/q_corpus_by_lang2/*.parquet'",
     "dd_simhash" ->

@@ -24,6 +24,17 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   *    full text-matrix composition; literal strings (all escapes, octal,
   *    line continuations), hex strings, UTF-16BE (BOM) text; inline
   *    images (BI…EI) and all other operators skipped operand-safely;
+  *  - XObjects (`Do`, §8.8/§8.10): /Subtype /Form streams are executed
+  *    recursively with their own /Resources (text inside form XObjects
+  *    extracts; depth-capped at 8 against self-referencing bombs;
+  *    the form /Matrix is treated as identity — the value every
+  *    mainstream writer emits — so form-local coordinates are used
+  *    as-is); /Subtype /Image occurrences are recorded as
+  *    [[PdfImage]] media references in content-stream order with
+  *    their /Width × /Height, the north rule's media-by-reference
+  *    spans for interleaved text+media documents ([[parseDoc]];
+  *    [[imageBytes]] recovers the payload, JPEG/DCTDecode passed
+  *    through for a standard codec);
   *  - FONT-AWARE decoding (ISO 32000 §9, the capability the reference
   *    rides pdfminer for, /root/reference/setup.sql:72-91): page
   *    /Resources → /Font dicts are resolved (with page-tree
@@ -88,23 +99,71 @@ object RealPdf {
     * yield empty pages.
     */
   def parse(bytes: Array[Byte], firstPage: Int): Vector[PdfTokenizer.Page] =
+    parseDoc(bytes, firstPage)._1
+
+  /** One embedded-image occurrence (an image XObject painted by `Do`):
+    * `page` is 1-based (doc-global, like [[PdfTokenizer.Page.page]]),
+    * `seq` the 0-based occurrence order across the whole document
+    * (page order, then content-stream order — incl. inside form
+    * XObjects), `objNum` the image stream's object number, and
+    * `width`/`height` its /Width × /Height in samples (0 if absent).
+    * The same image object painted twice is two occurrences — media
+    * spans are by-occurrence, like text runs.
+    */
+  final case class PdfImage(page: Int, seq: Int, objNum: Int,
+                            width: Int, height: Int)
+
+  /** Mutable per-document interpreter context: the object table, the
+    * font cache (sibling pages share /Resources), and the image-
+    * occurrence collector.
+    */
+  private final case class DocCtx(objs: Map[Int, Indirect],
+                                  fontCache: MHashMap[PObj, Map[String, Font]],
+                                  images: ArrayBuffer[PdfImage])
+
+  /** [[parse]] plus the document's embedded-image occurrences — the
+    * full interleaved text+media view of one genuine PDF.
+    */
+  def parseDoc(bytes: Array[Byte], firstPage: Int)
+      : (Vector[PdfTokenizer.Page], Vector[PdfImage]) =
     try {
       val objs = scanObjects(bytes)
       val pageDicts = pageTree(objs)
-      val fontCache = MHashMap.empty[PObj, Map[String, Font]]
+      val ctx = DocCtx(objs, MHashMap.empty, ArrayBuffer.empty)
       var pageNo = firstPage - 1
-      pageDicts.map { case (dict, mediaBox, res) =>
+      val pages = pageDicts.map { case (dict, mediaBox, res) =>
         pageNo += 1
         val (w, h) = mediaBox
         val page = PdfTokenizer.Page(pageNo, w, h, new ArrayBuffer[Run])
         try {
           val content = contentOf(dict, objs)
           if (content.nonEmpty)
-            interpret(content, page, fontMap(res, objs, fontCache))
+            interpret(content, page, fontMap(res, objs, ctx.fontCache),
+              res, ctx, depth = 0)
         } catch { case _: Exception => () } // bad page content: keep empty
         page
       }
-    } catch { case _: Exception => Vector.empty }
+      (pages, ctx.images.toVector)
+    } catch { case _: Exception => (Vector.empty, Vector.empty) }
+
+  /** Payload bytes of image XObject `objNum` with its non-image filters
+    * undone: Flate/LZW/RunLength/ASCIIHex/ASCII85 stages are decoded,
+    * while a DCTDecode/JPXDecode stage passes the remaining bytes
+    * through unchanged — a /DCTDecode image therefore returns the
+    * embedded JFIF/JPEG file itself, ready for a standard codec
+    * (`javax.imageio` via [[graft.ops.Multimodal.ImageIoCodec]]).
+    * None for unknown objects or non-streams; Some(empty) only when a
+    * genuinely unsupported non-image filter (JBIG2, CCITT) blocks the
+    * chain.
+    */
+  def imageBytes(bytes: Array[Byte], objNum: Int): Option[Array[Byte]] =
+    try {
+      val objs = scanObjects(bytes)
+      objs.get(objNum).collect {
+        case Indirect(d, Some(data), _) =>
+          decode(d, data, objs, passThrough = Set("DCTDecode", "JPXDecode"))
+      }
+    } catch { case _: Exception => None }
 
   /** Serialize parsed pages as the engine's PG/TX content-stream payload
     * (the synthetic corpus grammar, [[PdfTokenizer]] scaladoc) — the
@@ -775,7 +834,8 @@ object RealPdf {
     * ObjStm payloads, where losing the pass means losing the pages.
     */
   private def decode(dict: PObj, data: Array[Byte],
-                     objs: Map[Int, Indirect]): Array[Byte] = {
+                     objs: Map[Int, Indirect],
+                     passThrough: Set[String] = Set.empty): Array[Byte] = {
     val filters = dictGet(dict, "Filter", objs) match {
       case PName(f)    => Vector(f)
       case PArr(items) => items.collect { case PName(f) => f }
@@ -790,23 +850,31 @@ object RealPdf {
       case PArr(items) => items.map(i => resolve(i, objs))
       case _           => Vector.empty
     }
-    // array order = application order for decoding (ISO 32000 §7.4.1)
-    filters.zipWithIndex.foldLeft(data) { case (d, (f, i)) =>
+    // array order = application order for decoding (ISO 32000 §7.4.1);
+    // a passThrough filter (image codec) is terminal — the caller takes
+    // the bytes as they stand (e.g. the raw JPEG under /DCTDecode)
+    var d = data
+    var i = 0
+    var halt = false
+    while (i < filters.length && !halt) {
       val parm = if (i < parms.length) parms(i) else PNull
-      f match {
-        case "FlateDecode"     => unpredict(inflate(d), parm, objs)
+      filters(i) match {
+        case f if passThrough(f) => halt = true
+        case "FlateDecode"       => d = unpredict(inflate(d), parm, objs)
         case "LZWDecode" =>
           val early = dictGet(parm, "EarlyChange", objs) match {
             case PNum(v) => v.toInt
             case _       => 1
           }
-          unpredict(lzwDecode(d, early), parm, objs)
-        case "RunLengthDecode" => runLengthDecode(d)
-        case "ASCIIHexDecode"  => asciiHexDecode(d)
-        case "ASCII85Decode"   => ascii85Decode(d)
-        case _                 => Array.emptyByteArray
+          d = unpredict(lzwDecode(d, early), parm, objs)
+        case "RunLengthDecode"   => d = runLengthDecode(d)
+        case "ASCIIHexDecode"    => d = asciiHexDecode(d)
+        case "ASCII85Decode"     => d = ascii85Decode(d)
+        case _ => d = Array.emptyByteArray; halt = true
       }
+      i += 1
     }
+    d
   }
 
   /** /DecodeParms /Predictor post-pass for Flate/LZW (§7.4.4.4):
@@ -1508,9 +1576,56 @@ object RealPdf {
   /** Average glyph advance as an em fraction — no embedded metrics. */
   private val EmAdvance = 0.5
 
+  /** Max form-XObject nesting (`Do` recursion) — self-referencing or
+    * mutually-referencing forms terminate here instead of overflowing.
+    */
+  private val MaxFormDepth = 8
+
   private def interpret(content: Array[Byte],
                         page: PdfTokenizer.Page,
-                        fonts: Map[String, Font] = Map.empty): Unit = {
+                        fonts: Map[String, Font] = Map.empty,
+                        res: PObj = PNull,
+                        ctx: DocCtx = null,
+                        depth: Int = 0): Unit = {
+    // name → object number of the /Resources /XObject entries (XObject
+    // streams must be indirect, §7.3.8); resolved on first `Do` only
+    lazy val xobjs: Map[String, Int] =
+      if (ctx == null) Map.empty
+      else res match {
+        case PDict(m) => resolve(m.getOrElse("XObject", PNull), ctx.objs) match {
+          case PDict(x) => x.collect { case (n, PRef(num)) => n -> num }
+          case _        => Map.empty
+        }
+        case _ => Map.empty
+      }
+    def doXObject(nm: String): Unit =
+      xobjs.get(nm).foreach { num =>
+        ctx.objs.get(num) match {
+          case Some(Indirect(d, Some(data), _)) =>
+            dictGet(d, "Subtype", ctx.objs) match {
+              case PName("Image") =>
+                def dim(k: String): Int = dictGet(d, k, ctx.objs) match {
+                  case PNum(v) => v.toInt
+                  case _       => 0
+                }
+                ctx.images += PdfImage(page.page, ctx.images.length, num,
+                  dim("Width"), dim("Height"))
+              case PName("Form") if depth < MaxFormDepth =>
+                // execute the form's content with ITS resources (falling
+                // back to the page's); /Matrix treated as identity — see
+                // the object scaladoc
+                val fres = dictGet(d, "Resources", ctx.objs) match {
+                  case fd: PDict => fd
+                  case _         => res
+                }
+                interpret(decode(d, data, ctx.objs), page,
+                  fontMap(fres, ctx.objs, ctx.fontCache), fres, ctx,
+                  depth + 1)
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
     val p = new Parser(l1(content), 0)
     val s = l1(content)
     // text matrix (a b c d e f), line matrix, and text state
@@ -1691,6 +1806,14 @@ object RealPdf {
                 case _ => ()
               }
               stack.dropRightInPlace(math.min(1, stack.length))
+            case "Do" =>
+              stack.lastOption match {
+                case Some(PName(nm)) if ctx != null =>
+                  try doXObject(nm) // a malformed form must not void
+                  catch { case _: Exception => () } // the page's own text
+                case _ => ()
+              }
+              stack.clear()
             case "BI" =>
               // inline image: skip to EI. ISO 32000 §8.9.7 requires EI
               // delimited by whitespace — binary pixel data freely

@@ -1,0 +1,228 @@
+package graft.gen
+
+/** Deterministic mixed-format raw-file corpus + its GENERATOR ground
+  * truth — the fixture behind the driver's `ex_mixed` query: one
+  * directory holding genuine PDFs (text-only, image-bearing, and
+  * form-XObject variants), HTML pages with known boilerplate, plain
+  * text notes, and standalone media files, covering every suffix class
+  * [[graft.sources.RawFiles]] classifies (the reference's staged-
+  * directory entry point, /root/reference/setup.sql:44-45 +
+  * streamlit_app.py:655-678, widened to the north rule's interleaved
+  * text+media documents).
+  *
+  * The expected span sequences come from what the generator WROTE —
+  * page text lines, kept HTML blocks, embedded-image paint order — not
+  * from any parser, so the oracle is fully independent of
+  * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
+  * [[graft.extract.Extractor]].
+  *
+  * File kinds by `i % 6`:
+  *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
+  *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
+  *                        (raw /DeviceGray samples) painted after the
+  *                        text block;
+  *   2 → `doc_NNNN.pdf`   page text, then a form XObject holding the
+  *                        continuation lines AND an image painted from
+  *                        inside the form (recursion ground truth);
+  *   3 → `page_NNNN.html` title + content paragraphs (kept) around
+  *                        nav/footer/link-farm/short-block boilerplate
+  *                        (dropped);
+  *   4 → `note_NNNN.txt`  plain UTF-8 note (one text span, verbatim);
+  *   5 → `img_NNNN.png`   standalone media file (passes by reference —
+  *                        the bytes are never read, so a deterministic
+  *                        stub payload suffices).
+  *
+  * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
+  * font, x=72, leading 14 from y=760): every page's lines cluster into
+  * ONE text box whose text is the newline-terminated line join —
+  * pdfminer `get_text()` semantics, the same ground-truth shape
+  * `ex_realpdf` pins.
+  */
+object MixedGen {
+
+  /** One expected output row of `ex_mixed` (`media_ref` already reduced
+    * to its path-independent tail, see the query's `element_at`).
+    */
+  final case class GtRow(doc_id: String, kind: String, text: String,
+                         media_ref: String, ord: Int)
+
+  def fileName(i: Int): String = (i % 6: @unchecked) match {
+    case 0 | 1 | 2 => f"doc_$i%04d.pdf"
+    case 3         => f"page_$i%04d.html"
+    case 4         => f"note_$i%04d.txt"
+    case 5         => f"img_$i%04d.png"
+  }
+
+  // ---------- shared text ----------
+
+  /** Deterministic content lines — pure index formula, no RNG state. */
+  private def lines(i: Int, tag: String, n: Int): Seq[String] =
+    (0 until n).map { j =>
+      val words = (0 to 3 + (i + j) % 4)
+        .map(k => s"m${(i * 13 + j * 31 + k * 7) % 883}").mkString(" ")
+      s"$tag $j: $words"
+    }
+
+  private def nPage(i: Int): Int = 6 + i % 5  // page text lines
+  private def nForm(i: Int): Int = 3 + i % 3  // form continuation lines
+
+  private def joined(ls: Seq[String]): String = ls.map(_ + "\n").mkString
+
+  // ---------- PDF writers ----------
+
+  private def render(ls: Seq[String], startY: Int): Array[Byte] = {
+    val c = new StringBuilder(s"BT /F1 11 Tf 72 $startY Td ")
+    ls.foreach(l => c.append(s"($l) Tj 0 -14 Td "))
+    c.append("ET\n")
+    c.toString.getBytes("ISO-8859-1")
+  }
+
+  private def imgDims(i: Int, which: Int): (Int, Int) =
+    (16 + ((i + which) % 5) * 8, 8 + ((i + 2 * which) % 3) * 8)
+
+  /** Raw /DeviceGray 8-bit sample stream — deterministic gradient. */
+  private def imgSamples(i: Int, which: Int): Array[Byte] = {
+    val (w, h) = imgDims(i, which)
+    Array.tabulate(w * h)(k => ((k * 7 + i + which * 31) % 256).toByte)
+  }
+
+  private def imageObj(num: Int, i: Int, which: Int): String = {
+    val (w, h) = imgDims(i, which)
+    val data = imgSamples(i, which)
+    s"$num 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
+      s"/Height $h /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+      s"/Length ${data.length} >>\nstream\n" +
+      new String(data, "ISO-8859-1") + "\nendstream\nendobj\n"
+  }
+
+  /** variant 1: text block then two image paints (`/Im0 Do /Im1 Do`). */
+  private def makeImagePdf(i: Int): Array[Byte] = {
+    val content = new String(render(lines(i, "Pic", nPage(i)), 760),
+        "ISO-8859-1") +
+      "q 200 0 0 100 300 80 cm /Im0 Do Q q 120 0 0 60 64 40 cm /Im1 Do Q\n"
+    val sb = new StringBuilder
+    sb.append("%PDF-1.5\n")
+    sb.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .append(content).append("\nendstream\nendobj\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im0 5 0 R /Im1 6 0 R >> >> >>\nendobj\n")
+    sb.append(imageObj(5, i, 0)).append(imageObj(6, i, 1))
+    sb.append("startxref\n0\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** variant 2: page text, then a form XObject that draws the
+    * continuation lines on the same -14 grid and paints /Im0 itself.
+    */
+  private def makeFormPdf(i: Int): Array[Byte] = {
+    val np = nPage(i)
+    val pageContent = new String(render(lines(i, "Main", np), 760),
+      "ISO-8859-1") + "/Fm0 Do\n"
+    val formContent = new String(
+      render(lines(i, "Form", nForm(i)), 760 - 14 * np), "ISO-8859-1") +
+      "q 90 0 0 90 400 600 cm /Im0 Do Q\n"
+    val sb = new StringBuilder
+    sb.append("%PDF-1.5\n")
+    sb.append(s"4 0 obj\n<< /Length ${pageContent.length} >>\nstream\n")
+      .append(pageContent).append("\nendstream\nendobj\n")
+    sb.append(s"5 0 obj\n<< /Type /XObject /Subtype /Form " +
+      s"/BBox [0 0 612 792] /Resources << /XObject << /Im0 6 0 R >> >> " +
+      s"/Length ${formContent.length} >>\nstream\n")
+      .append(formContent).append("\nendstream\nendobj\n")
+    sb.append(imageObj(6, i, 0))
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Fm0 5 0 R >> >> >>\nendobj\n")
+    sb.append("startxref\n0\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  // ---------- HTML ----------
+
+  /** Kept blocks: title + two content paragraphs (each ≥ 25 chars,
+    * pre-normalized — single spaces, no entities, no links).
+    */
+  private def htmlKept(i: Int): Seq[String] = Seq(
+    s"Mixed fixture document $i reference title block",
+    s"First content paragraph of document $i: " +
+      lines(i, "Body", 1).head,
+    s"Second content paragraph of document $i carries " +
+      s"m${(i * 17) % 883} m${(i * 19) % 883} and closes the article.")
+
+  private def makeHtml(i: Int): String = {
+    val k = htmlKept(i)
+    s"""<html><head><title>${k(0)}</title></head><body>
+       |<nav><a href="/">Home</a> <a href="/about">About</a> menu</nav>
+       |<header>site banner $i</header>
+       |<article>
+       |<p>${k(1)}</p>
+       |<p>short $i</p>
+       |<p><a href="/a">one long navigation link farm row</a>
+       |<a href="/b">another equally long link here</a></p>
+       |<p>${k(2)}</p>
+       |</article>
+       |<footer>copyright $i all rights reserved footer</footer>
+       |</body></html>
+       |""".stripMargin
+  }
+
+  // ---------- txt / media ----------
+
+  private def makeTxt(i: Int): String =
+    s"Plain note $i.\n" + lines(i, "Note", 2).mkString("\n") + "\n"
+
+  private def makePng(i: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      Array.tabulate(64)(k => ((k * 11 + i) % 256).toByte)
+
+  // ---------- public surface ----------
+
+  def fileBytes(i: Int): Array[Byte] = (i % 6: @unchecked) match {
+    case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
+    case 1 => makeImagePdf(i)
+    case 2 => makeFormPdf(i)
+    case 3 => makeHtml(i).getBytes("UTF-8")
+    case 4 => makeTxt(i).getBytes("UTF-8")
+    case 5 => makePng(i)
+  }
+
+  def write(dir: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, fileName(i)), fileBytes(i)): Unit
+    }
+
+  /** Ground-truth `ex_mixed` rows for the first `n` files — what the
+    * generator wrote, expressed in ExtractionSpec's output terms.
+    */
+  def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
+    val f = fileName(i)
+    (i % 6: @unchecked) match {
+      case 0 =>
+        graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
+          case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
+        }
+      case 1 => Seq(
+        GtRow(f, "pdf", joined(lines(i, "Pic", nPage(i))), null, 0),
+        GtRow(f, "image", null, s"$f#img0:obj5", 1),
+        GtRow(f, "image", null, s"$f#img1:obj6", 2))
+      case 2 => Seq(
+        // form text continues the page's -14 grid → one box, one row
+        GtRow(f, "pdf",
+          joined(lines(i, "Main", nPage(i)) ++ lines(i, "Form", nForm(i))),
+          null, 0),
+        GtRow(f, "image", null, s"$f#img0:obj6", 1))
+      case 3 =>
+        htmlKept(i).zipWithIndex.map { case (b, k) =>
+          GtRow(f, "html", b, null, k)
+        }
+      case 4 => Seq(GtRow(f, "text", makeTxt(i), null, 0))
+      case 5 => Seq(GtRow(f, "image", null, f, 0))
+    }
+  }
+}

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Kind classification by extension (reference: `LIKE '%.pdf'` plus the
   * UI's validation list, streamlit_app.py:655-678):
-  *   .pdf → one "pdf" span (payload decoded as UTF-8 content stream);
+  *   .pdf → one "pdf" span (payload decoded as UTF-8 content stream;
+  *   genuine PDF bytes additionally yield one "image" media span per
+  *   embedded-image occurrence — see [[docSpans]]);
   *   .html/.htm → one "html" span; .txt/.text → one "text" span;
   *   image/audio/video extensions → one media span passing the file
   *   path through as media_ref (bytes stay in the store — the north
@@ -54,17 +56,28 @@ object RawFiles {
     if (i >= 0) uriPath.substring(i + root.length) else uriPath
   }
 
-  /** Payload decode for one text-kind file: genuine PDFs (binary, %PDF-
-    * magic) through the byte-level [[graft.extract.RealPdf]] front end,
-    * re-entering as the canonical PG/TX interchange payload; everything
-    * else as UTF-8. ONE definition shared by the batch directory reader
-    * and the streaming source, so the two ingestion paths cannot drift.
+  /** Payload decode for one text-kind file as the full span sequence:
+    * genuine PDFs (binary, %PDF- magic) go through the byte-level
+    * [[graft.extract.RealPdf]] front end, re-entering as ONE "pdf" span
+    * holding the canonical PG/TX interchange payload PLUS one media
+    * span per embedded-image occurrence (kind "image", media_ref
+    * `<path>#img<seq>:obj<N>` — the bytes stay inside the stored file,
+    * recoverable via `RealPdf.imageBytes(bytes, N)`; offsets 1..k in
+    * content-stream order, so [[graft.core.ExtractionSpec]]'s offset
+    * ordering reproduces the document's own text→media sequence).
+    * Everything else decodes as a single UTF-8 span. ONE definition
+    * shared by the batch directory reader and the streaming source, so
+    * the two ingestion paths cannot drift.
     */
-  private[graft] def textPayload(kind: String, bytes: Array[Byte]): String =
-    if (kind == "pdf" && graft.extract.RealPdf.isPdf(bytes))
-      graft.extract.RealPdf.toContentStream(
-        graft.extract.RealPdf.parse(bytes, firstPage = 1))
-    else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  private[graft] def docSpans(kind: String, path: String,
+                              bytes: Array[Byte]): Vector[Span] =
+    if (kind == "pdf" && graft.extract.RealPdf.isPdf(bytes)) {
+      val (pages, images) = graft.extract.RealPdf.parseDoc(bytes, 1)
+      Span("pdf", graft.extract.RealPdf.toContentStream(pages), null, 0) +:
+        images.map(im => Span("image", null,
+          s"$path#img${im.seq}:obj${im.objNum}", im.seq + 1))
+    } else Vector(Span(kind,
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8), null, 0))
 
   /** Classify + decode ONE file into an InputDoc: text kinds decode
     * their payload, media kinds pass by reference (bytes unused), and
@@ -79,8 +92,7 @@ object RawFiles {
             else path.substring(dot + 1).toLowerCase
     TextExt.get(e) match {
       case Some(kind) =>
-        Some(InputDoc(relativize(path, root),
-          Vector(Span(kind, textPayload(kind, content), null, 0))))
+        Some(InputDoc(relativize(path, root), docSpans(kind, path, content)))
       case None => MediaExt.get(e).map(kind =>
         InputDoc(relativize(path, root),
           Vector(Span(kind, null, path, 0))))
@@ -105,9 +117,8 @@ object RawFiles {
       .where(col("kind").isNotNull)
       .map { r =>
         InputDoc(relativize(r.getString(0), root),
-          Vector(Span(r.getString(1),
-            textPayload(r.getString(1), r.getAs[Array[Byte]]("content")),
-            null, 0)))
+          docSpans(r.getString(1), r.getString(0),
+            r.getAs[Array[Byte]]("content")))
       }
 
     val mediaDocs = scan

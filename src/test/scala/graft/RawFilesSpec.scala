@@ -76,6 +76,30 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
         (c.page, c.page_width, c.page_height))}")
   }
 
+  test("genuine PDF with embedded images yields interleaved text+media spans") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-mixpdf")
+    graft.gen.MixedGen.write(dir.toString, 3) // 0: text pdf, 1: image pdf,
+                                              // 2: form pdf
+    val docs = RawFiles.read(spark, dir.toString).collect()
+      .map(d => d.doc_id -> d).toMap
+    val img = docs("doc_0001.pdf").spans.sortBy(_.offset)
+    assert(img.map(_.kind) == Vector("pdf", "image", "image"))
+    assert(img(1).media_ref.endsWith("doc_0001.pdf#img0:obj5"))
+    assert(img(2).media_ref.endsWith("doc_0001.pdf#img1:obj6"))
+    assert(img(1).text == null && img(1).offset == 1 && img(2).offset == 2)
+    // the extraction output carries the media refs through, after text
+    val rows = Extractor.extractRows(docs("doc_0001.pdf"))
+    assert(rows.map(_.kind) == Vector("pdf", "image", "image"))
+    assert(rows.map(_.order) == Vector(0, 1, 2))
+    // the form variant's image (painted inside the form XObject) too
+    val form = docs("doc_0002.pdf").spans.sortBy(_.offset)
+    assert(form.map(_.kind) == Vector("pdf", "image"))
+    assert(form(1).media_ref.endsWith("doc_0002.pdf#img0:obj6"))
+    // a text-only genuine PDF is unchanged: exactly one span
+    assert(docs("doc_0000.pdf").spans.map(_.kind) == Vector("pdf"))
+  }
+
   test("spans-table JSON + flat-CSV staging roundtrip to the parquet shape") {
     import spark.implicits._
     val docs = CorpusGen.corpus(42L, 30).filter(_.spans.nonEmpty)

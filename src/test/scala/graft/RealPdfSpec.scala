@@ -690,4 +690,87 @@ class RealPdfSpec extends AnyFunSuite {
       .flatMap(_.runs.map(_.text)).toList
     assert(texts == List(poison))
   }
+
+  test("XObjects: image paints record media occurrences in order; text unaffected") {
+    // MixedGen variant-1 doc (i=1): text block then /Im0 (obj 5) and
+    // /Im1 (obj 6) — dims are the generator's formula values
+    val bytes = graft.gen.MixedGen.fileBytes(1)
+    val (pages, images) = RealPdf.parseDoc(bytes, 1)
+    assert(pages.length == 1)
+    assert(images == Vector(
+      RealPdf.PdfImage(page = 1, seq = 0, objNum = 5, width = 24, height = 16),
+      RealPdf.PdfImage(page = 1, seq = 1, objNum = 6, width = 32, height = 8)))
+    assert(pages(0).runs.nonEmpty &&
+      pages(0).runs.forall(_.text.startsWith("Pic ")))
+    // the raw /DeviceGray payload comes back sample-exact
+    val px = RealPdf.imageBytes(bytes, 5)
+    assert(px.exists(_.length == 24 * 16))
+  }
+
+  test("XObjects: form content executes recursively — text AND its image paint") {
+    val bytes = graft.gen.MixedGen.fileBytes(2) // variant-2 doc (i=2)
+    val (pages, images) = RealPdf.parseDoc(bytes, 1)
+    assert(pages.length == 1)
+    val texts = pages(0).runs.map(_.text)
+    assert(texts.count(_.startsWith("Main ")) == 8)  // nPage(2) = 6+2
+    assert(texts.count(_.startsWith("Form ")) == 5)  // nForm(2) = 3+2
+    // the image painted INSIDE the form is obj 6, first occurrence
+    assert(images == Vector(RealPdf.PdfImage(1, 0, 6, 32, 24)))
+  }
+
+  test("form recursion bomb: self-referencing form terminates at the depth cap") {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val form = "BT /F1 11 Tf 72 700 Td (in form) Tj ET /Fm0 Do"
+    val content = "/Fm0 Do".getBytes("ISO-8859-1")
+    val pdf = (("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Fm0 5 0 R >> >> >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .getBytes("ISO-8859-1")) ++ content ++
+      "\nendstream\nendobj\n".getBytes("ISO-8859-1") ++
+      (s"5 0 obj\n<< /Type /XObject /Subtype /Form /Resources " +
+        s"<< /XObject << /Fm0 5 0 R >> >> /Length ${form.length} >>\nstream\n" +
+        form + "\nendstream\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    val (pages, images) = RealPdf.parseDoc(pdf, 1)
+    assert(pages.length == 1)
+    // depth cap 8: page-level Do is depth 0→1, so 8 executions emit text
+    assert(pages(0).runs.count(_.text == "in form") == 8)
+    assert(images.isEmpty)
+  }
+
+  test("imageBytes: DCTDecode passes the embedded JPEG through to a real codec") {
+    // a genuine JPEG via javax.imageio, wrapped as a /DCTDecode image
+    // XObject — imageBytes must return the JFIF bytes unchanged, and a
+    // standard codec must read back the true dimensions
+    val img = new java.awt.image.BufferedImage(13, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 7).foreach(y => (0 until 13).foreach(x =>
+      img.setRGB(x, y, (x * 19 + y * 41) << 8)))
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val jpeg = jout.toByteArray
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val content = "q 13 0 0 7 10 10 cm /Im0 Do Q".getBytes("ISO-8859-1")
+    val pdf = (("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im0 5 0 R >> >> >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .getBytes("ISO-8859-1")) ++ content ++
+      "\nendstream\nendobj\n".getBytes("ISO-8859-1") ++
+      (s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 13 /Height 7 " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode " +
+        s"/Length ${jpeg.length} >>\nstream\n").getBytes("ISO-8859-1") ++
+      jpeg ++ "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+    val (_, images) = RealPdf.parseDoc(pdf, 1)
+    assert(images == Vector(RealPdf.PdfImage(1, 0, 5, 13, 7)))
+    val bytes = RealPdf.imageBytes(pdf, 5).get
+    assert(bytes.sameElements(jpeg))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(back.getWidth == 13 && back.getHeight == 7)
+  }
 }
