@@ -275,6 +275,36 @@ object SparkEntry {
           TextOps.stopwordHits(col("text")).as("stop_hits"),
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+    "q_rep_ratio" -> ((s, dir) => {
+      // Gopher-style repetition signals: distinct-word and duplicate-
+      // 2-gram fractions are codegen'd map-side columns (no shuffle);
+      // the top-word mass goes explode → two-level aggregate, so the
+      // (doc_id, word) combine happens map-side before the one shuffle
+      // — the shape that survives a 100x corpus. Twin: the independent
+      // PlainOracles.repSignalsPlain expected table.
+      val d = t(s, dir, "documents")
+      val tw = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").count()
+        .groupBy("doc_id")
+        .agg(round(max("count").cast("double") / sum("count"), 4)
+          .as("top_word_frac"))
+      d.select(col("doc_id"),
+          TextOps.distinctWordFrac(col("text")).as("distinct_word_frac"),
+          TextOps.dup2gramFrac(col("text")).as("dup_2gram_frac"))
+        .join(tw, "doc_id")
+        .select("doc_id", "distinct_word_frac", "top_word_frac",
+                "dup_2gram_frac")
+        .orderBy("doc_id")
+    }),
+    "q_source_caps" -> ((s, dir) =>
+      // C4/RefinedWeb-style per-source quota: keep ≤15 docs per source
+      // so no single site dominates the corpus; deterministic doc_id
+      // ranking for the pure-SQL twin (production would rank by hash)
+      graft.ops.CorpusPipeline.capPerSource(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", 15)
+        .orderBy("doc_id")),
     "q_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
           TextOps.langIdGuess(col("text")).as("lang_guess"))
@@ -848,6 +878,17 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
+    "q_rep_ratio" -> ((s, dir) => {
+      // plain-twin repetition signals over the (small) documents dim
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").collect()
+        .map { r =>
+          val (d, top, g) = PlainOracles.repSignalsPlain(r.getString(1))
+          (r.getLong(0), d, top, g)
+        }.toSeq
+        .toDF("doc_id", "distinct_word_frac", "top_word_frac",
+              "dup_2gram_frac")
+    }),
     "q_langid2" -> ((s, dir) => {
       import s.implicits._
       // same bounded corpus slice + the same deterministic seed
@@ -909,6 +950,15 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_realpdf/*.parquet'",
     "ex_mixed" ->
       s"SELECT * FROM '$ExpectedToken/ex_mixed/*.parquet'",
+    "q_rep_ratio" ->
+      s"SELECT * FROM '$ExpectedToken/q_rep_ratio/*.parquet'",
+    "q_source_caps" ->
+      """SELECT doc_id, source, CAST(rk AS INT) AS src_rank
+         FROM (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rk
+               FROM documents)
+         WHERE rk <= 15 ORDER BY doc_id""",
     "q_corpus_by_lang2" ->
       s"SELECT * FROM '$ExpectedToken/q_corpus_by_lang2/*.parquet'",
     "dd_simhash" ->

@@ -23,7 +23,9 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   *  - text operators BT ET Td TD TL Tm T* Tf Tc Tw Tj TJ ' " with the
   *    full text-matrix composition; literal strings (all escapes, octal,
   *    line continuations), hex strings, UTF-16BE (BOM) text; inline
-  *    images (BI…EI) and all other operators skipped operand-safely;
+  *    images (BI…EI) recorded as media occurrences (dict parsed for
+  *    /W /H, payload skipped to the whitespace-delimited EI) and all
+  *    other operators skipped operand-safely;
   *  - XObjects (`Do`, §8.8/§8.10): /Subtype /Form streams are executed
   *    recursively with their own /Resources (text inside form XObjects
   *    extracts; depth-capped at 8 against self-referencing bombs;
@@ -1815,8 +1817,36 @@ object RealPdf {
               }
               stack.clear()
             case "BI" =>
-              // inline image: skip to EI. ISO 32000 §8.9.7 requires EI
-              // delimited by whitespace — binary pixel data freely
+              // inline image (§8.9.7): the parameter dict (key/value
+              // pairs up to the ID operator) is parsed so the occurrence
+              // records like an image XObject — objNum 0 marks "no
+              // object identity" (media_ref suffix `inline`), dims from
+              // /W|/Width and /H|/Height.
+              var iw = 0; var ih = 0
+              var inDict = true
+              while (inDict) {
+                p.skipWs()
+                if (p.pos >= s.length) inDict = false
+                else if (s.charAt(p.pos) == '/') {
+                  val k = p.parseObject() match {
+                    case PName(n) => n
+                    case _        => ""
+                  }
+                  p.parseObject() match {
+                    case PNum(v) if k == "W" || k == "Width"  => iw = v.toInt
+                    case PNum(v) if k == "H" || k == "Height" => ih = v.toInt
+                    case _ => ()
+                  }
+                } else {
+                  inDict = false
+                  if (s.startsWith("ID", p.pos)) p.pos += 2
+                }
+              }
+              if (ctx != null)
+                ctx.images += PdfImage(page.page, ctx.images.length, 0,
+                  iw, ih)
+              // skip the binary payload to EI. ISO 32000 §8.9.7 requires
+              // EI delimited by whitespace — binary pixel data freely
               // contains the bytes 'E','I', so a bare indexOf resumes
               // operator interpretation mid-image and emits garbage runs.
               var ei = s.indexOf("EI", p.pos)

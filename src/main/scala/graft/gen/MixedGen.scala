@@ -20,7 +20,7 @@ package graft.gen
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
-  *                        text block;
+  *                        text block, then a BI…EI inline image;
   *   2 → `doc_NNNN.pdf`   page text, then a form XObject holding the
   *                        continuation lines AND an image painted from
   *                        inside the form (recursion ground truth);
@@ -95,11 +95,21 @@ object MixedGen {
       new String(data, "ISO-8859-1") + "\nendstream\nendobj\n"
   }
 
-  /** variant 1: text block then two image paints (`/Im0 Do /Im1 Do`). */
+  /** Inline-image payload: lowercase letters only, so the whitespace-
+    * delimited `EI` scan can never misfire inside it.
+    */
+  private def inlineData(i: Int): String =
+    (0 until 12).map(k => ('a' + (k * 5 + i) % 26).toChar).mkString
+
+  /** variant 1: text block, two image-XObject paints (`/Im0 Do /Im1
+    * Do`), then a BI…EI inline image (4×3 /DeviceGray).
+    */
   private def makeImagePdf(i: Int): Array[Byte] = {
     val content = new String(render(lines(i, "Pic", nPage(i)), 760),
         "ISO-8859-1") +
-      "q 200 0 0 100 300 80 cm /Im0 Do Q q 120 0 0 60 64 40 cm /Im1 Do Q\n"
+      "q 200 0 0 100 300 80 cm /Im0 Do Q q 120 0 0 60 64 40 cm /Im1 Do Q\n" +
+      s"q 4 0 0 3 500 100 cm BI /W 4 /H 3 /CS /G /BPC 8 ID " +
+      s"${inlineData(i)} EI Q\n"
     val sb = new StringBuilder
     sb.append("%PDF-1.5\n")
     sb.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
@@ -210,7 +220,8 @@ object MixedGen {
       case 1 => Seq(
         GtRow(f, "pdf", joined(lines(i, "Pic", nPage(i))), null, 0),
         GtRow(f, "image", null, s"$f#img0:obj5", 1),
-        GtRow(f, "image", null, s"$f#img1:obj6", 2))
+        GtRow(f, "image", null, s"$f#img1:obj6", 2),
+        GtRow(f, "image", null, s"$f#img2:inline", 3))
       case 2 => Seq(
         // form text continues the page's -14 grid → one box, one row
         GtRow(f, "pdf",

@@ -144,4 +144,28 @@ object CorpusPipeline {
       }
     df.withColumn("split", expr)
   }
+
+  /** Per-source quota cap — the C4/RefinedWeb-style "domain cap" a
+    * web-scale corpus applies so no single site dominates training data
+    * (Raffel et al. 2020 §2.2; Penedo et al. 2023 §3.3 — published
+    * pipeline steps, re-expressed as one ranked window). Keeps at most
+    * `k` rows per `sourceCol` value, deterministically ranked by
+    * `orderCol` (pass a hash column for an unbiased cap; an id column
+    * for a reproducible oracle-able one). Returns the kept rows plus
+    * their 1-based `src_rank`.
+    *
+    * Scale: one shuffle on the source key (the window partition). A
+    * pathological mega-source funnels to one task; at that skew, first
+    * cut the candidate set with a broadcast of
+    * `df.groupBy(source).count` and per-source random thresholds ~k/n,
+    * then rank only survivors — the window shape below is unchanged.
+    */
+  def capPerSource(df: DataFrame, sourceCol: String, orderCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0, "cap must be positive")
+    df.withColumn("src_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(sourceCol).orderBy(orderCol)))
+      .where(col("src_rank") <= k)
+  }
 }

@@ -92,6 +92,37 @@ object TextOps {
     * checked by Scala reference-implementation tests; the SQL-oracled
     * exact dedup uses md5 instead.
     */
+  // ---------- repetition signals (Gopher-style) ----------
+
+  /** Fraction of distinct words (Rae et al. 2021, "Scaling Language
+    * Models" appendix A1.1 — the published repetition-filter family a
+    * web-scale corpus applies before training; low distinct fraction ⇒
+    * boilerplate/spam). Words = `split(text, " ")` keeping empties, the
+    * same tokenization as [[tokenCount]]; rounded to 4 decimals
+    * (HALF_UP) so the independent twin compares exactly. Pure Catalyst,
+    * no shuffle — survives any scale as a map-side column.
+    */
+  def distinctWordFrac(text: Column): Column = {
+    val ws = split(text, " ")
+    round(size(array_distinct(ws)).cast("double") / size(ws), 4)
+  }
+
+  /** Fraction of DUPLICATED word 2-grams: `1 − distinct/total` over the
+    * adjacent-pair grams (the Gopher "duplicate n-gram" signal at n=2).
+    * Built with sequence+transform over the split array — stays inside
+    * whole-stage codegen, no explode, no shuffle. Texts with fewer than
+    * two words score 0.0.
+    */
+  def dup2gramFrac(text: Column): Column = {
+    val ws = split(text, " ")
+    val n = size(ws)
+    val grams = transform(sequence(lit(1), n - 1),
+      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+    when(n < 2, lit(0.0)).otherwise(
+      round(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams), 4))
+  }
+
   def fingerprint(text: Column): Column = xxhash64(text)
 
   def rollingFingerprint(text: Column): Column =

@@ -501,4 +501,27 @@ object PlainOracles {
         }.minBy { case (code, hits, d) => (-hits, d, code) }._1
       }
     }
+
+  /** Plain twin of the Gopher-style repetition signals
+    * ([[graft.ops.TextOps.distinctWordFrac]] / top-word mass /
+    * [[graft.ops.TextOps.dup2gramFrac]]): functional string ops over
+    * `split(" ", -1)` (keeping empties, like Spark's split), rounded
+    * HALF_UP to 4 decimals like Spark's `round`.
+    */
+  def repSignalsPlain(text: String): (Double, Double, Double) = {
+    def r4(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val ws = text.split(" ", -1)
+    val n = ws.length
+    val distinctFrac = r4(ws.distinct.length.toDouble / n)
+    val topFrac =
+      r4(ws.groupBy(identity).valuesIterator.map(_.size).max.toDouble / n)
+    val dupGramFrac =
+      if (n < 2) 0.0
+      else {
+        val grams = (0 until n - 1).map(i => ws(i) + " " + ws(i + 1))
+        r4(1.0 - grams.distinct.size.toDouble / grams.size)
+      }
+    (distinctFrac, topFrac, dupGramFrac)
+  }
 }

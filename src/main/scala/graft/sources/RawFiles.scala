@@ -61,7 +61,8 @@ object RawFiles {
     * [[graft.extract.RealPdf]] front end, re-entering as ONE "pdf" span
     * holding the canonical PG/TX interchange payload PLUS one media
     * span per embedded-image occurrence (kind "image", media_ref
-    * `<path>#img<seq>:obj<N>` — the bytes stay inside the stored file,
+    * `<path>#img<seq>:obj<N>`, or `…:inline` for BI…EI inline images —
+    * the bytes stay inside the stored file, XObject payloads
     * recoverable via `RealPdf.imageBytes(bytes, N)`; offsets 1..k in
     * content-stream order, so [[graft.core.ExtractionSpec]]'s offset
     * ordering reproduces the document's own text→media sequence).
@@ -74,8 +75,12 @@ object RawFiles {
     if (kind == "pdf" && graft.extract.RealPdf.isPdf(bytes)) {
       val (pages, images) = graft.extract.RealPdf.parseDoc(bytes, 1)
       Span("pdf", graft.extract.RealPdf.toContentStream(pages), null, 0) +:
-        images.map(im => Span("image", null,
-          s"$path#img${im.seq}:obj${im.objNum}", im.seq + 1))
+        images.map { im =>
+          // objNum 0 = inline image (BI…EI) — it has no object identity,
+          // only its occurrence position
+          val tail = if (im.objNum > 0) s"obj${im.objNum}" else "inline"
+          Span("image", null, s"$path#img${im.seq}:$tail", im.seq + 1)
+        }
     } else Vector(Span(kind,
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8), null, 0))
 

@@ -73,6 +73,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
 
+  test("repetition signals: Spark columns == plain twin, incl. edge cases") {
+    import spark.implicits._
+    val texts = Seq(
+      "a b c d e",             // all distinct
+      "a a a a",               // one word repeated
+      "a b a b a b",           // repeated 2-grams
+      "x",                     // single word (no 2-grams)
+      "a  b",                  // empty token from double space
+      "the cat sat on the mat the cat came back")
+    val got = texts.toDF("t")
+      .select(graft.ops.TextOps.distinctWordFrac(col("t")).as("d"),
+              graft.ops.TextOps.dup2gramFrac(col("t")).as("g"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    texts.zip(got).foreach { case (t, (d, g)) =>
+      val (pd, _, pg) = graft.oracle.PlainOracles.repSignalsPlain(t)
+      assert(d == pd && g == pg, s"'$t': spark ($d,$g) plain ($pd,$pg)")
+    }
+    // pinned values: "a a a a" → distinct 1/4, dup 2-grams 1 - 1/3
+    assert(got(1) == (0.25, 0.6667))
+    assert(got(3) == (1.0, 0.0)) // single word: no grams, 0.0 by spec
+    // top-word mass via the grouped path equals the plain twin too
+    val tops = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "t")
+      .select(col("doc_id"), explode(split(col("t"), " ")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id")
+      .agg(round(max("count").cast("double") / sum("count"), 4).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (_, pt, _) = graft.oracle.PlainOracles.repSignalsPlain(t)
+      assert(tops(i.toLong) == pt, s"'$t': spark top ${tops(i.toLong)} plain $pt")
+    }
+  }
+
+  test("capPerSource: quota respected, deterministic ranks, small sources intact") {
+    import spark.implicits._
+    val df = (0 until 40).map(i => (i.toLong, s"s${i % 3}")) // s0:14 s1:13 s2:13
+      .toDF("doc_id", "source")
+    val kept = graft.ops.CorpusPipeline.capPerSource(df, "source", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(kept.length == 15) // 5 per source
+    // ranks are 1..5 per source, assigned in doc_id order
+    val bySrc = kept.groupBy(_._2)
+    assert(bySrc.keySet == Set("s0", "s1", "s2"))
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.sortBy(_._1).map(_._3).toSeq == Seq(1, 2, 3, 4, 5))
+    }
+    // a cap above every source size keeps everything
+    assert(graft.ops.CorpusPipeline.capPerSource(df, "source", "doc_id", 99)
+      .count() == 40)
+  }
+
   test("wordCount: regex-token proxy edge cases") {
     import spark.implicits._
     val df = Seq("hello world", "a-b c_d", "  x  ", "123 abc!!!", "")

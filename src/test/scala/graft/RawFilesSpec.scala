@@ -84,14 +84,15 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = RawFiles.read(spark, dir.toString).collect()
       .map(d => d.doc_id -> d).toMap
     val img = docs("doc_0001.pdf").spans.sortBy(_.offset)
-    assert(img.map(_.kind) == Vector("pdf", "image", "image"))
+    assert(img.map(_.kind) == Vector("pdf", "image", "image", "image"))
     assert(img(1).media_ref.endsWith("doc_0001.pdf#img0:obj5"))
     assert(img(2).media_ref.endsWith("doc_0001.pdf#img1:obj6"))
+    assert(img(3).media_ref.endsWith("doc_0001.pdf#img2:inline"))
     assert(img(1).text == null && img(1).offset == 1 && img(2).offset == 2)
     // the extraction output carries the media refs through, after text
     val rows = Extractor.extractRows(docs("doc_0001.pdf"))
-    assert(rows.map(_.kind) == Vector("pdf", "image", "image"))
-    assert(rows.map(_.order) == Vector(0, 1, 2))
+    assert(rows.map(_.kind) == Vector("pdf", "image", "image", "image"))
+    assert(rows.map(_.order) == Vector(0, 1, 2, 3))
     // the form variant's image (painted inside the form XObject) too
     val form = docs("doc_0002.pdf").spans.sortBy(_.offset)
     assert(form.map(_.kind) == Vector("pdf", "image"))

@@ -699,7 +699,9 @@ class RealPdfSpec extends AnyFunSuite {
     assert(pages.length == 1)
     assert(images == Vector(
       RealPdf.PdfImage(page = 1, seq = 0, objNum = 5, width = 24, height = 16),
-      RealPdf.PdfImage(page = 1, seq = 1, objNum = 6, width = 32, height = 8)))
+      RealPdf.PdfImage(page = 1, seq = 1, objNum = 6, width = 32, height = 8),
+      // the BI…EI inline image: objNum 0 (no object identity), /W /H dims
+      RealPdf.PdfImage(page = 1, seq = 2, objNum = 0, width = 4, height = 3)))
     assert(pages(0).runs.nonEmpty &&
       pages(0).runs.forall(_.text.startsWith("Pic ")))
     // the raw /DeviceGray payload comes back sample-exact
@@ -738,6 +740,18 @@ class RealPdfSpec extends AnyFunSuite {
     // depth cap 8: page-level Do is depth 0→1, so 8 executions emit text
     assert(pages(0).runs.count(_.text == "in form") == 8)
     assert(images.isEmpty)
+  }
+
+  test("inline image: dict dims recorded, EI bytes inside the payload don't derail") {
+    // payload contains a bare "EI" NOT delimited by whitespace — the
+    // skip must pass it and resume at the real ` EI `, so the trailing
+    // text still extracts and exactly one occurrence is recorded
+    val content = ("BT /F1 12 Tf 72 700 Td (before) Tj ET " +
+      "BI /W 6 /H 2 /CS /G /BPC 8 ID xxEIxxyyzzww EI " +
+      "BT /F1 12 Tf 72 680 Td (after) Tj ET").getBytes("ISO-8859-1")
+    val (pages, images) = RealPdf.parseDoc(onePagePdf("", content), 1)
+    assert(pages(0).runs.map(_.text).toList == List("before", "after"))
+    assert(images == Vector(RealPdf.PdfImage(1, 0, 0, 6, 2)))
   }
 
   test("imageBytes: DCTDecode passes the embedded JPEG through to a real codec") {
