@@ -27,11 +27,12 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   *    /W /H, payload skipped to the whitespace-delimited EI) and all
   *    other operators skipped operand-safely;
   *  - XObjects (`Do`, §8.8/§8.10): /Subtype /Form streams are executed
-  *    recursively with their own /Resources (text inside form XObjects
-  *    extracts; depth-capped at 8 against self-referencing bombs;
-  *    the form /Matrix is treated as identity — the value every
-  *    mainstream writer emits — so form-local coordinates are used
-  *    as-is); /Subtype /Image occurrences are recorded as
+  *    recursively with their own /Resources and their /Matrix composed
+  *    as an affine base onto text emission (nested forms compose in
+  *    order; run origins, advances, and heights map through it), so
+  *    placed/scaled forms — letterheads, stamps, LaTeX includes —
+  *    land at their true page coordinates; depth-capped at 8 against
+  *    self-referencing bombs; /Subtype /Image occurrences are recorded as
   *    [[PdfImage]] media references in content-stream order with
   *    their /Width × /Height, the north rule's media-by-reference
   *    spans for interleaved text+media documents ([[parseDoc]];
@@ -1583,12 +1584,18 @@ object RealPdf {
     */
   private val MaxFormDepth = 8
 
+  /** Identity affine base for [[interpret]] — (a b c d e f) in the PDF
+    * row-vector convention `[x y 1] × M`.
+    */
+  private val IdentityM: Array[Double] = Array(1, 0, 0, 1, 0, 0)
+
   private def interpret(content: Array[Byte],
                         page: PdfTokenizer.Page,
                         fonts: Map[String, Font] = Map.empty,
                         res: PObj = PNull,
                         ctx: DocCtx = null,
-                        depth: Int = 0): Unit = {
+                        depth: Int = 0,
+                        base: Array[Double] = IdentityM): Unit = {
     // name → object number of the /Resources /XObject entries (XObject
     // streams must be indirect, §7.3.8); resolved on first `Do` only
     lazy val xobjs: Map[String, Int] =
@@ -1614,15 +1621,32 @@ object RealPdf {
                   dim("Width"), dim("Height"))
               case PName("Form") if depth < MaxFormDepth =>
                 // execute the form's content with ITS resources (falling
-                // back to the page's); /Matrix treated as identity — see
-                // the object scaladoc
+                // back to the page's) and its /Matrix composed onto the
+                // current base: form-space point p maps as p × M_form ×
+                // base (§8.10.1 — the CTM-at-Do composition, restricted
+                // to the text-emission transform this interpreter tracks)
                 val fres = dictGet(d, "Resources", ctx.objs) match {
                   case fd: PDict => fd
                   case _         => res
                 }
+                val fm = dictGet(d, "Matrix", ctx.objs) match {
+                  case PArr(items) if items.length == 6 &&
+                      items.forall(_.isInstanceOf[PNum]) =>
+                    items.map { case PNum(v) => v; case _ => 0.0 }.toArray
+                  case _ => IdentityM
+                }
+                val nb =
+                  if (fm eq IdentityM) base
+                  else Array(
+                    fm(0) * base(0) + fm(1) * base(2),
+                    fm(0) * base(1) + fm(1) * base(3),
+                    fm(2) * base(0) + fm(3) * base(2),
+                    fm(2) * base(1) + fm(3) * base(3),
+                    fm(4) * base(0) + fm(5) * base(2) + base(4),
+                    fm(4) * base(1) + fm(5) * base(3) + base(5))
                 interpret(decode(d, data, ctx.objs), page,
                   fontMap(fres, ctx.objs, ctx.fontCache), fres, ctx,
-                  depth + 1)
+                  depth + 1, nb)
               case _ => ()
             }
           case _ => ()
@@ -1726,12 +1750,19 @@ object RealPdf {
         }
       }
       if (text.nonEmpty) {
-        val x0 = e; val y0 = f
-        val x1 = adv * a + e; val y1 = adv * b + f
-        val h = fontSize * math.hypot(c, d)
+        // origin and advance endpoint through the affine base (identity
+        // outside form XObjects — arithmetic then reduces bit-exactly
+        // to the untransformed values); run height follows the base's
+        // linear action on the text-space up vector (0, h)
+        val tx0 = e * base(0) + f * base(2) + base(4)
+        val ty0 = e * base(1) + f * base(3) + base(5)
+        val ex1 = adv * a + e; val ey1 = adv * b + f
+        val tx1 = ex1 * base(0) + ey1 * base(2) + base(4)
+        val ty1 = ex1 * base(1) + ey1 * base(3) + base(5)
+        val h = fontSize * math.hypot(c, d) * math.hypot(base(2), base(3))
         page.runs += Run(page.page,
-          math.min(x0, x1), math.min(y0, y1) ,
-          math.max(x0, x1), math.min(y0, y1) + math.max(h, 0.0), text)
+          math.min(tx0, tx1), math.min(ty0, ty1),
+          math.max(tx0, tx1), math.min(ty0, ty1) + math.max(h, 0.0), text)
       }
       e += adv * a
       f += adv * b

@@ -37,7 +37,13 @@ object CorpusPipeline {
     minhashW: Int = 3, minhashK: Int = 64, minhashBands: Int = 16,
     cutWindowTokens: Int = 0, // 0 = skip the substring-cut stage
     contaminationW: Int = 13, // GPT-3's 13-gram collision window
-    maxContamination: Double = 0.0) // drop when rate > this (0 = any hit)
+    maxContamination: Double = 0.0, // drop when rate > this (0 = any hit)
+    // Gopher-style repetition gate (TextOps.distinctWordFrac /
+    // dup2gramFrac): drop docs below the distinct-word floor or above
+    // the duplicate-2-gram ceiling. The defaults disable the gate so
+    // existing pipelines and their oracled stage counts are unchanged.
+    minDistinctWordFrac: Double = 0.0,
+    maxDup2gramFrac: Double = 1.0)
 
   case class StageCount(stage: String, docs: Long)
 
@@ -64,8 +70,19 @@ object CorpusPipeline {
     val redacted = input.withColumn(textCol,
       TextOps.redactPii(col(textCol))).localCheckpoint()
 
-    val quality = count("quality_gate", redacted.where(
+    val quality0 = count("quality_gate", redacted.where(
       TextOps.qualityScore(col(textCol)) >= cfg.minQuality))
+
+    // repetition gate (map-side columns, no shuffle): skipped entirely
+    // at the no-op defaults so the stage list stays stable for callers
+    // that don't opt in
+    val repGateOn = cfg.minDistinctWordFrac > 0.0 ||
+      cfg.maxDup2gramFrac < 1.0
+    val quality =
+      if (!repGateOn) quality0
+      else count("repetition_gate", quality0.where(
+        TextOps.distinctWordFrac(col(textCol)) >= cfg.minDistinctWordFrac &&
+        TextOps.dup2gramFrac(col(textCol)) <= cfg.maxDup2gramFrac))
 
     val langExpr =
       if (cfg.langClassifier == "trigram")

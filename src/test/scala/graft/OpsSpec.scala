@@ -776,6 +776,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.distinct.length == out.length)
   }
 
+  test("pipeline repetition gate: spam docs dropped, stage absent at defaults") {
+    import spark.implicits._
+    val base = docsDf.select("doc_id", "text").where(col("doc_id") < 40)
+    // a boilerplate doc: one phrase repeated — distinct-word fraction
+    // near 0, duplicate-2-gram fraction near 1. Long enough to pass the
+    // quality gate's length floor.
+    val spam = Seq((9000001L,
+      Seq.fill(40)("click here to buy now").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (clean, counts) = CorpusPipeline.clean(base.union(spam),
+      "doc_id", "text",
+      CorpusPipeline.Config(minQuality = 0.0,
+        minDistinctWordFrac = 0.3, maxDup2gramFrac = 0.5))
+    assert(counts.map(_.stage).contains("repetition_gate"))
+    val ids = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9000001L), "repeated-phrase spam survived")
+    assert(ids.contains(20L)) // organic docs pass
+    // defaults = gate off: stage list unchanged for existing callers
+    val (_, counts2) = CorpusPipeline.clean(base, "doc_id", "text",
+      CorpusPipeline.Config())
+    assert(!counts2.map(_.stage).contains("repetition_gate"))
+  }
+
   test("corpus pipeline decontamination: docs leaking eval windows are dropped") {
     val base = docsDf.select("doc_id", "text").where(col("doc_id") < 60)
     // eval set = the full text of docs 10 and 11 — those corpus docs leak

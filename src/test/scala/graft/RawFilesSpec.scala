@@ -99,6 +99,15 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(form(1).media_ref.endsWith("doc_0002.pdf#img0:obj6"))
     // a text-only genuine PDF is unchanged: exactly one span
     assert(docs("doc_0000.pdf").spans.map(_.kind) == Vector("pdf"))
+    // the byte-fetch half of media-by-reference: the ref resolves back
+    // to the image payload inside the stored file (24x16 gray samples)
+    val pdfBytes = Files.readAllBytes(dir.resolve("doc_0001.pdf"))
+    val payload = RawFiles.pdfImagePayload(pdfBytes, img(1).media_ref)
+    assert(payload.exists(_.length == 24 * 16))
+    // inline refs are dims-only metadata: no recoverable object stream
+    assert(RawFiles.pdfImagePayload(pdfBytes,
+      "x.pdf#img2:inline").isEmpty)
+    assert(RawFiles.pdfImagePayload(pdfBytes, "no-fragment.pdf").isEmpty)
   }
 
   test("spans-table JSON + flat-CSV staging roundtrip to the parquet shape") {

@@ -742,6 +742,61 @@ class RealPdfSpec extends AnyFunSuite {
     assert(images.isEmpty)
   }
 
+  test("form /Matrix: placed and scaled form text lands at true page coordinates") {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    // inner form: 12pt text at (10, 20); outer page places it with
+    // /Matrix [2 0 0 2 100 50] — expect origin (120, 90), width and
+    // height doubled
+    val form = "BT /F1 12 Tf 10 20 Td (scaled) Tj ET"
+    val content = "/Fm0 Do".getBytes("ISO-8859-1")
+    val pdf = (("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Fm0 5 0 R >> >> >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .getBytes("ISO-8859-1")) ++ content ++
+      "\nendstream\nendobj\n".getBytes("ISO-8859-1") ++
+      (s"5 0 obj\n<< /Type /XObject /Subtype /Form " +
+        s"/Matrix [2 0 0 2 100 50] /BBox [0 0 612 792] " +
+        s"/Length ${form.length} >>\nstream\n" +
+        form + "\nendstream\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    val pages = RealPdf.parse(pdf, 1)
+    val r = pages(0).runs.head
+    assert(r.text == "scaled")
+    assert(r.x0 == 120.0 && r.y0 == 90.0)
+    // "scaled" = 6 glyphs × 0.5 em × 12 pt = 36 pt, doubled to 72
+    assert(math.abs((r.x1 - r.x0) - 72.0) < 1e-9)
+    assert(math.abs((r.y1 - r.y0) - 24.0) < 1e-9) // 12 pt × scale 2
+  }
+
+  test("form /Matrix: nested forms compose translations in order") {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val inner = "BT /F1 10 Tf 0 0 Td (deep) Tj ET"
+    val outer = "/Fi0 Do"
+    val content = "/Fm0 Do".getBytes("ISO-8859-1")
+    val pdf = (("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Fm0 5 0 R >> >> >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .getBytes("ISO-8859-1")) ++ content ++
+      "\nendstream\nendobj\n".getBytes("ISO-8859-1") ++
+      (s"5 0 obj\n<< /Type /XObject /Subtype /Form " +
+        s"/Matrix [1 0 0 1 50 60] " +
+        s"/Resources << /XObject << /Fi0 6 0 R >> >> " +
+        s"/Length ${outer.length} >>\nstream\n" + outer +
+        "\nendstream\nendobj\n").getBytes("ISO-8859-1") ++
+      (s"6 0 obj\n<< /Type /XObject /Subtype /Form " +
+        s"/Matrix [1 0 0 1 7 8] /Length ${inner.length} >>\nstream\n" +
+        inner + "\nendstream\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    val pages = RealPdf.parse(pdf, 1)
+    val r = pages(0).runs.head
+    assert(r.text == "deep")
+    assert(r.x0 == 57.0 && r.y0 == 68.0) // (7+50, 8+60)
+  }
+
   test("inline image: dict dims recorded, EI bytes inside the payload don't derail") {
     // payload contains a bare "EI" NOT delimited by whitespace — the
     // skip must pass it and resume at the real ` EI `, so the trailing

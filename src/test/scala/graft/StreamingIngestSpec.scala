@@ -101,5 +101,21 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.functions.col("doc_id") === "c.pdf")
       .select("text").collect().map(_.getString(0)).mkString
     assert(texts.contains("Modern layout via ObjStm"), s"got: $texts")
+
+    // wave 3: an image-bearing genuine PDF — the streaming decode path
+    // (RawFiles.decodeAny) must mint the same interleaved media spans
+    // as the batch scan: text row first, then the by-reference images
+    Files.write(in.resolve("d.pdf"), graft.gen.MixedGen.fileBytes(1))
+    val q3 = StreamingIngest.startRawDir(spark, in.toString, out, ckpt,
+      groups = 2)
+    q3.awaitTermination()
+    val dRows = StreamingIngest.readOutput(spark, out)
+      .where(org.apache.spark.sql.functions.col("doc_id") === "d.pdf")
+      .select("kind", "media_ref", "order").collect()
+      .sortBy(_.getInt(2))
+    assert(dRows.map(_.getString(0)).toSeq ==
+      Seq("pdf", "image", "image", "image"), s"kinds: ${dRows.toSeq}")
+    assert(dRows(1).getString(1).endsWith("d.pdf#img0:obj5"))
+    assert(dRows(3).getString(1).endsWith("d.pdf#img2:inline"))
   }
 }
