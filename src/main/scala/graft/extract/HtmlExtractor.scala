@@ -23,8 +23,22 @@ import scala.collection.mutable.ArrayBuffer
   *    marks its block as boilerplate.
   *  - LINK: `<a>` depth; non-whitespace chars accumulated at link depth
   *    > 0 count as link chars.
-  *  - Entities decoded in text: &amp; &lt; &gt; &quot; &#39; &nbsp;
-  *    (nbsp → space); unknown entities kept literally.
+  *  - RAW-TEXT elements (HTML5 §13.2.5.1 script/style data states):
+  *    after an opening `<script ...>` or `<style ...>` tag that is not
+  *    self-closing, everything up to the next case-insensitive
+  *    occurrence of `</script` resp. `</style` is raw data — not
+  *    tokenized, not added to any block, and not counted for
+  *    link/boiler/content (scripts are invisible, not boilerplate
+  *    text). Missing close ⇒ raw to end of input. The closing tag
+  *    itself then tokenizes normally.
+  *  - Entities decoded in text, two passes: (1) one left-to-right scan
+  *    replaces numeric references — `&#` + 1-7 decimal digits + `;`,
+  *    or `&#x`/`&#X` + 1-6 hex digits + `;`, when the value is a
+  *    Unicode scalar in [1, 0x10FFFF] minus surrogates; anything else
+  *    stays literal — then (2) the named chain &lt; &gt; &quot; &#39;
+  *    &nbsp; (nbsp → space) with &amp; LAST. Consequence (documented
+  *    quirk of the pass order): `&#38;lt;` → `<`, while `&amp;lt;` →
+  *    `&lt;`. Unknown entities kept literally.
   *  - A block is KEPT iff: not boilerplate-marked, AND its normalized
   *    text (whitespace runs collapsed to one space, trimmed) has length
   *    >= 25, AND linkChars * 3 <= contentChars (contentChars =
@@ -89,17 +103,22 @@ object HtmlExtractor {
           val parsed = if (gt > i) parseTag(html, i, gt) else None
           parsed match {
             case Some((name, closing)) =>
+              val selfClosing = isSelfClosing(html, i, gt)
               if (BlockTags(name)) flush()
               if (BoilerTags(name)) {
                 flush() // boilerplate containers also delimit blocks
                 if (closing) { if (boilerDepth > 0) boilerDepth -= 1 }
-                else if (!isSelfClosing(html, i, gt)) boilerDepth += 1
+                else if (!selfClosing) boilerDepth += 1
               }
               if (name == "a") {
                 if (closing) { if (linkDepth > 0) linkDepth -= 1 }
-                else if (!isSelfClosing(html, i, gt)) linkDepth += 1
+                else if (!selfClosing) linkDepth += 1
               }
               i = gt + 1
+              if (!closing && !selfClosing && RawTextTags(name)) {
+                // raw-text interior: skip silently to the closing tag
+                i = rawTextEnd(html, i, name)
+              }
             case None =>
               // malformed: literal '<'
               addText("<"); i += 1
@@ -134,6 +153,29 @@ object HtmlExtractor {
   private def isSelfClosing(html: String, start: Int, gt: Int): Boolean =
     gt > start && html.charAt(gt - 1) == '/'
 
+  /** HTML5 raw-text/script-data elements: interiors are data, not
+    * markup, and scripts/styles render nothing.
+    */
+  val RawTextTags: Set[String] = Set("script", "style")
+
+  /** Index just past the raw interior: the position of the next
+    * case-insensitive `</name` (the closing tag then tokenizes
+    * normally), or end-of-input when unclosed.
+    */
+  private def rawTextEnd(html: String, from: Int, name: String): Int = {
+    val needle = "</" + name
+    var i = from
+    val last = html.length - needle.length
+    while (i <= last) {
+      var k = 0
+      while (k < needle.length && Character.toLowerCase(
+               html.charAt(i + k)) == needle.charAt(k)) k += 1
+      if (k == needle.length) return i
+      i += 1
+    }
+    html.length
+  }
+
   def normalize(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -153,8 +195,46 @@ object HtmlExtractor {
 
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
-    // &amp; decoded LAST so "&amp;lt;" yields "&lt;", not "<".
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+    // pass 1: numeric character references, one left-to-right scan
+    val t = decodeNumeric(s)
+    // pass 2: named chain, &amp; decoded LAST so "&amp;lt;" yields
+    // "&lt;", not "<".
+    t.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+  }
+
+  /** `&#NNN;` (1-7 decimal digits) and `&#xHH;`/`&#XHH;` (1-6 hex
+    * digits) → the code point, when it is a Unicode scalar value in
+    * [1, 0x10FFFF] excluding surrogates; anything else stays literal.
+    */
+  private def decodeNumeric(s: String): String = {
+    if (s.indexOf("&#") < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&' && i + 2 < n && s.charAt(i + 1) == '#') {
+        val hex = s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X'
+        val digStart = if (hex) i + 3 else i + 2
+        var p = digStart
+        def isDig(ch: Char): Boolean =
+          if (hex) Character.digit(ch, 16) >= 0 else ch >= '0' && ch <= '9'
+        val maxDigits = if (hex) 6 else 7
+        while (p < n && p - digStart < maxDigits + 1 && isDig(s.charAt(p)))
+          p += 1
+        val nd = p - digStart
+        val ok = nd >= 1 && nd <= maxDigits && p < n && s.charAt(p) == ';'
+        if (ok) {
+          val v = java.lang.Long.parseLong(
+            s.substring(digStart, p), if (hex) 16 else 10)
+          if (v >= 1 && v <= 0x10FFFF && !(v >= 0xD800 && v <= 0xDFFF)) {
+            sb.appendCodePoint(v.toInt)
+            i = p + 1
+          } else { sb.append(c); i += 1 } // out-of-range: literal
+        } else { sb.append(c); i += 1 }   // malformed: literal
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }

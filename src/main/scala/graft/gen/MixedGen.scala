@@ -154,27 +154,37 @@ object MixedGen {
 
   // ---------- HTML ----------
 
-  /** Kept blocks: title + two content paragraphs (each ≥ 25 chars,
-    * pre-normalized — single spaces, no entities, no links).
+  /** Kept blocks AFTER extraction: title + two content paragraphs
+    * (each ≥ 25 chars, pre-normalized — single spaces, no links). The
+    * second paragraph is written with a numeric entity (`caf&#233;`)
+    * that the extractor must decode — the ground truth here carries
+    * the decoded form.
     */
   private def htmlKept(i: Int): Seq[String] = Seq(
     s"Mixed fixture document $i reference title block",
     s"First content paragraph of document $i: " +
       lines(i, "Body", 1).head,
-    s"Second content paragraph of document $i carries " +
+    s"Second content paragraph of document $i visits the café " +
       s"m${(i * 17) % 883} m${(i * 19) % 883} and closes the article.")
 
   private def makeHtml(i: Int): String = {
     val k = htmlKept(i)
-    s"""<html><head><title>${k(0)}</title></head><body>
+    val rawSecond = s"Second content paragraph of document $i visits " +
+      s"the caf&#233; m${(i * 17) % 883} m${(i * 19) % 883} " +
+      s"and closes the article."
+    s"""<html><head><title>${k(0)}</title>
+       |<style>p { margin: 0; } /* </p> inside style is raw */</style>
+       |</head><body>
        |<nav><a href="/">Home</a> <a href="/about">About</a> menu</nav>
        |<header>site banner $i</header>
        |<article>
        |<p>${k(1)}</p>
+       |<script>var tricks = "</p><p>injected paragraph from script";
+       |if (tricks<42) { track($i); }</script>
        |<p>short $i</p>
        |<p><a href="/a">one long navigation link farm row</a>
        |<a href="/b">another equally long link here</a></p>
-       |<p>${k(2)}</p>
+       |<p>$rawSecond</p>
        |</article>
        |<footer>copyright $i all rights reserved footer</footer>
        |</body></html>

@@ -150,9 +150,24 @@ object RefOracle {
       blocks = Block(raw.toString, link, content, boiler) :: blocks
       raw = new StringBuilder; link = 0; content = 0; boiler = false
     }
-    def decode(t: String): String =
-      t.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+    // numeric refs first (regex pass — a different mechanism than the
+    // extractor's hand scan, same spec), then the named chain
+    val numRef = "&#([0-9]{1,7});|&#[xX]([0-9a-fA-F]{1,6});".r
+    def decode(t: String): String = {
+      val afterNum =
+        if (t.indexOf("&#") < 0) t
+        else numRef.replaceAllIn(t, m => {
+          val v = if (m.group(1) != null) java.lang.Long.parseLong(m.group(1))
+                  else java.lang.Long.parseLong(m.group(2), 16)
+          if (v >= 1 && v <= 0x10FFFF && !(v >= 0xD800 && v <= 0xDFFF))
+            scala.util.matching.Regex.quoteReplacement(
+              new String(Character.toChars(v.toInt)))
+          else scala.util.matching.Regex.quoteReplacement(m.matched)
+        })
+      afterNum
+        .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
         .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+    }
     var i = 0
     while (i < s.length) {
       if (s.charAt(i) == '<' && s.startsWith("<!--", i)) {
@@ -176,6 +191,21 @@ object RefOracle {
             else if (!selfClose) linkD += 1
           }
           i = gt + 1
+          if (!closing && !selfClose &&
+              (nm0 == "script" || nm0 == "style")) {
+            // raw-text interior: invisible — scan for the closing tag
+            // with a fold-case sliding compare (different mechanism
+            // than the extractor, same spec)
+            val close = "</" + nm0
+            var j = i
+            var found = -1
+            while (found < 0 && j + close.length <= s.length) {
+              if (s.substring(j, j + close.length)
+                    .map(Character.toLowerCase) == close) found = j
+              else j += 1
+            }
+            i = if (found < 0) s.length else found
+          }
         } else {
           raw += '<'; content += 1; if (linkD > 0) link += 1
           if (boilD > 0) boiler = true

@@ -39,7 +39,11 @@ object ExtractorProps extends Properties("Extractor") {
     2 -> Gen.listOf(Gen.oneOf(
            "<p>", "</p>", "<nav>", "</nav>", "<a href=x>", "</a>",
            "<div>", "</div>", "<!--", "-->", "plain words here and there",
-           "&amp;", "&lt;tag&gt;", "中文 ünïcode ", "<", ">", "<p/>"
+           "&amp;", "&lt;tag&gt;", "中文 ünïcode ", "<", ">", "<p/>",
+           // raw-text + numeric-entity rule stressors (r04)
+           "<script>", "</script>", "<SCRIPT>", "<style>", "</style>",
+           "<script/>", "&#65;", "&#x41;", "&#", "&#;", "&#xD800;",
+           "&#38;lt;", "&#99999999;"
          )).map(_.mkString(" ")),
     1 -> Gen.stringOf(Gen.oneOf('\n', '\t', ' ', 'a', '\\', '<', '&',
            '中', '€', '\u3000', '\u2028')).map(_.take(300)))

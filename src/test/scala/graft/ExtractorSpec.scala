@@ -164,6 +164,51 @@ class ExtractorSpec extends AnyFunSuite {
     assert(HtmlExtractor.decodeEntities("&amp;lt; &lt; a&amp;b") == "&lt; < a&b")
   }
 
+  test("html numeric character references: valid decode, invalid stay literal") {
+    val d = HtmlExtractor.decodeEntities _
+    assert(d("&#65;&#98;c") == "Abc")
+    assert(d("&#x41;&#X62;") == "Ab")
+    assert(d("&#x1F600;") == "😀") // supplementary plane
+    assert(d("&#0;x") == "&#0;x")            // NUL: out of range
+    assert(d("&#xD800;") == "&#xD800;")      // surrogate: literal
+    assert(d("&#99999999;") == "&#99999999;") // 8 digits: literal
+    assert(d("&#;&#x;&#") == "&#;&#x;&#")     // malformed: literal
+    // documented pass-order quirks
+    assert(d("&#38;lt;") == "<")     // numeric first, then named
+    assert(d("&amp;#65;") == "&#65;") // &amp; last — no re-decode
+  }
+
+  test("html raw-text elements: script/style interiors are invisible, both impls") {
+    val html = "<p>Real paragraph content that is long enough here.</p>" +
+      "<script>var a = \"</p><p>fake paragraph from script body\"; " +
+      "if (a<b) { run(); }</script>" +
+      "<style>p { color: red; } /* </p> trick comment */</style>" +
+      "<p>Second real paragraph, also long enough to keep.</p>" +
+      "<SCRIPT>case insensitive close</SCRIPT>" +
+      "<p>Third real paragraph after the uppercase script.</p>"
+    val blocks = HtmlExtractor.extract(html)
+    assert(blocks == Vector(
+      "Real paragraph content that is long enough here.",
+      "Second real paragraph, also long enough to keep.",
+      "Third real paragraph after the uppercase script."), blocks)
+    // dual-impl equality over the full extraction path
+    val doc = InputDoc("raw", Vector(Span("html", html, null, 0)))
+    assert(Extractor.extract(doc).outSpans == RefOracle.extract(doc).outSpans)
+    // unclosed script swallows the rest — honest data loss, no crash
+    val unclosed = "<p>Kept paragraph long enough before the break.</p>" +
+      "<script>never closed <p>gone forever</p>"
+    assert(HtmlExtractor.extract(unclosed) ==
+      Vector("Kept paragraph long enough before the break."))
+    val d2 = InputDoc("uc", Vector(Span("html", unclosed, null, 0)))
+    assert(Extractor.extract(d2).outSpans == RefOracle.extract(d2).outSpans)
+    // self-closing script has no raw interior
+    val selfc = "<script src=x/><p>Paragraph after self-closing script.</p>"
+    assert(HtmlExtractor.extract(selfc) ==
+      Vector("Paragraph after self-closing script."))
+    val d3 = InputDoc("sc", Vector(Span("html", selfc, null, 0)))
+    assert(Extractor.extract(d3).outSpans == RefOracle.extract(d3).outSpans)
+  }
+
   test("html unicode whitespace (U+3000) normalizes identically in both impls") {
     // Character.isWhitespace covers these; regex \s does not — a r02
     // review found the oracle using \s+ and diverging here
