@@ -20,8 +20,13 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   *  - /Contents single ref or array, streams raw or /FlateDecode
   *    (java.util.zip.Inflater); unsupported filters ⇒ empty page (the
   *    page still counts, like pdfminer's enumerate);
-  *  - text operators BT ET Td TD TL Tm T* Tf Tc Tw Tj TJ ' " with the
-  *    full text-matrix composition; literal strings (all escapes, octal,
+  *  - text operators BT ET Td TD TL Tm T* Tf Tc Tw Tz Ts Tj TJ ' "
+  *    with the full text-matrix composition (Tz scales every
+  *    horizontal displacement, Ts displaces along the text-space up
+  *    direction); page /Rotate (inheritable) applies the standard
+  *    90/180/270 display transform — dims swap for 90/270 and all
+  *    geometry maps through the rotation (the CTM the reference gets
+  *    from pdfminer's process_page); literal strings (all escapes, octal,
   *    line continuations), hex strings, UTF-16BE (BOM) text; inline
   *    images (BI…EI) recorded as media occurrences (dict parsed for
   *    /W /H, payload skipped to the whitespace-delimited EI) and all
@@ -134,15 +139,26 @@ object RealPdf {
       val pageDicts = pageTree(objs)
       val ctx = DocCtx(objs, MHashMap.empty, ArrayBuffer.empty)
       var pageNo = firstPage - 1
-      val pages = pageDicts.map { case (dict, mediaBox, res) =>
+      val pages = pageDicts.map { case (dict, mediaBox, res, rotRaw) =>
         pageNo += 1
         val (w, h) = mediaBox
-        val page = PdfTokenizer.Page(pageNo, w, h, new ArrayBuffer[Run])
+        // /Rotate (§7.7.3.3, inheritable): the display transform the
+        // reference gets from pdfminer's process_page CTM — 90/270 swap
+        // the page dims, and all emitted geometry maps through the
+        // rotation as the page-level affine base (forms compose onto it)
+        val rot = ((rotRaw % 360) + 360) % 360
+        val (pw, ph, base) = rot match {
+          case 90  => (h, w, Array(0.0, -1.0, 1.0, 0.0, 0.0, w))
+          case 180 => (w, h, Array(-1.0, 0.0, 0.0, -1.0, w, h))
+          case 270 => (h, w, Array(0.0, 1.0, -1.0, 0.0, h, 0.0))
+          case _   => (w, h, IdentityM)
+        }
+        val page = PdfTokenizer.Page(pageNo, pw, ph, new ArrayBuffer[Run])
         try {
           val content = contentOf(dict, objs)
           if (content.nonEmpty)
             interpret(content, page, fontMap(res, objs, ctx.fontCache),
-              res, ctx, depth = 0)
+              res, ctx, depth = 0, base)
         } catch { case _: Exception => () } // bad page content: keep empty
         page
       }
@@ -353,11 +369,16 @@ object RealPdf {
     * document order (own resources only — inheritance needs the tree).
     */
   private def pageTree(objs: Map[Int, Indirect])
-      : Vector[(PObj, (Double, Double), PObj)] = {
-    val out = Vector.newBuilder[(PObj, (Double, Double), PObj)]
+      : Vector[(PObj, (Double, Double), PObj, Int)] = {
+    val out = Vector.newBuilder[(PObj, (Double, Double), PObj, Int)]
     val seen = scala.collection.mutable.HashSet.empty[Int]
+    def rotateOf(node: PObj, inherited: Int): Int =
+      dictGet(node, "Rotate", objs) match {
+        case PNum(v) => v.toInt
+        case _       => inherited
+      }
     def walk(node: PObj, inherited: (Double, Double), inhRes: PObj,
-             depth: Int): Unit = {
+             inhRot: Int, depth: Int): Unit = {
       if (depth > 64) return // cycle/bomb guard
       val box = mediaBoxOf(dictGet(node, "MediaBox", objs))
         .getOrElse(inherited)
@@ -365,18 +386,19 @@ object RealPdf {
         case d: PDict => d
         case _        => inhRes
       }
+      val rot = rotateOf(node, inhRot) // /Rotate inherits (§7.7.3.4)
       dictGet(node, "Type", objs) match {
         case PName("Pages") =>
           dictGet(node, "Kids", objs) match {
             case PArr(kids) => kids.foreach {
               case PRef(n) if seen.add(n) =>
-                walk(resolve(PRef(n), objs), box, res, depth + 1)
-              case PDict(m) => walk(PDict(m), box, res, depth + 1)
+                walk(resolve(PRef(n), objs), box, res, rot, depth + 1)
+              case PDict(m) => walk(PDict(m), box, res, rot, depth + 1)
               case _ => ()
             }
             case _ => ()
           }
-        case PName("Page") => out += ((node, box, res))
+        case PName("Page") => out += ((node, box, res, rot))
         case _ => ()
       }
     }
@@ -384,13 +406,14 @@ object RealPdf {
       .map(_.dict)
       .collectFirst { case d @ PDict(m)
         if m.get("Type").contains(PName("Catalog")) => d }
-    root.foreach(r => walk(dictGet(r, "Pages", objs), DefaultBox, PNull, 0))
+    root.foreach(r => walk(dictGet(r, "Pages", objs), DefaultBox, PNull,
+      0, 0))
     val walked = out.result()
     if (walked.nonEmpty) walked
     else objs.toVector.sortBy(_._1).map(_._2.dict).collect {
       case d @ PDict(m) if m.get("Type").contains(PName("Page")) =>
         (d, mediaBoxOf(dictGet(d, "MediaBox", objs)).getOrElse(DefaultBox),
-         dictGet(d, "Resources", objs))
+         dictGet(d, "Resources", objs), rotateOf(d, 0))
     }
   }
 
@@ -1663,6 +1686,8 @@ object RealPdf {
     var fontSize = 0.0
     var charSp = 0.0
     var wordSp = 0.0
+    var hScale = 1.0 // Tz horizontal scaling / 100 (§9.3.4)
+    var rise = 0.0   // Ts text rise (§9.3.7)
     var curFont: Font = null // null or metric-less ⇒ estimate path
     val stack = ArrayBuffer.empty[PObj]
 
@@ -1749,26 +1774,35 @@ object RealPdf {
           i += 1
         }
       }
+      adv *= hScale // Tz horizontal scaling applies to the whole
+                    // displacement (glyphs + Tc + Tw), §9.4.4
       if (text.nonEmpty) {
+        // text rise Ts displaces along the text-space up direction
+        val ox = e + rise * c; val oy = f + rise * d
+        val ax = adv * a + ox; val ay = adv * b + oy
         // origin and advance endpoint through the affine base (identity
-        // outside form XObjects — arithmetic then reduces bit-exactly
-        // to the untransformed values); run height follows the base's
-        // linear action on the text-space up vector (0, h)
-        val tx0 = e * base(0) + f * base(2) + base(4)
-        val ty0 = e * base(1) + f * base(3) + base(5)
-        val ex1 = adv * a + e; val ey1 = adv * b + f
-        val tx1 = ex1 * base(0) + ey1 * base(2) + base(4)
-        val ty1 = ex1 * base(1) + ey1 * base(3) + base(5)
-        val h = fontSize * math.hypot(c, d) * math.hypot(base(2), base(3))
+        // on unrotated pages outside form XObjects — the arithmetic
+        // then reduces bit-exactly to the untransformed values); the
+        // run box is the bounding box of the 4-corner quad: both
+        // endpoints plus the page-space up vector (0, h) through the
+        // base's linear part
+        val tx0 = ox * base(0) + oy * base(2) + base(4)
+        val ty0 = ox * base(1) + oy * base(3) + base(5)
+        val tx1 = ax * base(0) + ay * base(2) + base(4)
+        val ty1 = ax * base(1) + ay * base(3) + base(5)
+        val h0 = fontSize * math.hypot(c, d)
+        val hvx = h0 * base(2); val hvy = h0 * base(3)
+        val xs0 = math.min(tx0, tx1); val xs1 = math.max(tx0, tx1)
+        val ys0 = math.min(ty0, ty1); val ys1 = math.max(ty0, ty1)
         page.runs += Run(page.page,
-          math.min(tx0, tx1), math.min(ty0, ty1),
-          math.max(tx0, tx1), math.min(ty0, ty1) + math.max(h, 0.0), text)
+          math.min(xs0, xs0 + hvx), math.min(ys0, ys0 + hvy),
+          math.max(xs1, xs1 + hvx), math.max(ys1, ys1 + hvy), text)
       }
       e += adv * a
       f += adv * b
     }
     def tjAdvance(kern: Double): Unit = {
-      val adv = -kern / 1000.0 * fontSize
+      val adv = -kern / 1000.0 * fontSize * hScale
       e += adv * a
       f += adv * b
     }
@@ -1808,6 +1842,8 @@ object RealPdf {
                 math.min(1, stack.length)) // the font name
             case "Tc" => charSp = popN(1)(0)
             case "Tw" => wordSp = popN(1)(0)
+            case "Tz" => hScale = popN(1)(0) / 100.0
+            case "Ts" => rise = popN(1)(0)
             case "Tj" =>
               stack.lastOption match {
                 case Some(PStr(bs)) => show(bs)

@@ -742,6 +742,64 @@ class RealPdfSpec extends AnyFunSuite {
     assert(images.isEmpty)
   }
 
+  test("/Rotate 90: page dims swap and text maps through the display transform") {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val content = "BT /F1 10 Tf 100 200 Td (turned) Tj ET"
+      .getBytes("ISO-8859-1")
+    def pdfWithRotate(rot: String) = (("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        s"/MediaBox [0 0 612 792]$rot >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .getBytes("ISO-8859-1")) ++ content ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+
+    // /Rotate 90 inherited from the Pages node: (x,y) -> (y, w - x),
+    // dims (h, w) = (792, 612)
+    val p90 = RealPdf.parse(pdfWithRotate(" /Rotate 90"), 1).head
+    assert((p90.width, p90.height) == (792.0, 612.0))
+    val r = p90.runs.head
+    assert(r.text == "turned")
+    // origin (100,200) -> (200, 512); advance 6*0.5em*10=30 along +x in
+    // text space maps to -y; height 10 maps to +x
+    assert(r.x0 == 200.0 && math.abs(r.x1 - 210.0) < 1e-9)
+    assert(math.abs(r.y0 - 482.0) < 1e-9 && r.y1 == 512.0)
+
+    // /Rotate 180: (x,y) -> (w-x, h-y), dims unchanged
+    val p180 = RealPdf.parse(pdfWithRotate(" /Rotate 180"), 1).head
+    assert((p180.width, p180.height) == (612.0, 792.0))
+    val r180 = p180.runs.head
+    assert(math.abs(r180.x1 - 512.0) < 1e-9 &&
+           math.abs(r180.x0 - 482.0) < 1e-9)
+    assert(math.abs(r180.y1 - 592.0) < 1e-9)
+    // negative / wrapped values normalize: -90 == 270
+    val p270 = RealPdf.parse(pdfWithRotate(" /Rotate -90"), 1).head
+    assert((p270.width, p270.height) == (792.0, 612.0))
+    // unrotated output is bit-identical to the pre-/Rotate rounds
+    val p0 = RealPdf.parse(pdfWithRotate(""), 1).head
+    val r0 = p0.runs.head
+    assert(r0.x0 == 100.0 && r0.y0 == 200.0 && r0.y1 == 210.0)
+  }
+
+  test("Tz horizontal scaling and Ts rise shape the emitted run box") {
+    val content = ("BT /F1 10 Tf 50 700 Td (one) Tj " +
+      "200 Tz (two) Tj ET " + // doubled advances from here
+      "BT /F1 10 Tf 50 600 Td 5 Ts (up) Tj ET").getBytes("ISO-8859-1")
+    val pages = RealPdf.parse(onePagePdf("", content), 1)
+    val runs = pages.head.runs
+    assert(runs.map(_.text).toList == List("one", "two", "up"))
+    val one = runs(0); val two = runs(1); val up = runs(2)
+    // "one": 3 glyphs * 0.5em * 10pt = 15pt at default 100 Tz
+    assert(math.abs((one.x1 - one.x0) - 15.0) < 1e-9)
+    // "two": same glyph count, 200 Tz doubles the displacement, and it
+    // starts where "one" ended
+    assert(math.abs(two.x0 - 65.0) < 1e-9)
+    assert(math.abs((two.x1 - two.x0) - 30.0) < 1e-9)
+    // "up": Ts 5 lifts the baseline by 5 in text space
+    assert(up.y0 == 605.0 && up.y1 == 615.0)
+  }
+
   test("form /Matrix: placed and scaled form text lands at true page coordinates") {
     def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
     // inner form: 12pt text at (10, 20); outer page places it with
