@@ -297,6 +297,17 @@ object SparkEntry {
                 "dup_2gram_frac")
         .orderBy("doc_id")
     }),
+    "q_chunk_text" -> ((s, dir) => {
+      // RAG chunking: 32-token windows, stride 24 (8-token overlap) —
+      // one codegen'd pass + posexplode, no shuffle before the sort
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), posexplode(
+          TextOps.tokenWindowChunks(col("text"), size = 32, stride = 24)))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          col("col").as("chunk_text"),
+          size(split(col("col"), " ")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q_source_caps" -> ((s, dir) =>
       // C4/RefinedWeb-style per-source quota: keep ≤15 docs per source
       // so no single site dominates the corpus; deterministic doc_id
@@ -390,6 +401,22 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc).limit(20)
     }),
 
+    "sim_sq8_topk" -> ((s, dir) => {
+      // int8 scalar quantization (SQ8) + brute-force cosine: embeddings
+      // store 4x smaller and scoring runs on the integer codes alone
+      // (per-vector scales cancel in the cosine ratio) — the memory-
+      // bound path of 100 TB ANN. Twin: independent PlainOracles SQ8.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.ops.Similarity.quantizeInt8(col("embedding")).as("q8"))
+      val q = broadcast(e.where(col("vec_id") === 0)
+        .select(col("q8.codes").as("qc")))
+      e.crossJoin(q)
+        .select(col("vec_id"),
+          round(graft.ops.Similarity.codeCosine(col("q8.codes"), col("qc")),
+            6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(20)
+    }),
     "q_bm25_topk" -> ((s, dir) =>
       // lexical half of the reference's hybrid search (setup.sql:182-201)
       graft.ops.Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
@@ -878,6 +905,14 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
+    "sim_sq8_topk" -> ((s, dir) => {
+      // independent plain SQ8 over the (small) embeddings dim table
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      PlainOracles.sq8TopKPlain(vecs, 0L, 20).toDF("vec_id", "score")
+    }),
     "q_rep_ratio" -> ((s, dir) => {
       // plain-twin repetition signals over the (small) documents dim
       import s.implicits._
@@ -952,6 +987,21 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_mixed/*.parquet'",
     "q_rep_ratio" ->
       s"SELECT * FROM '$ExpectedToken/q_rep_ratio/*.parquet'",
+    "sim_sq8_topk" ->
+      s"SELECT * FROM '$ExpectedToken/sim_sq8_topk/*.parquet'",
+    "q_chunk_text" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         s AS (
+           SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words), 1), 24)) AS st
+           FROM w)
+         SELECT doc_id,
+           CAST((st - 1) // 24 AS INT) AS chunk_idx,
+           array_to_string(words[st:st+31], ' ') AS chunk_text,
+           CAST(len(string_split(array_to_string(words[st:st+31], ' '),
+             ' ')) AS INT) AS n_tokens
+         FROM s ORDER BY doc_id, chunk_idx""",
     "q_source_caps" ->
       """SELECT doc_id, source, CAST(rk AS INT) AS src_rank
          FROM (SELECT doc_id, source,

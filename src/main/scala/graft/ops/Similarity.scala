@@ -53,6 +53,43 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------- int8 scalar quantization (SQ8) ----------
+
+  /** Symmetric max-abs int8 quantization of an embedding — the SQ8
+    * scheme of the public ANN literature (Faiss ScalarQuantizer /
+    * ScaNN): per-vector `scale` = max|x| / 127 (floored at 1e-30 so
+    * all-zero vectors stay representable), `codes` = round(x / scale)
+    * HALF_UP clamped to [-127, 127]. Embedding storage shrinks 4×
+    * (the memory bound of ANN at corpus scale) and cosine needs NO
+    * dequantization — identical scales cancel in the ratio, see
+    * [[codeCosine]]. Pure Catalyst; returns
+    * struct(scale double, codes array<int>).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val scale = greatest(
+      aggregate(transform(v, x => abs(x)), lit(0.0),
+        (s, x) => greatest(s, x)) / 127.0, lit(1e-30))
+    struct(scale.as("scale"),
+      transform(v, x => greatest(lit(-127),
+        least(lit(127), round(x / scale, 0).cast("int")))).as("codes"))
+  }
+
+  /** Cosine over int8 code arrays: dot/(|a||b|) computed on the raw
+    * integer codes — the per-vector scales cancel, so this equals the
+    * cosine of the dequantized vectors exactly. Integer products are
+    * ≤ 127², sums stay exact in double.
+    */
+  def codeCosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(transform(a, x => x * x),
+      lit(0.0), (s, v) => s + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x),
+      lit(0.0), (s, v) => s + v))
+    dot / (na * nb)
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `nCells`
     * deterministic centroids (the centroids are the first nCells vectors
     * by id — a deterministic "training sample"), search only the query's

@@ -92,6 +92,26 @@ object TextOps {
     * checked by Scala reference-implementation tests; the SQL-oracled
     * exact dedup uses md5 instead.
     */
+  /** RAG-style token-window chunking: fixed-size sliding windows with
+    * overlap (`stride` < `size` ⇒ overlapping context) over whitespace
+    * tokens — the serving-side text chunker a retrieval pipeline pairs
+    * with the positional `ex_chunks`. Window starts run 1, 1+stride,
+    * 1+2·stride, … while start ≤ n, so EVERY token lands in at least
+    * one window (no silent tail loss); windows past the text end clamp
+    * shorter (slice semantics), so the final one may hold fewer than
+    * `size` tokens. A short or empty text yields exactly one window.
+    * Pure Catalyst (sequence + transform + slice), stays in whole-stage
+    * codegen; callers explode the array — one narrow pass, no shuffle.
+    */
+  def tokenWindowChunks(text: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val ws = split(text, " ")
+    val starts = sequence(lit(1),
+      greatest(org.apache.spark.sql.functions.size(ws), lit(1)),
+      lit(stride))
+    transform(starts, st => concat_ws(" ", slice(ws, st, lit(size))))
+  }
+
   // ---------- repetition signals (Gopher-style) ----------
 
   /** Fraction of distinct words (Rae et al. 2021, "Scaling Language

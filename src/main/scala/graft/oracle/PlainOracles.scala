@@ -502,6 +502,38 @@ object PlainOracles {
       }
     }
 
+  /** Plain twin of [[graft.ops.Similarity.quantizeInt8]] +
+    * [[graft.ops.Similarity.codeCosine]] brute-force top-k: symmetric
+    * max-abs SQ8 (scale = max|x|/127 floored 1e-30; codes = HALF_UP
+    * round of x/scale clamped ±127), cosine on the integer codes in
+    * index order (scales cancel), scores rounded HALF_UP to 6.
+    */
+  def sq8TopKPlain(vecs: Seq[(Long, Array[Float])], queryId: Long,
+                   k: Int): Seq[(Long, Double)] = {
+    def codesOf(v: Array[Float]): Array[Int] = {
+      var maxAbs = 0.0
+      v.foreach(x => maxAbs = math.max(maxAbs, math.abs(x.toDouble)))
+      val scale = math.max(maxAbs / 127.0, 1e-30)
+      v.map { x =>
+        val r = java.math.BigDecimal.valueOf(x.toDouble / scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+        math.max(-127, math.min(127, r))
+      }
+    }
+    val codes = vecs.map { case (id, v) => (id, codesOf(v)) }
+    val q = codes.find(_._1 == queryId).get._2
+    codes.map { case (id, c) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < c.length) {
+        dot += c(i) * q(i); na += c(i) * c(i); nb += q(i) * q(i); i += 1
+      }
+      val score = dot / (math.sqrt(na) * math.sqrt(nb))
+      (id, java.math.BigDecimal.valueOf(score)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
   /** Plain twin of the Gopher-style repetition signals
     * ([[graft.ops.TextOps.distinctWordFrac]] / top-word mass /
     * [[graft.ops.TextOps.dup2gramFrac]]): functional string ops over

@@ -107,6 +107,75 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tokenWindowChunks: window starts, clamping, overlap, degenerate texts") {
+    import spark.implicits._
+    def chunks(t: String, size: Int, stride: Int): Seq[String] =
+      Seq(t).toDF("t")
+        .select(graft.ops.TextOps.tokenWindowChunks(col("t"), size, stride)
+          .as("c"))
+        .collect().head.getSeq[String](0)
+    // 10 words, size 4, stride 3: starts 1,4,7,10 — full coverage, the
+    // trailing window clamps short
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    assert(chunks(ten, 4, 3) == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    // stride > size leaves inter-window gaps by construction, but every
+    // start stays ≤ n: starts 1, 6
+    assert(chunks(ten, 4, 5) == Seq("w1 w2 w3 w4", "w6 w7 w8 w9"))
+    // no silent tail loss: 5 words, size 4, stride 2 → starts 1,3,5
+    assert(chunks("a b c d e", 4, 2) == Seq("a b c d", "c d e", "e"))
+    // shorter than one window → exactly one (whole text)
+    assert(chunks("a b", 32, 24) == Seq("a b"))
+    assert(chunks("", 32, 24) == Seq(""))
+  }
+
+  test("SQ8 int8 quantization: bounded error, exact self-similarity, near-exact cosine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.ops.Similarity.quantizeInt8(col("embedding")).as("q8"),
+        col("embedding"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](2)
+      val scale = r.getStruct(1).getDouble(0)
+      val codes = r.getStruct(1).getSeq[Int](1)
+      // dequantization error ≤ scale/2 per element (round-to-nearest)
+      emb.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+          s"err ${c * scale - x} vs scale $scale")
+        assert(c >= -127 && c <= 127)
+      }
+    }
+    // code cosine == 1.0 exactly for self; ~exact vs float cosine
+    val q = df.where(col("vec_id") === 5).select(col("q8.codes").as("qc"))
+    val scored = df.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.ops.Similarity.codeCosine(col("q8.codes"), col("qc"))
+          .as("s8"),
+        graft.ops.Dedup.cosine(col("embedding").cast("array<double>"),
+          col("qc").cast("array<double>")).as("dummy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(scored(5L) - 1.0) < 1e-12) // sqrt(n)*sqrt(n) ulp
+    // SQ8 cosine within 1% of the exact float cosine for every vector
+    val exact = vecs.map { case (id, v) =>
+      val qv = vecs(5)._2
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      v.indices.foreach { i =>
+        dot += v(i).toDouble * qv(i); na += v(i).toDouble * v(i)
+        nb += qv(i).toDouble * qv(i)
+      }
+      id -> dot / (math.sqrt(na) * math.sqrt(nb))
+    }.toMap
+    vecs.foreach { case (id, _) =>
+      assert(math.abs(scored(id) - exact(id)) < 0.01,
+        s"vec $id: sq8 ${scored(id)} vs exact ${exact(id)}")
+    }
+  }
+
   test("capPerSource: quota respected, deterministic ranks, small sources intact") {
     import spark.implicits._
     val df = (0 until 40).map(i => (i.toLong, s"s${i % 3}")) // s0:14 s1:13 s2:13

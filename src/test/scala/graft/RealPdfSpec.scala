@@ -529,6 +529,17 @@ class RealPdfSpec extends AnyFunSuite {
       }
       RealPdf.parse(b, 1)
     }
+    // the r04 media/form/rotation paths under the same storm: MixedGen's
+    // image-XObject (incl. inline) and form-recursion variants — these
+    // also feed a driver query (ex_mixed)
+    (0 until 120).foreach { i =>
+      val b = graft.gen.MixedGen.fileBytes(6 * (i % 17) + 1 + (i % 2))
+      // file kinds 1 (image pdf) and 2 (form pdf) across varying docs
+      (0 until 1 + next(30)).foreach { _ =>
+        b(next(b.length)) = next(256).toByte
+      }
+      RealPdf.parseDoc(b, 1)
+    }
   }
 
   test("encrypted ObjStm: streams decrypt BEFORE object-stream expansion") {
