@@ -297,6 +297,29 @@ object SparkEntry {
                 "dup_2gram_frac")
         .orderBy("doc_id")
     }),
+    "q_sample_stratified" -> ((s, dir) =>
+      // per-source corpus re-weighting (C4-style source mix): src0
+      // kept whole, src1 halved, src2 dropped, the rest at 25% — a
+      // deterministic hash draw per id, zero shuffle
+      graft.ops.CorpusPipeline.sampleStratified(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0),
+          defaultFraction = 0.25, salt = 11L)
+        .orderBy("doc_id")),
+    "q_page_furniture" -> ((s, dir) => {
+      // repeated header/footer detection across pages: deterministic
+      // multi-page docs (known furniture + a sub-threshold watermark)
+      // run through the REAL extractor, then the page-association
+      // aggregate. Oracle = FurnitureGen's generator ground truth.
+      import s.implicits._
+      val rows = s.createDataset(
+          (0 until 20).map(graft.gen.FurnitureGen.doc))
+        .flatMap(d => Extractor.extractRows(d)).toDF()
+        .where(col("chunk_id").isNotNull)
+      graft.ops.PageFurniture.detect(rows, minPages = 3, minFrac = 0.8)
+        .orderBy(col("doc_id"), col("y0").desc)
+    }),
     "q_chunk_text" -> ((s, dir) => {
       // RAG chunking: 32-token windows, stride 24 (8-token overlap) —
       // one codegen'd pass + posexplode, no shuffle before the sort
@@ -913,6 +936,23 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       PlainOracles.sq8TopKPlain(vecs, 0L, 20).toDF("vec_id", "score")
     }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // plain-twin hash draw over the documents dim
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .filter { case (id, src) =>
+          val f = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+            .getOrElse(src, 0.25)
+          PlainOracles.uOf(id, 11L) < f
+        }.toSeq.toDF("doc_id", "source")
+    }),
+    "q_page_furniture" -> ((s, dir) => {
+      // generator ground truth: the furniture FurnitureGen wrote
+      import s.implicits._
+      graft.gen.FurnitureGen.expected(20)
+        .toDF("doc_id", "text", "y0", "pages_seen", "n_pages")
+    }),
     "q_rep_ratio" -> ((s, dir) => {
       // plain-twin repetition signals over the (small) documents dim
       import s.implicits._
@@ -989,6 +1029,10 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_rep_ratio/*.parquet'",
     "sim_sq8_topk" ->
       s"SELECT * FROM '$ExpectedToken/sim_sq8_topk/*.parquet'",
+    "q_sample_stratified" ->
+      s"SELECT * FROM '$ExpectedToken/q_sample_stratified/*.parquet'",
+    "q_page_furniture" ->
+      s"SELECT * FROM '$ExpectedToken/q_page_furniture/*.parquet'",
     "q_chunk_text" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -162,6 +162,30 @@ object CorpusPipeline {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic stratified subsampling — the per-source re-weighting
+    * step a web-scale corpus mix applies (C4's source weights, Raffel
+    * et al. 2020 §2.2; Gopher's dataset sampling table, Rae et al.
+    * 2021): keep a row iff u(id) < fraction(stratum), with the SAME
+    * 53-bit hash→[0,1) mapping as [[assignSplit]] — so the draw is a
+    * pure function of (salt, id), identical under any partitioning or
+    * re-run, and independent across salts. Strata absent from
+    * `fractions` use `defaultFraction`. One codegen'd filter, no
+    * shuffle.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double,
+                       salt: Long = 0L): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction))
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val u = shiftrightunsigned(xxhash64(lit(salt), col(idCol)), 11)
+      .cast("double") * lit(1.0 / (1L << 53))
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, v).otherwise(acc)
+    }
+    df.where(u < frac)
+  }
+
   /** Per-source quota cap — the C4/RefinedWeb-style "domain cap" a
     * web-scale corpus applies so no single site dominates training data
     * (Raffel et al. 2020 §2.2; Penedo et al. 2023 §3.3 — published

@@ -204,10 +204,17 @@ object PlainOracles {
     * containing u wins. Spark folds xxhash64's children left to right
     * with the running hash as seed: hashLong(id, hashLong(salt, 42)).
     */
+  /** The shared 53-bit hash→[0,1) draw: u = (xxhash64(salt, id) >>> 11)
+    * · 2⁻⁵³ — twin of both assignSplit and sampleStratified.
+    */
+  def uOf(id: Long, salt: Long): Double = {
+    val h = XXH64.hashLong(id, XXH64.hashLong(salt, Seed))
+    (h >>> 11).toDouble * (1.0 / (1L << 53))
+  }
+
   def splitOf(id: Long, fractions: Seq[(String, Double)],
               salt: Long): String = {
-    val h = XXH64.hashLong(id, XXH64.hashLong(salt, Seed))
-    val u = (h >>> 11).toDouble * (1.0 / (1L << 53))
+    val u = uOf(id, salt)
     val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     fractions.zip(cuts).collectFirst {
       case ((name, _), cut) if u < cut => name

@@ -176,6 +176,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("page furniture: headers/footers found, watermark below threshold, strip removes them") {
+    import spark.implicits._
+    val rows = spark.createDataset(
+        (0 until 8).map(graft.gen.FurnitureGen.doc))
+      .flatMap(d => graft.extract.Extractor.extractRows(d)).toDF()
+      .where(col("chunk_id").isNotNull)
+    val f = graft.ops.PageFurniture.detect(rows, 3, 0.8).collect()
+    // exactly 2 furniture lines (header+footer) per doc; the draft
+    // watermark on half the pages never qualifies
+    assert(f.length == 16)
+    assert(f.forall(r => !r.getString(1).contains("Draft")))
+    assert(f.count(_.getString(1).startsWith("Header_doc_")) == 8)
+    val stripped = graft.ops.PageFurniture.strip(rows, 3, 0.8)
+    // stripping removes exactly the furniture occurrences
+    val removed = rows.count() - stripped.count()
+    val expectRemoved = (0 until 8).map(i =>
+      2L * graft.gen.FurnitureGen.nPages(i)).sum
+    assert(removed == expectRemoved, s"removed $removed")
+    assert(stripped.where(col("text").startsWith("Header_doc_")).count() == 0)
+    // body text untouched
+    assert(stripped.where(col("text").contains("Body 0 page 0")).count() > 0)
+  }
+
+  test("sampleStratified: deterministic, partitioning-invariant, fraction-accurate") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"s${i % 4}"))
+      .toDF("doc_id", "source")
+    val fr = Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.0)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.CorpusPipeline.sampleStratified(d, "doc_id", "source",
+        fr, 0.25, salt = 3L).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val a = run(df)
+    // identical under a different partitioning (pure function of id)
+    assert(run(df.repartition(17)) == a)
+    val bySrc = a.groupBy(id => s"s${id % 4}").map { case (k, v) => k -> v.size }
+    assert(bySrc.getOrElse("s0", 0) == 1000)       // fraction 1.0: all
+    assert(!bySrc.contains("s2"))                   // fraction 0.0: none
+    assert(math.abs(bySrc("s1") - 500) < 80)        // ~half
+    assert(math.abs(bySrc("s3") - 250) < 70)        // ~quarter
+    // a different salt draws a different sample
+    val b = graft.ops.CorpusPipeline.sampleStratified(df, "doc_id",
+      "source", fr, 0.25, salt = 4L).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(a != b)
+  }
+
   test("capPerSource: quota respected, deterministic ranks, small sources intact") {
     import spark.implicits._
     val df = (0 until 40).map(i => (i.toLong, s"s${i % 3}")) // s0:14 s1:13 s2:13
