@@ -26,7 +26,8 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   *    direction); page /Rotate (inheritable) applies the standard
   *    90/180/270 display transform — dims swap for 90/270 and all
   *    geometry maps through the rotation (the CTM the reference gets
-  *    from pdfminer's process_page); literal strings (all escapes, octal,
+  *    from pdfminer's process_page), and a non-zero MediaBox origin
+  *    translates to page-local coordinates; literal strings (all escapes, octal,
   *    line continuations), hex strings, UTF-16BE (BOM) text; inline
   *    images (BI…EI) recorded as media occurrences (dict parsed for
   *    /W /H, payload skipped to the whitespace-delimited EI) and all
@@ -141,18 +142,25 @@ object RealPdf {
       var pageNo = firstPage - 1
       val pages = pageDicts.map { case (dict, mediaBox, res, rotRaw) =>
         pageNo += 1
-        val (w, h) = mediaBox
+        val (ox, oy, w, h) = mediaBox
         // /Rotate (§7.7.3.3, inheritable): the display transform the
         // reference gets from pdfminer's process_page CTM — 90/270 swap
         // the page dims, and all emitted geometry maps through the
-        // rotation as the page-level affine base (forms compose onto it)
+        // rotation as the page-level affine base (forms compose onto
+        // it). A non-zero MediaBox origin translates by (−llx, −lly)
+        // FIRST — cropped scans put text at page-local coordinates.
         val rot = ((rotRaw % 360) + 360) % 360
-        val (pw, ph, base) = rot match {
+        val (pw, ph, r) = rot match {
           case 90  => (h, w, Array(0.0, -1.0, 1.0, 0.0, 0.0, w))
           case 180 => (w, h, Array(-1.0, 0.0, 0.0, -1.0, w, h))
           case 270 => (h, w, Array(0.0, 1.0, -1.0, 0.0, h, 0.0))
           case _   => (w, h, IdentityM)
         }
+        val base =
+          if (ox == 0.0 && oy == 0.0) r
+          else Array(r(0), r(1), r(2), r(3),
+            -ox * r(0) - oy * r(2) + r(4),
+            -ox * r(1) - oy * r(3) + r(5))
         val page = PdfTokenizer.Page(pageNo, pw, ph, new ArrayBuffer[Run])
         try {
           val content = contentOf(dict, objs)
@@ -353,15 +361,23 @@ object RealPdf {
 
   // ---------- page tree ----------
 
-  private def mediaBoxOf(o: PObj): Option[(Double, Double)] = o match {
+  /** (llx, lly, width, height) — the origin matters: pdfminer's
+    * process_page CTM translates by (−llx, −lly), so a cropped-scan
+    * MediaBox like [30 40 642 832] puts its text at page-local
+    * coordinates, not file-space ones. Degenerate boxes → None.
+    */
+  private def mediaBoxOf(o: PObj)
+      : Option[(Double, Double, Double, Double)] = o match {
     case PArr(Vector(PNum(x0), PNum(y0), PNum(x1), PNum(y1))) =>
       val w = math.abs(x1 - x0); val h = math.abs(y1 - y0)
-      if (w > 0 && h > 0) Some((w, h)) else None
+      if (w > 0 && h > 0) Some((math.min(x0, x1), math.min(y0, y1), w, h))
+      else None
     case _ => None
   }
 
   private val DefaultBox =
-    (ExtractionSpec.DefaultPageWidth, ExtractionSpec.DefaultPageHeight)
+    (0.0, 0.0, ExtractionSpec.DefaultPageWidth,
+     ExtractionSpec.DefaultPageHeight)
 
   /** Pages in reading order with inherited MediaBox AND /Resources
     * (both inheritable page-tree attributes, ISO 32000 §7.7.3.4):
@@ -369,15 +385,16 @@ object RealPdf {
     * document order (own resources only — inheritance needs the tree).
     */
   private def pageTree(objs: Map[Int, Indirect])
-      : Vector[(PObj, (Double, Double), PObj, Int)] = {
-    val out = Vector.newBuilder[(PObj, (Double, Double), PObj, Int)]
+      : Vector[(PObj, (Double, Double, Double, Double), PObj, Int)] = {
+    val out = Vector.newBuilder[(PObj, (Double, Double, Double, Double), PObj, Int)]
     val seen = scala.collection.mutable.HashSet.empty[Int]
     def rotateOf(node: PObj, inherited: Int): Int =
       dictGet(node, "Rotate", objs) match {
         case PNum(v) => v.toInt
         case _       => inherited
       }
-    def walk(node: PObj, inherited: (Double, Double), inhRes: PObj,
+    def walk(node: PObj,
+             inherited: (Double, Double, Double, Double), inhRes: PObj,
              inhRot: Int, depth: Int): Unit = {
       if (depth > 64) return // cycle/bomb guard
       val box = mediaBoxOf(dictGet(node, "MediaBox", objs))

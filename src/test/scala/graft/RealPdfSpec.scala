@@ -793,6 +793,30 @@ class RealPdfSpec extends AnyFunSuite {
     assert(r0.x0 == 100.0 && r0.y0 == 200.0 && r0.y1 == 210.0)
   }
 
+  test("non-zero MediaBox origin translates to page-local coordinates") {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val content = "BT /F1 10 Tf 100 700 Td (offset) Tj ET"
+      .getBytes("ISO-8859-1")
+    def pdf(box: String, rot: String) = (("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, s"<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        s"/MediaBox [$box]$rot >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .getBytes("ISO-8859-1")) ++ content ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+    // cropped-scan box [30 40 642 832]: dims 612x792, origin subtracted
+    val p = RealPdf.parse(pdf("30 40 642 832", ""), 1).head
+    assert((p.width, p.height) == (612.0, 792.0))
+    val r = p.runs.head
+    assert(r.x0 == 70.0 && r.y0 == 660.0 && r.y1 == 670.0)
+    // origin composes with /Rotate 90: (x,y) -> (y - lly, w - (x - llx))
+    val p90 = RealPdf.parse(pdf("30 40 642 832", " /Rotate 90"), 1).head
+    assert((p90.width, p90.height) == (792.0, 612.0))
+    val r90 = p90.runs.head
+    assert(r90.x0 == 660.0 && r90.y1 == 542.0) // y-oy=660; w-(x-ox)=542
+  }
+
   test("Tz horizontal scaling and Ts rise shape the emitted run box") {
     val content = ("BT /F1 10 Tf 50 700 Td (one) Tj " +
       "200 Tz (two) Tj ET " + // doubled advances from here
