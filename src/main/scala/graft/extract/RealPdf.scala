@@ -1606,15 +1606,26 @@ object RealPdf {
 
   // ---------- content-stream text interpreter ----------
 
-  /** PDF string bytes → text: UTF-16BE when BOM'd, else Latin-1 (≈
-    * WinAnsi for the printable range — the no-font-metrics declared
-    * approximation).
+  /** PDF string bytes → text: UTF-16BE when FE FF BOM'd, UTF-16LE when
+    * FF FE BOM'd (ISO 32000-2 §7.9.2.2.1 added the LE form), else
+    * Latin-1 (≈ WinAnsi for the printable range — the no-font-metrics
+    * declared approximation).
     */
   private def decodeText(b: Array[Byte]): String =
     if (b.length >= 2 && b(0) == 0xfe.toByte && b(1) == 0xff.toByte)
       new String(b, 2, b.length - 2,
         java.nio.charset.StandardCharsets.UTF_16BE)
+    else if (b.length >= 2 && b(0) == 0xff.toByte && b(1) == 0xfe.toByte)
+      new String(b, 2, b.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16LE)
     else new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Either UTF-16 BOM (BE FE FF or LE FF FE) — the "decoded unicode
+    * literal under a simple font" branch applies to both. */
+  private def hasUtf16Bom(b: Array[Byte]): Boolean =
+    b.length >= 2 &&
+      ((b(0) == 0xfe.toByte && b(1) == 0xff.toByte) ||
+       (b(0) == 0xff.toByte && b(1) == 0xfe.toByte))
 
   /** Average glyph advance as an em fraction — no embedded metrics. */
   private val EmAdvance = 0.5
@@ -1736,8 +1747,7 @@ object RealPdf {
       var text: String = null
       var adv = 0.0
       val bomSimple = curFont != null && curFont.hasMetrics &&
-        !curFont.isCid && strBytes.length >= 2 &&
-        strBytes(0) == 0xfe.toByte && strBytes(1) == 0xff.toByte
+        !curFont.isCid && hasUtf16Bom(strBytes)
       if (bomSimple) {
         // nonstandard BOM'd UTF-16 literal under a simple font: keep
         // the unicode text identity (matching the tokenizer's PG/TX

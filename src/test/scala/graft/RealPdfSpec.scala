@@ -793,6 +793,18 @@ class RealPdfSpec extends AnyFunSuite {
     assert(r0.x0 == 100.0 && r0.y0 == 200.0 && r0.y1 == 210.0)
   }
 
+  test("UTF-16LE BOM'd strings decode like their BE twins") {
+    // <FFFE 4800 6900> = "Hi" little-endian; the BE form is already
+    // pinned by the committed fixture
+    val content = ("BT /F1 11 Tf 72 650 Td <FFFE48006900> Tj ET")
+      .getBytes("ISO-8859-1")
+    val pages = RealPdf.parse(onePagePdf("", content), 1)
+    val r = pages.head.runs.head
+    assert(r.text == "Hi")
+    // estimate path: 2 decoded glyphs (not 6 bytes) * 0.5em * 11pt
+    assert(math.abs((r.x1 - r.x0) - 11.0) < 1e-9)
+  }
+
   test("non-zero MediaBox origin translates to page-local coordinates") {
     def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
     val content = "BT /F1 10 Tf 100 700 Td (offset) Tj ET"
