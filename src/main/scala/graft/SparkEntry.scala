@@ -429,14 +429,19 @@ object SparkEntry {
       // store 4x smaller and scoring runs on the integer codes alone
       // (per-vector scales cancel in the cosine ratio) — the memory-
       // bound path of 100 TB ANN. Twin: independent PlainOracles SQ8.
+      // scale in its own projection so the max-abs reduction runs once
+      // per row, not once per element (see int8Scale scaladoc)
       val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          graft.ops.Similarity.int8Scale(col("embedding")).as("scale"))
         .select(col("vec_id"),
-          graft.ops.Similarity.quantizeInt8(col("embedding")).as("q8"))
+          graft.ops.Similarity.int8Codes(col("embedding"), col("scale"))
+            .as("codes"))
       val q = broadcast(e.where(col("vec_id") === 0)
-        .select(col("q8.codes").as("qc")))
+        .select(col("codes").as("qc")))
       e.crossJoin(q)
         .select(col("vec_id"),
-          round(graft.ops.Similarity.codeCosine(col("q8.codes"), col("qc")),
+          round(graft.ops.Similarity.codeCosine(col("codes"), col("qc")),
             6).as("score"))
         .orderBy(col("score").desc, col("vec_id").asc).limit(20)
     }),

@@ -219,7 +219,11 @@ object HtmlExtractor {
         val digStart = if (hex) i + 3 else i + 2
         var p = digStart
         def isDig(ch: Char): Boolean =
-          if (hex) Character.digit(ch, 16) >= 0 else ch >= '0' && ch <= '9'
+          if (hex) (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') ||
+                   (ch >= 'A' && ch <= 'F') // ASCII only — the twin's
+                                            // regex class, NOT the
+                                            // Unicode-digit Character API
+          else ch >= '0' && ch <= '9'
         val maxDigits = if (hex) 6 else 7
         while (p < n && p - digStart < maxDigits + 1 && isDig(s.charAt(p)))
           p += 1

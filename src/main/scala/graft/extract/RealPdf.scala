@@ -1917,25 +1917,32 @@ object RealPdf {
               // object identity" (media_ref suffix `inline`), dims from
               // /W|/Width and /H|/Height.
               var iw = 0; var ih = 0
-              var inDict = true
-              while (inDict) {
-                p.skipWs()
-                if (p.pos >= s.length) inDict = false
-                else if (s.charAt(p.pos) == '/') {
-                  val k = p.parseObject() match {
-                    case PName(n) => n
-                    case _        => ""
+              // a malformed param dict (e.g. a nesting bomb between BI
+              // and ID) must degrade to the pre-r04 behavior — skip to
+              // EI with the page's other text intact — not void the page
+              try {
+                var inDict = true
+                while (inDict) {
+                  p.skipWs()
+                  if (p.pos >= s.length) inDict = false
+                  else if (s.charAt(p.pos) == '/') {
+                    val k = p.parseObject() match {
+                      case PName(n) => n
+                      case _        => ""
+                    }
+                    p.parseObject() match {
+                      case PNum(v) if k == "W" || k == "Width" =>
+                        iw = v.toInt
+                      case PNum(v) if k == "H" || k == "Height" =>
+                        ih = v.toInt
+                      case _ => ()
+                    }
+                  } else {
+                    inDict = false
+                    if (s.startsWith("ID", p.pos)) p.pos += 2
                   }
-                  p.parseObject() match {
-                    case PNum(v) if k == "W" || k == "Width"  => iw = v.toInt
-                    case PNum(v) if k == "H" || k == "Height" => ih = v.toInt
-                    case _ => ()
-                  }
-                } else {
-                  inDict = false
-                  if (s.startsWith("ID", p.pos)) p.pos += 2
                 }
-              }
+              } catch { case _: Exception => () }
               if (ctx != null)
                 ctx.images += PdfImage(page.page, ctx.images.length, 0,
                   iw, ih)

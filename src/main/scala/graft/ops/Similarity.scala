@@ -55,25 +55,31 @@ object Similarity {
 
   // ---------- int8 scalar quantization (SQ8) ----------
 
-  /** Symmetric max-abs int8 quantization of an embedding — the SQ8
-    * scheme of the public ANN literature (Faiss ScalarQuantizer /
-    * ScaNN): per-vector `scale` = max|x| / 127 (floored at 1e-30 so
-    * all-zero vectors stay representable), `codes` = round(x / scale)
-    * HALF_UP clamped to [-127, 127]. Embedding storage shrinks 4×
-    * (the memory bound of ANN at corpus scale) and cosine needs NO
-    * dequantization — identical scales cancel in the ratio, see
-    * [[codeCosine]]. Pure Catalyst; returns
-    * struct(scale double, codes array<int>).
+  /** Symmetric max-abs int8 quantization — the SQ8 scheme of the
+    * public ANN literature (Faiss ScalarQuantizer / ScaNN): per-vector
+    * `scale` = max|x| / 127 (floored at 1e-30 so all-zero vectors stay
+    * representable), `codes` = round(x / scale) HALF_UP clamped to
+    * [-127, 127]. Embedding storage shrinks 4× (the memory bound of
+    * ANN at corpus scale) and cosine needs NO dequantization —
+    * identical scales cancel in the ratio, see [[codeCosine]].
+    *
+    * Two functions, not one: the scale must be materialized as its own
+    * column in a PRECEDING projection and passed to [[int8Codes]] —
+    * embedding the max-abs aggregate inside the codes lambda would
+    * re-evaluate the O(d) reduction per element (O(d²)/row; Catalyst
+    * does not hoist loop invariants out of higher-order functions, and
+    * CollapseProject keeps the split because the alias is non-cheap
+    * and referenced twice).
     */
-  def quantizeInt8(vec: Column): Column = {
-    val v = vec.cast("array<double>")
-    val scale = greatest(
-      aggregate(transform(v, x => abs(x)), lit(0.0),
-        (s, x) => greatest(s, x)) / 127.0, lit(1e-30))
-    struct(scale.as("scale"),
-      transform(v, x => greatest(lit(-127),
-        least(lit(127), round(x / scale, 0).cast("int")))).as("codes"))
-  }
+  def int8Scale(vec: Column): Column =
+    greatest(
+      aggregate(transform(vec.cast("array<double>"), x => abs(x)),
+        lit(0.0), (s, x) => greatest(s, x)) / 127.0, lit(1e-30))
+
+  /** Codes for [[int8Scale]]'s scale column — see its scaladoc. */
+  def int8Codes(vec: Column, scale: Column): Column =
+    transform(vec.cast("array<double>"), x => greatest(lit(-127),
+      least(lit(127), round(x / scale, 0).cast("int"))))
 
   /** Cosine over int8 code arrays: dot/(|a||b|) computed on the raw
     * integer codes — the per-vector scales cancel, so this equals the

@@ -96,10 +96,13 @@ object TextOps {
     * overlap (`stride` < `size` ⇒ overlapping context) over whitespace
     * tokens — the serving-side text chunker a retrieval pipeline pairs
     * with the positional `ex_chunks`. Window starts run 1, 1+stride,
-    * 1+2·stride, … while start ≤ n, so EVERY token lands in at least
-    * one window (no silent tail loss); windows past the text end clamp
+    * 1+2·stride, … while start ≤ n; windows past the text end clamp
     * shorter (slice semantics), so the final one may hold fewer than
-    * `size` tokens. A short or empty text yields exactly one window.
+    * `size` tokens. When `stride` ≤ `size` (the overlapping-chunk
+    * configuration) every token lands in at least one window — no
+    * silent tail loss; `stride` > `size` deliberately SUBSAMPLES
+    * (inter-window gaps of stride − size tokens by construction). A
+    * short or empty text yields exactly one window.
     * Pure Catalyst (sequence + transform + slice), stays in whole-stage
     * codegen; callers explode the array — one narrow pass, no shuffle.
     */

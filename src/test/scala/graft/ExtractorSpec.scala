@@ -176,6 +176,13 @@ class ExtractorSpec extends AnyFunSuite {
     // documented pass-order quirks
     assert(d("&#38;lt;") == "<")     // numeric first, then named
     assert(d("&amp;#65;") == "&#65;") // &amp; last — no re-decode
+    // ASCII-only digit classes: a fullwidth Unicode digit (U+FF11) is
+    // NOT a hex digit here (Character.digit would accept it — the twin's
+    // regex must stay in lockstep, review finding r04)
+    assert(d("&#x１;") == "&#x１;")
+    val fw = "<p>Fullwidth entity survives literally: &#x１; end here.</p>"
+    val dfw = InputDoc("fw", Vector(Span("html", fw, null, 0)))
+    assert(Extractor.extract(dfw).outSpans == RefOracle.extract(dfw).outSpans)
   }
 
   test("html raw-text elements: script/style interiors are invisible, both impls") {

@@ -135,8 +135,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f)))
     val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        graft.ops.Similarity.int8Scale(col("embedding")).as("scale"))
       .select(col("vec_id"),
-        graft.ops.Similarity.quantizeInt8(col("embedding")).as("q8"),
+        struct(col("scale"),
+          graft.ops.Similarity.int8Codes(col("embedding"), col("scale"))
+            .as("codes")).as("q8"),
         col("embedding"))
     val rows = df.collect()
     rows.foreach { r =>

@@ -914,6 +914,19 @@ class RealPdfSpec extends AnyFunSuite {
     assert(images == Vector(RealPdf.PdfImage(1, 0, 0, 6, 2)))
   }
 
+  test("inline-image nesting bomb between BI and ID degrades to EI skip, page text intact") {
+    // 200 nested '[' in the param region would blow the parser's depth
+    // guard — the handler must swallow it and resume at EI, keeping the
+    // page's other text (review finding r04)
+    val content = ("BT /F1 12 Tf 72 700 Td (before bomb) Tj ET " +
+      "BI /W " + "[" * 200 + " ID xx EI " +
+      "BT /F1 12 Tf 72 680 Td (after bomb) Tj ET").getBytes("ISO-8859-1")
+    val (pages, _) = RealPdf.parseDoc(onePagePdf("", content), 1)
+    val texts = pages.head.runs.map(_.text).toList
+    assert(texts.contains("before bomb") && texts.contains("after bomb"),
+      s"got $texts")
+  }
+
   test("imageBytes: DCTDecode passes the embedded JPEG through to a real codec") {
     // a genuine JPEG via javax.imageio, wrapped as a /DCTDecode image
     // XObject — imageBytes must return the JFIF bytes unchanged, and a
