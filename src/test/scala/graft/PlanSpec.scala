@@ -100,6 +100,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("page-furniture detect: no aggregate keys on raw text (hash-keyed)") {
+    import spark.implicits._
+    val rows = spark.createDataset(
+        (0 until 4).map(graft.gen.FurnitureGen.doc))
+      .flatMap(d => graft.extract.Extractor.extractRows(d)).toDF()
+      .where(col("chunk_id").isNotNull)
+    val q = graft.ops.PageFurniture.detect(rows, 3, 0.8)
+    val plan = planOf(q)
+    // every grouping-key list is hash-keyed: no text# inside keys=[...]
+    val badKeys = "HashAggregate\\(keys=\\[[^\\]]*text#".r.findFirstIn(plan)
+    assert(badKeys.isEmpty, s"aggregate keyed on raw text:\n$plan")
+    assert(plan.contains("xxhash64(text"), s"no hashed key in plan:\n$plan")
+    // exchanges partition on fixed-width keys only
+    val badEx = "Exchange hashpartitioning\\([^)]*text#".r.findFirstIn(plan)
+    assert(badEx.isEmpty, s"exchange partitioned on raw text:\n$plan")
+  }
+
   test("extraction job plan: no shuffle when salting is off") {
     import spark.implicits._
     val docs = CorpusGen.dataset(spark, 100, 42L)
