@@ -79,8 +79,14 @@ case class DocResult(doc_id: String, outSpans: Seq[OutSpan],
   *    reading order (streamlit_app.py:426) with deterministic tiebreaks.
   *  - kind "html": parse `text` as markup, strip boilerplate
   *    ([[graft.extract.HtmlExtractor]]), emit one OutSpan per retained
-  *    block with kind "html" and the block's normalized text, in document
-  *    order.
+  *    block with kind "html" and the block's normalized text, PLUS one
+  *    media OutSpan (kind image/video/audio, text null, media_ref =
+  *    entity-decoded src) per visible media occurrence — `<img>`,
+  *    `<video>`/`<audio>` direct src, `<source>` inside an open
+  *    video/audio — interleaved at tag position in document order (a
+  *    media tag inside a not-yet-flushed block precedes that block;
+  *    media in boilerplate containers or raw-text interiors is
+  *    dropped). Full grammar: HtmlExtractor scaladoc.
   *  - kind "text": emit one OutSpan with kind "text" and text verbatim
   *    (null text ⇒ empty string).
   *  - any other kind (media): emit one OutSpan with the span's kind,

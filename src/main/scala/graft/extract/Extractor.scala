@@ -38,8 +38,10 @@ object Extractor {
           pages.flatMap(Layout.boxesOf).sorted(ExtractionSpec.readingOrder)
             .foreach(b => emits += Emit("pdf", b.text, null, b))
         case "html" =>
-          HtmlExtractor.extract(s.text)
-            .foreach(block => emits += Emit("html", block, null, null))
+          HtmlExtractor.items(s.text).foreach {
+            case HtmlExtractor.Block(t) => emits += Emit("html", t, null, null)
+            case HtmlExtractor.Media(k, ref) => emits += Emit(k, null, ref, null)
+          }
         case "text" =>
           emits += Emit("text", if (s.text == null) "" else s.text, null, null)
         case _ => // media passthrough, ordered by offset via spanOrdering

@@ -43,9 +43,41 @@ import scala.collection.mutable.ArrayBuffer
   *    text (whitespace runs collapsed to one space, trimmed) has length
   *    >= 25, AND linkChars * 3 <= contentChars (contentChars =
   *    non-whitespace char count of the accumulated text).
-  *  - Output: kept blocks' normalized texts, in document order.
+  *  - MEDIA: a visible media occurrence emits one [[Media]] item —
+  *    `<img>` → kind "image"; `<video>`/`<audio>` with a direct src →
+  *    their own kind; `<source>` → "video" when inside an open
+  *    `<video>` element, else "audio" when inside an open `<audio>`,
+  *    else ignored (video wins on malformed double nesting). The ref is
+  *    the tag's FIRST `src` attribute value (attributes scanned left to
+  *    right: name = maximal run of chars not in {whitespace, '=', '/'};
+  *    '/' and whitespace skipped between attributes; after optional
+  *    `= value` the value is `"…"`/`'…'` (to the matching quote, or the
+  *    tag end when unterminated) or a maximal unquoted non-whitespace
+  *    run — so `<img src=a.png/>` keeps the trailing slash, as HTML5's
+  *    unquoted-value state does), entity-decoded with the same two-pass
+  *    decode as text. Empty/absent src ⇒ no emission; `data-src` etc.
+  *    never match. Media at boilerplate depth > 0 or inside raw-text
+  *    interiors is dropped; link depth is irrelevant. Emission happens
+  *    at tag position: a media tag inside a not-yet-flushed block
+  *    PRECEDES that block's text in the item sequence (blocks
+  *    materialize at their closing flush). `<video>`/`<audio>` open/
+  *    close maintain the context depth exactly like `<a>` does for
+  *    links (self-closing tags don't nest).
+  *  - Output: kept blocks' normalized texts and media items,
+  *    interleaved in document order.
   */
 object HtmlExtractor {
+
+  /** One extracted item, in document order. */
+  sealed trait Item
+  /** A retained main-content block's normalized text. */
+  final case class Block(text: String) extends Item
+  /** A visible media occurrence: kind ∈ image/video/audio, ref = the
+    * entity-decoded src attribute (media-by-reference — the north
+    * rule's interleaved text+media invariant, format-symmetric with
+    * the PDF embedded-image path, [[graft.sources.RawFiles.docSpans]]).
+    */
+  final case class Media(kind: String, ref: String) extends Item
 
   val BlockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th", "tr",
@@ -58,21 +90,35 @@ object HtmlExtractor {
 
   val MinBlockLen = 25
 
-  def extract(html: String): Vector[String] = {
+  /** Kept text blocks only (media items dropped) — the text view. */
+  def extract(html: String): Vector[String] =
+    items(html).collect { case Block(t) => t }
+
+  def items(html: String): Vector[Item] = {
     if (html == null) return Vector.empty
-    val out = Vector.newBuilder[String]
+    val out = Vector.newBuilder[Item]
     val buf = new java.lang.StringBuilder
     var contentChars = 0
     var linkChars = 0
     var boilerMarked = false
     var boilerDepth = 0
     var linkDepth = 0
+    var videoDepth = 0
+    var audioDepth = 0
 
     def flush(): Unit = {
       val norm = normalize(buf.toString)
       if (!boilerMarked && norm.length >= MinBlockLen &&
-          linkChars * 3 <= contentChars) out += norm
+          linkChars * 3 <= contentChars) out += Block(norm)
       buf.setLength(0); contentChars = 0; linkChars = 0; boilerMarked = false
+    }
+
+    def mediaKind(name: String): String = name match {
+      case "img" => "image"
+      case "video" | "audio" => name
+      case "source" =>
+        if (videoDepth > 0) "video" else if (audioDepth > 0) "audio" else null
+      case _ => null
     }
 
     def addText(t: String): Unit = {
@@ -102,7 +148,7 @@ object HtmlExtractor {
           val gt = html.indexOf('>', i + 1)
           val parsed = if (gt > i) parseTag(html, i, gt) else None
           parsed match {
-            case Some((name, closing)) =>
+            case Some((name, closing, nameEnd)) =>
               val selfClosing = isSelfClosing(html, i, gt)
               if (BlockTags(name)) flush()
               if (BoilerTags(name)) {
@@ -113,6 +159,21 @@ object HtmlExtractor {
               if (name == "a") {
                 if (closing) { if (linkDepth > 0) linkDepth -= 1 }
                 else if (!selfClosing) linkDepth += 1
+              }
+              if (!closing && boilerDepth == 0 && MediaTags(name)) {
+                val kind = mediaKind(name)
+                if (kind != null) srcOf(html, nameEnd, gt).foreach { raw =>
+                  val ref = decodeEntities(raw)
+                  if (ref.nonEmpty) out += Media(kind, ref)
+                }
+              }
+              if (name == "video" || name == "audio") {
+                if (closing) {
+                  if (name == "video") { if (videoDepth > 0) videoDepth -= 1 }
+                  else { if (audioDepth > 0) audioDepth -= 1 }
+                } else if (!selfClosing) {
+                  if (name == "video") videoDepth += 1 else audioDepth += 1
+                }
               }
               i = gt + 1
               if (!closing && !selfClosing && RawTextTags(name)) {
@@ -135,11 +196,11 @@ object HtmlExtractor {
     out.result()
   }
 
-  /** Returns (lowercased tag name, isClosing) if html(start..gt) is a
-    * well-formed tag, else None.
+  /** Returns (lowercased tag name, isClosing, index just past the name)
+    * if html(start..gt) is a well-formed tag, else None.
     */
   private def parseTag(html: String, start: Int, gt: Int)
-      : Option[(String, Boolean)] = {
+      : Option[(String, Boolean, Int)] = {
     var p = start + 1
     var closing = false
     if (p < gt && html.charAt(p) == '/') { closing = true; p += 1 }
@@ -147,7 +208,51 @@ object HtmlExtractor {
     while (p < gt && (Character.isLetterOrDigit(html.charAt(p)))) p += 1
     if (p == nameStart) None
     else Some((html.substring(nameStart, p).toLowerCase(java.util.Locale.ROOT),
-               closing))
+               closing, p))
+  }
+
+  /** Tags that can carry a visible media reference. */
+  val MediaTags: Set[String] = Set("img", "video", "audio", "source")
+
+  /** First `src` attribute value in html(from..gt), raw (not yet
+    * entity-decoded), per the attribute grammar in the object scaladoc.
+    * None when no src attribute exists; Some("") when present but empty.
+    */
+  private def srcOf(html: String, from: Int, gt: Int): Option[String] = {
+    var p = from
+    while (p < gt) {
+      val c = html.charAt(p)
+      if (Character.isWhitespace(c) || c == '/') { p += 1 }
+      else {
+        val nameStart = p
+        while (p < gt && !Character.isWhitespace(html.charAt(p)) &&
+               html.charAt(p) != '=' && html.charAt(p) != '/') p += 1
+        val name = html.substring(nameStart, p)
+          .toLowerCase(java.util.Locale.ROOT)
+        if (p == nameStart) p += 1 // stray '=' with no name: skip it
+        else {
+          while (p < gt && Character.isWhitespace(html.charAt(p))) p += 1
+          var value = ""
+          if (p < gt && html.charAt(p) == '=') {
+            p += 1
+            while (p < gt && Character.isWhitespace(html.charAt(p))) p += 1
+            if (p < gt && (html.charAt(p) == '"' || html.charAt(p) == '\'')) {
+              val q = html.charAt(p)
+              val end = html.indexOf(q, p + 1)
+              val vEnd = if (end < 0 || end > gt) gt else end
+              value = html.substring(p + 1, vEnd)
+              p = if (vEnd == gt) gt else vEnd + 1
+            } else {
+              val vStart = p
+              while (p < gt && !Character.isWhitespace(html.charAt(p))) p += 1
+              value = html.substring(vStart, p)
+            }
+          }
+          if (name == "src") return Some(value)
+        }
+      }
+    }
+    None
   }
 
   private def isSelfClosing(html: String, start: Int, gt: Int): Boolean =

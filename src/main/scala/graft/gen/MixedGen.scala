@@ -167,24 +167,41 @@ object MixedGen {
     s"Second content paragraph of document $i visits the café " +
       s"m${(i * 17) % 883} m${(i * 19) % 883} and closes the article.")
 
+  /** Media the HTML page visibly embeds, in document order — the
+    * decoded refs the extractor must interleave between the kept
+    * blocks: figure img (entity-bearing src) after the first
+    * paragraph, a video `<source>`, then a trailing audio. The nav
+    * logo (boilerplate) and the script-interior img never emit.
+    */
+  private def htmlFig(i: Int): String = s"fig_$i.png?w=320&h=240"
+  private def htmlClip(i: Int): String = s"clip_$i.mp4"
+  private def htmlPod(i: Int): String = s"pod_$i.mp3"
+
   private def makeHtml(i: Int): String = {
     val k = htmlKept(i)
     val rawSecond = s"Second content paragraph of document $i visits " +
       s"the caf&#233; m${(i * 17) % 883} m${(i * 19) % 883} " +
       s"and closes the article."
+    val rawFig = s"fig_$i.png?w=320&amp;h=240" // decodes to htmlFig(i)
     s"""<html><head><title>${k(0)}</title>
        |<style>p { margin: 0; } /* </p> inside style is raw */</style>
        |</head><body>
-       |<nav><a href="/">Home</a> <a href="/about">About</a> menu</nav>
+       |<nav><a href="/">Home</a> <a href="/about">About</a> menu
+       |<img src="logo_$i.png" alt="site logo"></nav>
        |<header>site banner $i</header>
        |<article>
        |<p>${k(1)}</p>
+       |<img src="$rawFig" alt="figure $i">
        |<script>var tricks = "</p><p>injected paragraph from script";
+       |var ghost = "<img src='ghost_$i.png'>";
        |if (tricks<42) { track($i); }</script>
        |<p>short $i</p>
        |<p><a href="/a">one long navigation link farm row</a>
        |<a href="/b">another equally long link here</a></p>
+       |<video controls><source src="${htmlClip(i)}" type="video/mp4">
+       |</video>
        |<p>$rawSecond</p>
+       |<audio src="${htmlPod(i)}"></audio>
        |</article>
        |<footer>copyright $i all rights reserved footer</footer>
        |</body></html>
@@ -239,9 +256,16 @@ object MixedGen {
           null, 0),
         GtRow(f, "image", null, s"$f#img0:obj6", 1))
       case 3 =>
-        htmlKept(i).zipWithIndex.map { case (b, k) =>
-          GtRow(f, "html", b, null, k)
-        }
+        // interleaved text + media, document order: title, first
+        // paragraph, figure img, video source, second paragraph, audio
+        val k = htmlKept(i)
+        Seq(
+          GtRow(f, "html", k(0), null, 0),
+          GtRow(f, "html", k(1), null, 1),
+          GtRow(f, "image", null, htmlFig(i), 2),
+          GtRow(f, "video", null, htmlClip(i), 3),
+          GtRow(f, "html", k(2), null, 4),
+          GtRow(f, "audio", null, htmlPod(i), 5))
       case 4 => Seq(GtRow(f, "text", makeTxt(i), null, 0))
       case 5 => Seq(GtRow(f, "image", null, f, 0))
     }

@@ -138,16 +138,52 @@ object RefOracle {
 
   // ---------- html ----------
 
-  /** Naive re-implementation of the HtmlExtractor spec via a char walk. */
-  private def htmlBlocks(s: String): List[String] = {
+  /** First `src` attribute value in a tag's attribute region — oracle
+    * mechanism: functional string consumption (the extractor walks
+    * indices). Character.isWhitespace throughout, never regex \s.
+    */
+  private def oracleSrc(attrs0: String): Option[String] = {
+    var rest = attrs0
+    while (rest.nonEmpty) {
+      rest = rest.dropWhile(c => Character.isWhitespace(c) || c == '/')
+      if (rest.isEmpty) return None
+      val nm = rest.takeWhile(c =>
+        !Character.isWhitespace(c) && c != '=' && c != '/')
+      if (nm.isEmpty) rest = rest.drop(1) // stray '=': skip
+      else {
+        rest = rest.drop(nm.length).dropWhile(Character.isWhitespace)
+        var v = ""
+        if (rest.startsWith("=")) {
+          rest = rest.drop(1).dropWhile(Character.isWhitespace)
+          if (rest.startsWith("\"") || rest.startsWith("'")) {
+            val e = rest.indexOf(rest.head.toInt, 1)
+            if (e < 0) { v = rest.drop(1); rest = "" }
+            else { v = rest.substring(1, e); rest = rest.substring(e + 1) }
+          } else {
+            val e = rest.indexWhere(Character.isWhitespace)
+            if (e < 0) { v = rest; rest = "" }
+            else { v = rest.substring(0, e); rest = rest.substring(e) }
+          }
+        }
+        if (nm.toLowerCase == "src") return Some(v)
+      }
+    }
+    None
+  }
+
+  /** Naive re-implementation of the HtmlExtractor spec via a char walk:
+    * Left(kept block text) and Right((media kind, ref)) interleaved in
+    * document order.
+    */
+  private def htmlItems(s: String): List[Either[String, (String, String)]] = {
     if (s == null) return Nil
     case class Block(raw: String, link: Int, content: Int, boiler: Boolean)
-    var blocks = List.empty[Block]
+    var items = List.empty[Either[Block, (String, String)]]
     var raw = new StringBuilder
     var link = 0; var content = 0; var boiler = false
-    var linkD = 0; var boilD = 0
+    var linkD = 0; var boilD = 0; var vidD = 0; var audD = 0
     def flush(): Unit = {
-      blocks = Block(raw.toString, link, content, boiler) :: blocks
+      items = Left(Block(raw.toString, link, content, boiler)) :: items
       raw = new StringBuilder; link = 0; content = 0; boiler = false
     }
     // numeric refs first (regex pass — a different mechanism than the
@@ -190,6 +226,28 @@ object RefOracle {
             if (closing) linkD = math.max(0, linkD - 1)
             else if (!selfClose) linkD += 1
           }
+          if (!closing && boilD == 0 &&
+              (nm0 == "img" || nm0 == "video" || nm0 == "audio" ||
+               nm0 == "source")) {
+            val kind =
+              if (nm0 == "img") "image"
+              else if (nm0 == "source") {
+                if (vidD > 0) "video" else if (audD > 0) "audio" else null
+              } else nm0
+            if (kind != null) {
+              val attrs = inner.drop(nm0.length) // !closing ⇒ no '/' prefix
+              oracleSrc(attrs).map(decode).filter(_.nonEmpty)
+                .foreach(r => items = Right((kind, r)) :: items)
+            }
+          }
+          if (nm0 == "video" || nm0 == "audio") {
+            if (closing) {
+              if (nm0 == "video") vidD = math.max(0, vidD - 1)
+              else audD = math.max(0, audD - 1)
+            } else if (!selfClose) {
+              if (nm0 == "video") vidD += 1 else audD += 1
+            }
+          }
           i = gt + 1
           if (!closing && !selfClose &&
               (nm0 == "script" || nm0 == "style")) {
@@ -224,21 +282,23 @@ object RefOracle {
       }
     }
     flush()
-    blocks.reverse.flatMap { b =>
-      // whitespace = Character.isWhitespace, NOT regex \s (which misses
-      // U+2028/U+3000 etc. and would diverge from HtmlExtractor.normalize)
-      val words = scala.collection.mutable.ListBuffer.empty[String]
-      val cur = new StringBuilder
-      b.raw.foreach { ch =>
-        if (Character.isWhitespace(ch)) {
-          if (cur.nonEmpty) { words += cur.toString; cur.clear() }
-        } else cur += ch
-      }
-      if (cur.nonEmpty) words += cur.toString
-      val norm = words.mkString(" ")
-      if (!b.boiler && norm.length >= 25 && b.link * 3 <= b.content)
-        Some(norm)
-      else None
+    items.reverse.flatMap {
+      case Left(b) =>
+        // whitespace = Character.isWhitespace, NOT regex \s (which misses
+        // U+2028/U+3000 etc. and would diverge from HtmlExtractor.normalize)
+        val words = scala.collection.mutable.ListBuffer.empty[String]
+        val cur = new StringBuilder
+        b.raw.foreach { ch =>
+          if (Character.isWhitespace(ch)) {
+            if (cur.nonEmpty) { words += cur.toString; cur.clear() }
+          } else cur += ch
+        }
+        if (cur.nonEmpty) words += cur.toString
+        val norm = words.mkString(" ")
+        if (!b.boiler && norm.length >= 25 && b.link * 3 <= b.content)
+          Some(Left(norm))
+        else None
+      case Right(m) => Some(Right(m))
     }
   }
 
@@ -268,8 +328,10 @@ object RefOracle {
         outs = outs ++ bs.map(b => OutSpan(doc.doc_id, "pdf", b.text, null, -1))
         boxes = boxes ++ bs
       case "html" =>
-        outs = outs ++
-          htmlBlocks(s.text).map(t => OutSpan(doc.doc_id, "html", t, null, -1))
+        outs = outs ++ htmlItems(s.text).map {
+          case Left(t) => OutSpan(doc.doc_id, "html", t, null, -1)
+          case Right((k, r)) => OutSpan(doc.doc_id, k, null, r, -1)
+        }
       case "text" =>
         outs = outs :+
           OutSpan(doc.doc_id, "text", Option(s.text).getOrElse(""), null, -1)

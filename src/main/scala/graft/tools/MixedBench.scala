@@ -44,8 +44,10 @@ object MixedBench {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val gt = graft.gen.MixedGen.expected(nDocs)
     val gtByKind = gt.groupBy(_.kind).map { case (k, rs) => k -> rs.size }
-    val gotMedia = byKind.getOrElse("image", 0L)
-    val wantMedia = gtByKind.getOrElse("image", 0).toLong
+    val mediaKinds = graft.core.ExtractionSpec.MediaKinds
+    val gotMedia = mediaKinds.toSeq.map(k => byKind.getOrElse(k, 0L)).sum
+    val wantMedia = mediaKinds.toSeq
+      .map(k => gtByKind.getOrElse(k, 0).toLong).sum
     // text recall at doc granularity: every non-media file must emit at
     // least one text row (a vanished page/block = silent loss)
     val textDocs = outDf.where(col("text").isNotNull)

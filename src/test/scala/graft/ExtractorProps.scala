@@ -43,7 +43,18 @@ object ExtractorProps extends Properties("Extractor") {
            // raw-text + numeric-entity rule stressors (r04)
            "<script>", "</script>", "<SCRIPT>", "<style>", "</style>",
            "<script/>", "&#65;", "&#x41;", "&#", "&#;", "&#xD800;",
-           "&#38;lt;", "&#99999999;"
+           "&#38;lt;", "&#99999999;",
+           // html media-span rule stressors (r05): every attribute-
+           // grammar edge from the HtmlExtractor scaladoc
+           "<img src=a.png>", "<img src=\"a b.png\">", "<img src='q.png'>",
+           "<img src>", "<img src=>", "<img src=\"\">",
+           "<img data-src=no.png>", "<img alt=\"src=trap.png\" src=real.png>",
+           "<img src=x/>", "<img src=\"a&amp;b.png\">",
+           "<img src=\"untermin", "<img src='half",
+           "<video>", "</video>", "<audio>", "</audio>", "<video/>",
+           "<source src=s.mp4>", "<video src=v.mp4>", "<audio src=a.mp3>",
+           "<img/src=weird>", "<img = src=y.png>", "<IMG SRC=UP.PNG>",
+           "<source>", "<img src=&#120;.png>"
          )).map(_.mkString(" ")),
     1 -> Gen.stringOf(Gen.oneOf('\n', '\t', ' ', 'a', '\\', '<', '&',
            '中', '€', '\u3000', '\u2028')).map(_.take(300)))

@@ -216,6 +216,43 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Extractor.extract(d3).outSpans == RefOracle.extract(d3).outSpans)
   }
 
+  test("html media spans: interleaving, boilerplate drop, attr grammar, both impls") {
+    val html =
+      "<nav>menu <img src=\"logo.png\"></nav>" +
+      "<p>First real paragraph long enough to keep around.</p>" +
+      "<img src=\"fig.png?a=1&amp;b=2\" alt=\"x\">" +
+      "<script>var g = \"<img src='ghost.png'>\";</script>" +
+      "<p>Inline <img src=innie.png> split paragraph body text here.</p>" +
+      "<video controls><source src=\"clip.mp4\"></video>" +
+      "<audio src=pod.mp3></audio>" +
+      "<source src=orphan.bin>" +
+      "<img alt=\"src=trap.png\" src=real.png>" +
+      "<img data-src=no.png><img src><img src=\"\">"
+    val items = HtmlExtractor.items(html)
+    assert(items == Vector(
+      HtmlExtractor.Block("First real paragraph long enough to keep around."),
+      HtmlExtractor.Media("image", "fig.png?a=1&b=2"),
+      // a media tag inside a not-yet-flushed block precedes that block
+      HtmlExtractor.Media("image", "innie.png"),
+      HtmlExtractor.Block("Inline split paragraph body text here."),
+      HtmlExtractor.Media("video", "clip.mp4"),
+      HtmlExtractor.Media("audio", "pod.mp3"),
+      HtmlExtractor.Media("image", "real.png")), items)
+    // dual-impl equality over the full extraction path
+    val d = InputDoc("m", Vector(Span("html", html, null, 0)))
+    assert(Extractor.extract(d).outSpans == RefOracle.extract(d).outSpans)
+    // grammar edges: trailing-slash-in-unquoted-value, first-src-wins,
+    // stray '=', '/' between attributes, uppercase, entity in value
+    val edge = "<p>Padding paragraph long enough to be kept here.</p>" +
+      "<img src=x.png/><img src=a.png src=b.png><img = src=y.png>" +
+      "<img/src=weird><IMG SRC=UP.PNG><img src=&#120;.png>"
+    assert(HtmlExtractor.items(edge).collect {
+      case HtmlExtractor.Media(_, r) => r } ==
+      Vector("x.png/", "a.png", "y.png", "weird", "UP.PNG", "x.png"))
+    val d2 = InputDoc("e", Vector(Span("html", edge, null, 0)))
+    assert(Extractor.extract(d2).outSpans == RefOracle.extract(d2).outSpans)
+  }
+
   test("html unicode whitespace (U+3000) normalizes identically in both impls") {
     // Character.isWhitespace covers these; regex \s does not — a r02
     // review found the oracle using \s+ and diverging here
