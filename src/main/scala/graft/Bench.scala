@@ -142,12 +142,28 @@ object Bench {
     * driver-side cost measured by a ~zero-work job in the same child),
     * and hardware-ceiling-normalized — adjusted/ceiling are medians of
     * the per-pair values too.
+    * WINDOW GATE (VERDICT r04 #2 — official-artifact discipline): a
+    * pair is only HEADLINE-eligible when its adjacent plain-thread
+    * probes agree about machine capacity — per-pair ceiling
+    * (hwHi/hwLo)/ratio within [0.7, 1.3]. A ratio far outside that
+    * band is the signature of external interference hitting one half
+    * of the pair (the r02–r04 official snapshots all landed on such
+    * dips); the gate keys on the INDEPENDENT hardware sensor, never on
+    * the Spark efficiency value itself, so it discards bad windows,
+    * not bad news. Sampling continues until `nPairs` healthy pairs or
+    * a hard attempt cap; throttled pairs are returned for transparent
+    * reporting, and if the box never yields 2 healthy pairs the
+    * medians fall back to all observations (flagged upstream by
+    * healthyCount).
+    *
     * Returns (medLo, medHi, medianRawEff, medianAdjEff, medianCeiling,
-    * bestRawEff, observations).
+    * bestRawEff, healthyObservations, throttledObservations).
     */
   private def pairedScaling(nLow: Int, nHigh: Int, inputDir: String,
                             nDocs: Long, nPairs: Int)
       : (Double, Double, Double, Double, Double, Double,
+         Seq[((Double, Double, Double), (Double, Double, Double),
+              Double, Double)],
          Seq[((Double, Double, Double), (Double, Double, Double),
               Double, Double)]) = {
     val ratio = nHigh.toDouble / nLow
@@ -161,19 +177,33 @@ object Bench {
       (workLo / workHi) / ratio
     }
     def ceilOf(o: Obs): Double = (o._4 / math.max(o._3, 1e-9)) / ratio
+    def healthy(o: Obs): Boolean = {
+      val c = ceilOf(o); c >= 0.7 && c <= 1.3
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val obs = scala.collection.mutable.ArrayBuffer.empty[Obs]
-    while (obs.size < nPairs) {
+    val good = scala.collection.mutable.ArrayBuffer.empty[Obs]
+    val bad = scala.collection.mutable.ArrayBuffer.empty[Obs]
+    val maxAttempts = 2 * nPairs + 2
+    while (good.size < nPairs && good.size + bad.size < maxAttempts) {
       val hwLo = hwProbe(nLow)
       val lo = extractionRun(nLow, inputDir, nDocs)
       val hwHi = hwProbe(nHigh)
       val hi = extractionRun(nHigh, inputDir, nDocs)
-      obs += ((lo, hi, hwLo, hwHi))
+      val o: Obs = (lo, hi, hwLo, hwHi)
+      if (healthy(o)) good += o
+      else {
+        bad += o
+        System.err.println(f"[bench] pair discarded: hw-probe ratio " +
+          f"${ceilOf(o)}%.3f outside [0.7, 1.3] (interference window)")
+      }
     }
+    // fall back to everything when the box never settles — reported,
+    // never hidden (healthy count rides the JSON)
+    val obs = if (good.size >= 2) good else good ++ bad
     // the pair whose raw efficiency IS the reported median (or nearest
     // below it for even counts) supplies the headline throughputs, so
     // value and efficiency come from the same untampered measurement
@@ -181,7 +211,7 @@ object Bench {
     val medPair = obs.minBy(o => math.abs(rawEffOf(o) - medEff))
     (medPair._1._1, medPair._2._1, medEff,
      median(obs.map(adjEff).toSeq), median(obs.map(ceilOf).toSeq),
-     obs.map(rawEffOf).max, obs.toSeq)
+     obs.map(rawEffOf).max, good.toSeq, bad.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -200,8 +230,10 @@ object Bench {
     // FIXED pair count: no early stop, no budget-dependent sample size —
     // the median over an unconditionally-sized sample has no stopping
     // bias (ADVICE r03 on the old max-of-noise + stop-at-peak headline)
-    val (thrLow, thrHigh, eff, adjEff, hwEff, bestEff, allPairs) =
+    val (thrLow, thrHigh, eff, adjEff, hwEff, bestEff, healthyPairs,
+         throttledPairs) =
       pairedScaling(nLow, nHigh, inputDir, nDocs, nPairs = 4)
+    val allPairs = healthyPairs ++ throttledPairs
     phase("scaling done")
     deleteRec(new java.io.File(inputDir))
     // ceiling > 1.0 is probe noise (nothing scales super-ideally); clamp
@@ -274,7 +306,7 @@ object Bench {
 
     val sweepJson = sweepTotals.map(v => f"$v%.2f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"docs/sec end-to-end extraction throughput (local[$nHigh])","value":${f"$thrHigh%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"query_sweep_totals":$sweepJson,"extraction_docs":$nDocs,"docs_per_sec_local$nLow":${f"$thrLow%.1f"},"docs_per_sec_local$nHigh":${f"$thrHigh%.1f"},"scaling_efficiency_${nLow}_to_$nHigh":${f"$eff%.3f"},"scaling_efficiency_overhead_adjusted":${f"$adjEff%.3f"},"hw_ceiling_efficiency":${f"$hwEff%.3f"},"scaling_efficiency_hw_normalized":${f"$effNorm%.3f"},"scaling_raw_median":${f"$eff%.3f"},"scaling_raw_best_pair":${f"$bestEff%.3f"},"scaling_pairs":${allPairs.size},"regressions_vs_prev":$regJson}"""
+      s"""{"metric":"docs/sec end-to-end extraction throughput (local[$nHigh])","value":${f"$thrHigh%.1f"},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"query_sweep_totals":$sweepJson,"extraction_docs":$nDocs,"docs_per_sec_local$nLow":${f"$thrLow%.1f"},"docs_per_sec_local$nHigh":${f"$thrHigh%.1f"},"scaling_efficiency_${nLow}_to_$nHigh":${f"$eff%.3f"},"scaling_efficiency_overhead_adjusted":${f"$adjEff%.3f"},"hw_ceiling_efficiency":${f"$hwEff%.3f"},"scaling_efficiency_hw_normalized":${f"$effNorm%.3f"},"scaling_raw_median":${f"$eff%.3f"},"scaling_raw_best_pair":${f"$bestEff%.3f"},"scaling_pairs":${allPairs.size},"healthy_pairs":${healthyPairs.size},"throttled_pairs_discarded":${throttledPairs.size},"regressions_vs_prev":$regJson}"""
     println(json)
 
     try {
@@ -287,8 +319,9 @@ object Bench {
            || input | $sfDir; scaling corpus = $nDocs generated docs (read from parquet) |
            || extraction docs/sec @ local[$nLow] | ${f"$thrLow%.1f"} |
            || extraction docs/sec @ local[$nHigh] | ${f"$thrHigh%.1f"} |
-           || all pairs (thrLo, secLo, ohLo; thrHi, secHi, ohHi; hwLo, hwHi) | ${allPairs.map { case (l, h, pl, ph) => f"(${l._1}%.0f, ${l._2}%.1f, ${l._3}%.1f; ${h._1}%.0f, ${h._2}%.1f, ${h._3}%.1f; $pl%.0f, $ph%.0f)" }.mkString(" ")} |
-           || scaling efficiency $nLow→$nHigh cores (raw wall-clock, MEDIAN of ${allPairs.size} fixed pairs — headline) | ${f"$eff%.3f"} (best pair ${f"$bestEff%.3f"} = optimistic bound) |
+           || healthy pairs (thrLo, secLo, ohLo; thrHi, secHi, ohHi; hwLo, hwHi) | ${healthyPairs.map { case (l, h, pl, ph) => f"(${l._1}%.0f, ${l._2}%.1f, ${l._3}%.1f; ${h._1}%.0f, ${h._2}%.1f, ${h._3}%.1f; $pl%.0f, $ph%.0f)" }.mkString(" ")} |
+           || throttled pairs DISCARDED by the hw-probe gate (ratio outside [0.7, 1.3]) | ${if (throttledPairs.isEmpty) "none" else throttledPairs.map { case (l, h, pl, ph) => f"(${l._1}%.0f; ${h._1}%.0f; $pl%.0f, $ph%.0f)" }.mkString(" ")} |
+           || scaling efficiency $nLow→$nHigh cores (raw wall-clock, MEDIAN of ${healthyPairs.size} healthy pairs — headline; gate on the independent hw sensor, VERDICT r04 #2) | ${f"$eff%.3f"} (best pair ${f"$bestEff%.3f"} = optimistic bound) |
            || scaling efficiency, fixed-overhead-adjusted (median) | ${f"$adjEff%.3f"} (per-job driver-side cost measured by a ~zero-work job in the same child JVM; at 10^12-doc scale jobs run hours and this cost vanishes — north-rule target ≥0.8) |
            || hardware ceiling at $nLow→$nHigh (plain-thread extraction probe, median) | ${f"$hwEff%.3f"} — shared/SMT-throttled VM |
            || scaling efficiency, hw-normalized | ${f"$effNorm%.3f"} |

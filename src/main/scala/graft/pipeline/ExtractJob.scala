@@ -42,6 +42,7 @@ object ExtractJob {
     partitions: Int = 0,           // 0 = 4 x defaultParallelism
     bigDocBytes: Long = 1L << 20,  // cost-proxy threshold for skew isolation
     salting: String = "auto",      // "on" | "off" | "auto" (sampled decision)
+    skewSampleRows: Long = 100000L, // auto decision reads ≤ this many costs
     io: graft.sources.TableIO = null) { // default: HadoopTableIO(outDir)
     def tableIO: graft.sources.TableIO =
       if (io != null) io else graft.sources.HadoopTableIO(outDir)
@@ -166,18 +167,36 @@ object ExtractJob {
     // salting decision: the repartition shuffle moves the full payload —
     // worth it iff the cost distribution is skewed RELATIVE TO a
     // partition's fair share (one doc ≥ 25% of a partition, or over the
-    // absolute big-doc threshold). Exact agg over the cost column here;
-    // in an Iceberg deployment this comes free from table column stats.
-    // Skipped entirely when every group is already committed — a no-op
-    // resume must not pay a full input scan (report.salted is then false).
+    // absolute big-doc threshold). The expensive part of the stats pass
+    // is _cost itself (octet_length over every span payload), so it is
+    // BOUNDED (VERDICT r04 #3): a row count first (column-pruned — for
+    // parquet it is row-group metadata, no payload read), then the cost
+    // agg either exact (input ≤ skewSampleRows — test corpora, resumes
+    // of small groups) or over a seeded random sample of ~that many
+    // rows, with the total scaled back up by 1/fraction. A lone monster
+    // doc can evade a sample; the miss cost is one straggler task on
+    // the NARROW path, strictly cheaper than the full-payload shuffle a
+    // false "on" would buy at 10^12 docs. In an Iceberg deployment the
+    // exact max/sum come free from table column stats instead. Skipped
+    // entirely when every group is already committed — a no-op resume
+    // must not pay any input scan (report.salted is then false).
     val anyToRun = (0 until cfg.groups).exists(g => !committed.contains(g))
     val useSalt = anyToRun && (cfg.salting match {
       case "on"  => true
       case "off" => false
       case _ =>
-        val s = withGroup.agg(max("_cost"), sum("_cost")).collect()(0)
+        val nRows = withGroup.count()
+        val (s, scaleUp) =
+          if (nRows <= cfg.skewSampleRows)
+            (withGroup.agg(max("_cost"), sum("_cost")).collect()(0), 1.0)
+          else {
+            val f = cfg.skewSampleRows.toDouble / nRows
+            (withGroup.sample(withReplacement = false, f, seed = 42L)
+               .agg(max("_cost"), sum("_cost")).collect()(0), 1.0 / f)
+          }
         !s.isNullAt(0) && {
-          val mx = s.getLong(0); val total = s.getLong(1)
+          val mx = s.getLong(0)
+          val total = (s.getLong(1) * scaleUp).toLong
           val fairShare = math.max(total / math.max(nPart, 1), 1L)
           mx >= cfg.bigDocBytes || mx >= fairShare / 4
         }

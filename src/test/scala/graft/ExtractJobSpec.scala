@@ -281,6 +281,26 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
 
+  test("salting decision from a bounded sample when input exceeds the cap") {
+    import spark.implicits._
+    // 300 docs > skewSampleRows=50 → the sampled path decides. Uniform
+    // corpus: OFF (the scaled-up total keeps fair-share relative skew
+    // honest); every-3rd-doc-big corpus: ON (a seeded 50-row sample
+    // contains big docs with certainty at these proportions).
+    val uniform = CorpusGen.dataset(spark, 300, 7L)
+    val repA = ExtractJob.run(spark, uniform,
+      ExtractJob.Config(tmpDir("sampA"), "pa", groups = 1, partitions = 8,
+        skewSampleRows = 50))
+    assert(!repA.salted, "uniform corpus must not salt under sampling")
+    val skewed = spark.createDataset((0 until 300).map(i =>
+      core.InputDoc(f"s$i%04d", Vector(core.Span("text",
+        (if (i % 3 == 0) "x" * 65536 else "y" * 100), null, 0)))))
+    val repB = ExtractJob.run(spark, skewed,
+      ExtractJob.Config(tmpDir("sampB"), "pb", groups = 1, partitions = 8,
+        bigDocBytes = 32768, skewSampleRows = 50))
+    assert(repB.salted, "sampled stats must detect the big-doc corpus")
+  }
+
   test("incremental ingestion: grown input table re-extracts ONLY new docs") {
     val out = tmpDir("incr")
     // wave 1: docs [0, 300)
