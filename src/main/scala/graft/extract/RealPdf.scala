@@ -42,8 +42,10 @@ import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
   *    [[PdfImage]] media references in content-stream order with
   *    their /Width × /Height, the north rule's media-by-reference
   *    spans for interleaved text+media documents ([[parseDoc]];
-  *    [[imageBytes]] recovers the payload, JPEG/DCTDecode passed
-  *    through for a standard codec);
+  *    [[imageBytes]] recovers the filter-decoded payload and
+  *    [[imageCodecBytes]] the codec-ready one — JPEG/DCTDecode passed
+  *    through, Flate/LZW/predictor raster and CCITT Group-4 scans
+  *    decoded to samples and wrapped as PNG);
   *  - FONT-AWARE decoding (ISO 32000 §9, the capability the reference
   *    rides pdfminer for, /root/reference/setup.sql:72-91): page
   *    /Resources → /Font dicts are resolved (with page-tree
@@ -191,6 +193,109 @@ object RealPdf {
           decode(d, data, objs, passThrough = Set("DCTDecode", "JPXDecode"))
       }
     } catch { case _: Exception => None }
+
+  /** Codec-READY payload of image XObject `objNum` — the byte shape
+    * [[graft.ops.Multimodal.ImageIoCodec]] (any standard codec)
+    * consumes directly: a /DCTDecode//JPXDecode image returns its
+    * embedded JPEG/JP2 file unchanged; raster images (Flate with or
+    * without /Predictor, LZW, RunLength, **CCITTFaxDecode Group 4** —
+    * the scanned-document filter, [[Ccitt.g4Decode]]) have their
+    * samples decoded and re-wrapped as a lossless PNG via the
+    * /Width /Height /BitsPerComponent /ColorSpace geometry
+    * (1/8-bit gray incl. /ImageMask, 8-bit RGB, ICCBased by /N).
+    * None when the payload or geometry is genuinely unrecoverable
+    * (JBIG2, G3, exotic colorspaces) — those stay occurrence-only.
+    */
+  def imageCodecBytes(bytes: Array[Byte], objNum: Int): Option[Array[Byte]] =
+    try {
+      val objs = scanObjects(bytes)
+      objs.get(objNum) match {
+        case Some(Indirect(d, Some(data), _)) =>
+          val filters = dictGet(d, "Filter", objs) match {
+            case PName(f)    => Vector(f)
+            case PArr(items) => items.collect { case PName(f) => f }
+            case _           => Vector.empty
+          }
+          val decoded = decode(d, data, objs,
+            passThrough = Set("DCTDecode", "JPXDecode"))
+          if (filters.exists(f => f == "DCTDecode" || f == "JPXDecode"))
+            Some(decoded).filter(_.nonEmpty)
+          else wrapPng(d, decoded, objs)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Wrap decoded raster samples as a PNG per the image dict geometry.
+    * Row-major samples, rows padded to byte boundaries for bpc 1 (the
+    * PDF sample layout, §8.9.3); short sample data renders the covered
+    * prefix (damaged scans: partial beats none), never throws.
+    */
+  private def wrapPng(dict: PObj, samples: Array[Byte],
+                      objs: Map[Int, Indirect]): Option[Array[Byte]] = {
+    if (samples.isEmpty) return None
+    def num(k: String, dflt: Int): Int = dictGet(dict, k, objs) match {
+      case PNum(v) => v.toInt; case _ => dflt
+    }
+    val w = num("Width", 0); val h = num("Height", 0)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    val mask = dictGet(dict, "ImageMask", objs) == PBool(true)
+    val bpc = if (mask) 1 else num("BitsPerComponent", 8)
+    val comps: Int = dictGet(dict, "ColorSpace", objs) match {
+      case _ if mask                             => 1
+      case PName("DeviceGray" | "CalGray" | "G") => 1
+      case PName("DeviceRGB" | "CalRGB" | "RGB") => 3
+      case PArr(items) if items.nonEmpty =>
+        resolve(items.head, objs) match {
+          case PName("CalGray") => 1
+          case PName("CalRGB")  => 3
+          case PName("ICCBased") if items.length > 1 =>
+            dictGet(resolve(items(1), objs), "N", objs) match {
+              case PNum(n) if n.toInt == 1 => 1
+              case PNum(n) if n.toInt == 3 => 3
+              case _                       => -1
+            }
+          case _ => -1
+        }
+      case PNull if bpc == 1 => 1 // bilevel with no declared space
+      case _                 => -1
+    }
+    if (comps < 0 || !(bpc == 1 || bpc == 8) || (bpc == 1 && comps != 1))
+      return None
+    val img =
+      if (comps == 1)
+        new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      else new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    val rowBytes = if (bpc == 1) (w + 7) / 8 else w * comps
+    var y = 0
+    while (y < h) {
+      val base = y * rowBytes
+      var x = 0
+      while (x < w) {
+        if (bpc == 1) {
+          val idx = base + (x >> 3)
+          val bit = if (idx < samples.length)
+            (samples(idx) >> (7 - (x & 7))) & 1 else 0
+          raster.setSample(x, y, 0, bit * 255)
+        } else {
+          var c = 0
+          while (c < comps) {
+            val idx = base + x * comps + c
+            raster.setSample(x, y, c,
+              if (idx < samples.length) samples(idx) & 0xff else 0)
+            c += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (javax.imageio.ImageIO.write(img, "png", out)) Some(out.toByteArray)
+    else None
+  }
 
   /** Serialize parsed pages as the engine's PG/TX content-stream payload
     * (the synthetic corpus grammar, [[PdfTokenizer]] scaladoc) — the
@@ -913,6 +1018,25 @@ object RealPdf {
         case "RunLengthDecode"   => d = runLengthDecode(d)
         case "ASCIIHexDecode"    => d = asciiHexDecode(d)
         case "ASCII85Decode"     => d = ascii85Decode(d)
+        case "CCITTFaxDecode" =>
+          // Group 4 (K<0) only — the scanned-document filter; G3 and
+          // malformed streams fall to the occurrence-only path
+          def pnum(k: String, dflt: Int): Int =
+            dictGet(parm, k, objs) match {
+              case PNum(v) => v.toInt; case _ => dflt
+            }
+          def pbool(k: String): Boolean = dictGet(parm, k, objs) match {
+            case PBool(b) => b; case _ => false
+          }
+          if (pnum("K", 0) >= 0) { d = Array.emptyByteArray; halt = true }
+          else {
+            val rows = pnum("Rows", dictGet(dict, "Height", objs) match {
+              case PNum(v) => v.toInt; case _ => 0
+            })
+            d = Ccitt.g4Decode(d, pnum("Columns", 1728), rows,
+              pbool("BlackIs1"), pbool("EncodedByteAlign"))
+            if (d.isEmpty) halt = true
+          }
         case _ => d = Array.emptyByteArray; halt = true
       }
       i += 1

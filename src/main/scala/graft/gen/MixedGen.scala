@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 6`:
+  * File kinds by `i % 7`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -30,7 +30,11 @@ package graft.gen
   *   4 → `note_NNNN.txt`  plain UTF-8 note (one text span, verbatim);
   *   5 → `img_NNNN.png`   standalone media file (passes by reference —
   *                        the bytes are never read, so a deterministic
-  *                        stub payload suffices).
+  *                        stub payload suffices);
+  *   6 → `scan_NNNN.pdf`  scanned-style: one caption text line + a
+  *                        full-page CCITT Group-4 1-bit image
+  *                        ([[CcittGen.makeScanPdf]] — the reference's
+  *                        titular scan/OCR corpus class).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -46,11 +50,12 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 6: @unchecked) match {
+  def fileName(i: Int): String = (i % 7: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
     case 5         => f"img_$i%04d.png"
+    case 6         => f"scan_$i%04d.pdf"
   }
 
   // ---------- shared text ----------
@@ -219,13 +224,14 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 6: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 7: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
     case 3 => makeHtml(i).getBytes("UTF-8")
     case 4 => makeTxt(i).getBytes("UTF-8")
     case 5 => makePng(i)
+    case 6 => CcittGen.makeScanPdf(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -239,7 +245,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 6: @unchecked) match {
+    (i % 7: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -268,6 +274,10 @@ object MixedGen {
           GtRow(f, "audio", null, htmlPod(i), 5))
       case 4 => Seq(GtRow(f, "text", makeTxt(i), null, 0))
       case 5 => Seq(GtRow(f, "image", null, f, 0))
+      case 6 => Seq(
+        // one caption run box + the full-page CCITT image occurrence
+        GtRow(f, "pdf", s"Scan $i caption\n", null, 0),
+        GtRow(f, "image", null, s"$f#img0:obj5", 1))
     }
   }
 }

@@ -84,15 +84,18 @@ object RawFiles {
     } else Vector(Span(kind,
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8), null, 0))
 
-  /** Recover the payload behind a media span minted by [[docSpans]]: a
-    * media_ref of the form `<path>#img<seq>:obj<N>` resolves through
-    * [[graft.extract.RealPdf.imageBytes]] against the ORIGINAL pdf
-    * bytes (a DCTDecode image returns its embedded JPEG, ready for
-    * [[graft.ops.Multimodal.ImageIoCodec]]). Inline `…:inline` refs
-    * return None — their bytes live in the content stream and carry
-    * dims-only metadata by design. This is the byte-fetch half of the
-    * media-by-reference contract: spans carry references, the store
-    * carries bytes, and a decode stage joins them per partition.
+  /** Recover the CODEC-READY payload behind a media span minted by
+    * [[docSpans]]: a media_ref of the form `<path>#img<seq>:obj<N>`
+    * resolves through [[graft.extract.RealPdf.imageCodecBytes]] against
+    * the ORIGINAL pdf bytes — a DCTDecode image returns its embedded
+    * JPEG unchanged; raster images (Flate/predictor, LZW, CCITT
+    * Group-4 scans) return their decoded samples wrapped as a PNG —
+    * either way the bytes feed
+    * [[graft.ops.Multimodal.ImageIoCodec]] directly. Inline `…:inline`
+    * refs return None — their bytes live in the content stream and
+    * carry dims-only metadata by design. This is the byte-fetch half
+    * of the media-by-reference contract: spans carry references, the
+    * store carries bytes, and a decode stage joins them per partition.
     */
   def pdfImagePayload(pdfBytes: Array[Byte],
                       mediaRef: String): Option[Array[Byte]] = {
@@ -102,7 +105,7 @@ object RawFiles {
       val colon = mediaRef.indexOf(':', h)
       if (colon < 0 || !mediaRef.startsWith("obj", colon + 1)) None
       else mediaRef.substring(colon + 4).toIntOption
-        .flatMap(n => graft.extract.RealPdf.imageBytes(pdfBytes, n))
+        .flatMap(n => graft.extract.RealPdf.imageCodecBytes(pdfBytes, n))
     }
   }
 

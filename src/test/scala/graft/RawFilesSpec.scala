@@ -100,10 +100,17 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a text-only genuine PDF is unchanged: exactly one span
     assert(docs("doc_0000.pdf").spans.map(_.kind) == Vector("pdf"))
     // the byte-fetch half of media-by-reference: the ref resolves back
-    // to the image payload inside the stored file (24x16 gray samples)
+    // to a CODEC-READY payload — the raw 24x16 /DeviceGray samples
+    // wrapped as a PNG a standard codec reads directly
     val pdfBytes = Files.readAllBytes(dir.resolve("doc_0001.pdf"))
     val payload = RawFiles.pdfImagePayload(pdfBytes, img(1).media_ref)
-    assert(payload.exists(_.length == 24 * 16))
+    val png = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload.get))
+    assert(png.getWidth == 24 && png.getHeight == 16)
+    // generator gradient: imgSamples(1, 0)(k) = (k*7 + 1) % 256
+    assert(png.getRaster.getSample(0, 0, 0) == 1)
+    assert(png.getRaster.getSample(1, 0, 0) == 8)
+    assert(png.getRaster.getSample(0, 1, 0) == (24 * 7 + 1) % 256)
     // inline refs are dims-only metadata: no recoverable object stream
     assert(RawFiles.pdfImagePayload(pdfBytes,
       "x.pdf#img2:inline").isEmpty)

@@ -533,7 +533,7 @@ class RealPdfSpec extends AnyFunSuite {
     // image-XObject (incl. inline) and form-recursion variants — these
     // also feed a driver query (ex_mixed)
     (0 until 120).foreach { i =>
-      val b = graft.gen.MixedGen.fileBytes(6 * (i % 17) + 1 + (i % 2))
+      val b = graft.gen.MixedGen.fileBytes(7 * (i % 17) + 1 + (i % 2))
       // file kinds 1 (image pdf) and 2 (form pdf) across varying docs
       (0 until 1 + next(30)).foreach { _ =>
         b(next(b.length)) = next(256).toByte
@@ -959,5 +959,139 @@ class RealPdfSpec extends AnyFunSuite {
     val back = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
     assert(back.getWidth == 13 && back.getHeight == 7)
+  }
+
+  // ---------- CCITT Group 4 (scanned-document filter) ----------
+
+  test("CCITT G4 tables: printed-spec anchors, prefix-free, complete") {
+    import graft.extract.Ccitt
+    // anchors straight from the printed T.4 tables (§2, tables 1-3)
+    assert(Ccitt.whiteEncode(0) == "00110101")
+    assert(Ccitt.whiteEncode(1) == "000111")
+    assert(Ccitt.whiteEncode(2) == "0111")
+    assert(Ccitt.whiteEncode(63) == "00110100")
+    assert(Ccitt.whiteEncode(64) == "11011")
+    assert(Ccitt.whiteEncode(1728) == "010011011")
+    assert(Ccitt.whiteEncode(2560) == "000000011111")
+    assert(Ccitt.blackEncode(0) == "0000110111")
+    assert(Ccitt.blackEncode(1) == "010")
+    assert(Ccitt.blackEncode(2) == "11")
+    assert(Ccitt.blackEncode(63) == "000001100111")
+    assert(Ccitt.blackEncode(64) == "0000001111")
+    assert(Ccitt.blackEncode(1728) == "0000001100101")
+    assert(Ccitt.blackEncode(2560) == "000000011111")
+    for (enc <- Seq(Ccitt.whiteEncode, Ccitt.blackEncode)) {
+      assert(enc.size == 64 + 27 + 13) // terminating + makeup + extended
+      assert((0 to 63).forall(enc.contains))
+      assert((1 to 40).forall(k => enc.contains(k * 64)))
+      val codes = enc.values.toSeq
+      assert(codes.distinct.size == codes.size)
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"prefix violation: $a < $b")
+    }
+  }
+
+  private def bitsToBytes(bits: String): Array[Byte] = {
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    padded.grouped(8).map(g => Integer.parseInt(g, 2).toByte).toArray
+  }
+
+  test("CCITT G4: hand-assembled streams decode per the spec (no encoder)") {
+    import graft.extract.Ccitt
+    // two all-white 8-wide rows: V0, V0, EOFB
+    val allWhite = bitsToBytes("1" + "1" + "000000000001" * 2)
+    val w2 = Ccitt.g4Decode(allWhite, 8, 2, blackIs1 = false,
+      byteAlign = false)
+    assert(w2.length == 2 && w2.forall(b => (b & 0xff) == 0xff))
+    // one row, black pixels 0-3 of 8: H + white-0 + black-4, then V0
+    val row = bitsToBytes("001" + "00110101" + "011" + "1" +
+      "000000000001" * 2)
+    val r = Ccitt.g4Decode(row, 8, 1, blackIs1 = false, byteAlign = false)
+    assert(r.length == 1 && (r(0) & 0xff) == 0x0f, f"got ${r(0)}%02x")
+    // same stream under /BlackIs1 true: sample bits flip
+    val r1 = Ccitt.g4Decode(row, 8, 1, blackIs1 = true, byteAlign = false)
+    assert(r1.length == 1 && (r1(0) & 0xff) == 0xf0)
+  }
+
+  test("CCITT G4 round-trip: decoder reconstructs encoder bitmaps exactly") {
+    import graft.extract.Ccitt
+    import graft.gen.CcittGen
+    val shapes: Seq[Array[Array[Boolean]]] = Seq(
+      CcittGen.scanBitmap(0, 200, 120),
+      CcittGen.scanBitmap(3, 100, 37), // width not a byte multiple
+      Array.tabulate(20, 64)((_, _) => false),          // all white
+      Array.tabulate(20, 64)((_, _) => true),           // all black
+      Array.tabulate(33, 97)((y, x) => (x + y) % 2 == 0), // 1-px checker
+      Array.tabulate(15, 1728)((y, x) => x > 400 && x < 1500 && y % 3 != 0))
+    for (bmp <- shapes) {
+      val w = bmp(0).length; val h = bmp.length
+      val enc = CcittGen.g4Encode(bmp)
+      val want = CcittGen.packed(bmp)
+      assert(Ccitt.g4Decode(enc, w, h, false, false).sameElements(want),
+        s"w=$w h=$h")
+      // BlackIs1 flips the sample semantics
+      assert(Ccitt.g4Decode(enc, w, h, true, false)
+        .sameElements(CcittGen.packed(bmp, blackIs1 = true)))
+      // EncodedByteAlign: every row starts on a byte boundary
+      assert(Ccitt.g4Decode(CcittGen.g4Encode(bmp, byteAlign = true),
+        w, h, false, true).sameElements(want))
+      // Rows absent (0): decode runs to EOFB
+      assert(Ccitt.g4Decode(enc, w, 0, false, false).sameElements(want))
+    }
+    // garbage data: no crash, empty or partial output only
+    val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
+    assert(Ccitt.g4Decode(junk, 64, 8, false, false).length % 8 == 0)
+  }
+
+  test("scanned-style fixture: CCITT payload recovers as codec-ready PNG") {
+    val pdf = graft.gen.CcittGen.makeScanPdf(1)
+    val (pages, images) = RealPdf.parseDoc(pdf, 1)
+    assert(images == Vector(RealPdf.PdfImage(1, 0, 5, 200, 120)))
+    assert(pages.head.runs.exists(_.text.startsWith("Scan 1")))
+    val png = RealPdf.imageCodecBytes(pdf, 5).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 200 && img.getHeight == 120)
+    val bmp = graft.gen.CcittGen.scanBitmap(1, 200, 120)
+    for (y <- 0 until 120; x <- 0 until 200)
+      assert((img.getRaster.getSample(x, y, 0) == 0) == bmp(y)(x),
+        s"pixel ($x,$y)")
+  }
+
+  test("Flate+PNG-predictor image: samples recovered, wrapped as PNG") {
+    // 23x9 8-bit gray gradient, predictor 12 (PNG Up) applied by the
+    // TEST (the encode side), then deflated — imageCodecBytes must undo
+    // inflate + predictor and wrap the samples losslessly
+    val w = 23; val h = 9
+    val samples = Array.tabulate(h, w)((y, x) => ((x * 5 + y * 11) % 256).toByte)
+    val pre = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      pre.write(2) // PNG Up filter tag
+      for (x <- 0 until w)
+        pre.write((samples(y)(x) - (if (y > 0) samples(y - 1)(x) else 0)) & 0xff)
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(pre.toByteArray); d.finish()
+    val zbuf = new Array[Byte](4096)
+    val zn = d.deflate(zbuf); d.end()
+    val data = zbuf.take(zn)
+    val pdf = (("%PDF-1.5\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/MediaBox [0 0 612 792] >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /XObject << /Im0 5 0 R >> >> >>\nendobj\n" +
+      s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
+      s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Colors 1 /BitsPerComponent 8 " +
+      s"/Columns $w >> /Length ${data.length} >>\nstream\n")
+      .getBytes("ISO-8859-1")) ++ data ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+    val png = RealPdf.imageCodecBytes(pdf, 5).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == (samples(y)(x) & 0xff))
   }
 }
