@@ -552,8 +552,10 @@ object RealPdf {
   private final case class Font(isCid: Boolean,
                                 widths: Map[Int, Double],
                                 defaultWidth: Double,
-                                toUnicode: Map[Int, String]) {
-    def hasMetrics: Boolean = widths.nonEmpty || toUnicode.nonEmpty
+                                toUnicode: Map[Int, String],
+                                ucs2Identity: Boolean = false) {
+    def hasMetrics: Boolean =
+      widths.nonEmpty || toUnicode.nonEmpty || ucs2Identity
   }
 
   /** Resolve a page's /Resources → /Font dict into name → [[Font]].
@@ -582,9 +584,18 @@ object RealPdf {
   private def parseFont(fd: PObj, objs: Map[Int, Indirect]): Font =
     dictGet(fd, "Subtype", objs) match {
       case PName("Type0") =>
-        // composite font: 2-byte CIDs (Identity-H — the encoding every
-        // mainstream writer uses for embedded subsets); widths live on
-        // the descendant CIDFont as /W runs with /DW default (§9.7.4.3)
+        // composite font: 2-byte CIDs; widths live on the descendant
+        // CIDFont as /W runs with /DW default (§9.7.4.3). /Encoding
+        // selects the code→CID CMap: Identity-H/V (the encoding every
+        // mainstream writer uses for embedded subsets) keeps code=CID,
+        // so /W indexes by code; the PREDEFINED Unicode CMaps of the
+        // CJK locales (UniGB-UCS2-H, UniJIS-UCS2-H, UniKS-UTF16-H, …
+        // — pdfminer resolves these via its cmap resources, reference
+        // setup.sql:72-91) have codes that ARE the UTF-16BE code units,
+        // so text extraction is the identity WITHOUT the (huge)
+        // Unicode→CID tables; only widths lose precision there — CIDs
+        // are unknowable, every glyph takes /DW (declared: CJK
+        // typesetting is predominantly fixed-pitch at DW anyway).
         val desc = dictGet(fd, "DescendantFonts", objs) match {
           case PArr(items) if items.nonEmpty => resolve(items(0), objs)
           case other                         => other
@@ -593,8 +604,14 @@ object RealPdf {
           case PNum(v) => v
           case _       => 1000.0
         }
-        Font(isCid = true, parseW(dictGet(desc, "W", objs), objs), dw,
-             toUnicodeOf(fd, objs))
+        val uniCMap = dictGet(fd, "Encoding", objs) match {
+          case PName(n) => n.startsWith("Uni") &&
+            (n.contains("UCS2") || n.contains("UTF16"))
+          case _ => false
+        }
+        Font(isCid = true,
+             if (uniCMap) Map.empty else parseW(dictGet(desc, "W", objs), objs),
+             dw, toUnicodeOf(fd, objs), ucs2Identity = uniCMap)
       case _ =>
         // simple font: /Widths indexed from /FirstChar (§9.6.2); absent
         // ⇒ standard-14 built-in AFM metrics by /BaseFont family
@@ -1887,7 +1904,10 @@ object RealPdf {
           if (ch == 32) adv += wordSp
           i += 1
         }
-      } else if (curFont != null && curFont.hasMetrics) {
+      } else if (curFont != null && (curFont.hasMetrics || curFont.isCid)) {
+        // NB: a Type0 font takes this branch even with no /W and no
+        // ToUnicode — byte-wise Latin-1 decoding of 2-byte codes is
+        // always mojibake; /DW covers every advance
         val ft = curFont
         val sb = new java.lang.StringBuilder
         val step = if (ft.isCid) 2 else 1
@@ -1902,9 +1922,13 @@ object RealPdf {
             case Some(u) => sb.append(u)
             case None =>
               // simple font: code IS the byte (Latin-1 ≈ WinAnsi);
-              // CID without a mapping has no text identity: U+FFFD
-              if (ft.isCid) sb.append('\uFFFD')
-              else sb.append(code.toChar)
+              // predefined Unicode CMap: the code IS the UTF-16BE unit
+              // (surrogate halves append raw — a valid pair recomposes
+              // the supplementary char, so UTF16-CMap 4-byte codes
+              // work); a CID with no mapping has no text identity.
+              if (!ft.isCid) sb.append(code.toChar)
+              else if (ft.ucs2Identity && code != 0) sb.append(code.toChar)
+              else sb.append('\uFFFD')
           }
           adv += ft.widths.getOrElse(code, ft.defaultWidth) / 1000.0 *
             fontSize + charSp

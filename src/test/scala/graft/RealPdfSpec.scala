@@ -1094,4 +1094,83 @@ class RealPdfSpec extends AnyFunSuite {
     for (y <- 0 until h; x <- 0 until w)
       assert(img.getRaster.getSample(x, y, 0) == (samples(y)(x) & 0xff))
   }
+
+  /** One-page PDF with a Type0 font using a PREDEFINED CMap `encoding`
+    * (no embedded CMap stream — the reader must know the name), optional
+    * /W runs on the descendant CIDFont, and a hex-string Tj of raw
+    * 2-byte codes. Mirrors the CJK-locale shape pdfminer resolves via
+    * its cmap resources (reference setup.sql:72-91).
+    */
+  private def cjkPdf(encoding: String, hexCodes: String,
+                     w: String = "", dw: Int = 1000): Array[Byte] = {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val content = s"BT /F0 12 Tf 50 700 Td <$hexCodes> Tj ET"
+    ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F0 5 0 R >> >> >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      obj(5, s"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+        s"/Encoding /$encoding /DescendantFonts [6 0 R] >>") +
+      obj(6, s"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light " +
+        s"/DW $dw$w >>") +
+      "%%EOF\n").getBytes("ISO-8859-1")
+  }
+
+  test("predefined CJK CMaps: UniGB-UCS2-H codes decode as UTF-16BE identity") {
+    // "中文测试" — UTF-16BE code units ARE the codes under the Unicode
+    // predefined CMaps, so extraction needs no Unicode→CID tables
+    val pages = RealPdf.parse(cjkPdf("UniGB-UCS2-H", "4E2D65876D4B8BD5"), 1)
+    assert(pages.length == 1)
+    assert(pages(0).runs.map(_.text).toList == List("中文测试"))
+    // every glyph advances at /DW (CIDs are unknowable without the
+    // Unicode→CID table): 4 × 1000/1000 × 12pt = 48
+    val r = pages(0).runs.head
+    assert(r.x0 == 50.0 && r.y0 == 700.0 && math.abs(r.x1 - 98.0) < 1e-9)
+  }
+
+  test("predefined CJK CMaps: /W runs are ignored (code≠CID), /DW rules; ToUnicode still wins") {
+    // UniJIS-UCS2-H "日本語" with a /W run that WOULD apply if codes were
+    // CIDs — it must not: codes under a predefined Unicode CMap are not
+    // CIDs, so per-CID widths are meaningless and every glyph takes /DW
+    val p1 = RealPdf.parse(cjkPdf("UniJIS-UCS2-H", "65E5672C8A9E",
+      w = " /W [20069 [100] 26412 [100] 35486 [100]]", dw = 900), 1)
+    assert(p1(0).runs.map(_.text).toList == List("日本語"))
+    val r1 = p1(0).runs.head
+    // 3 × 900/1000 × 12 = 32.4
+    assert(math.abs(r1.x1 - r1.x0 - 32.4) < 1e-9)
+    // an explicit /ToUnicode CMap takes precedence over the identity
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val cmap = "begincmap\n1 beginbfchar\n<65E5> <0041>\nendbfchar\nendcmap"
+    val content = "BT /F0 12 Tf 50 700 Td <65E5672C> Tj ET"
+    val pdf2 = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F0 5 0 R >> >> >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+        "/Encoding /UniJIS-UCS2-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>") +
+      obj(6, "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light /DW 1000 >>") +
+      s"7 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    // <65E5> remapped to "A" by ToUnicode; <672C> falls to the identity
+    assert(RealPdf.parse(pdf2, 1)(0).runs.map(_.text).toList == List("A本"))
+  }
+
+  test("predefined CJK CMaps: UniKS-UTF16-H surrogate pairs recompose; code 0 is U+FFFD") {
+    // U+20BB7 (𠮷) is D842 DFB7 in UTF-16BE — two 2-byte codes whose raw
+    // chars recompose the supplementary character in the extracted text
+    val p = RealPdf.parse(cjkPdf("UniKS-UTF16-H", "D842DFB7AC00"), 1)
+    assert(p(0).runs.map(_.text).toList == List("𠮷가"))
+    assert(p(0).runs.head.text.codePointAt(0) == 0x20BB7)
+    // code 0000 has no text identity even under the identity CMaps
+    val z = RealPdf.parse(cjkPdf("UniGB-UCS2-H", "00004E2D"), 1)
+    assert(z(0).runs.map(_.text).toList == List("�中"))
+    // a NON-Unicode predefined CMap (e.g. GBK-EUC-H) must NOT take the
+    // identity path: codes are font-locale bytes, not UTF-16 — U+FFFD
+    val g = RealPdf.parse(cjkPdf("GBK-EUC-H", "D6D0"), 1)
+    assert(g(0).runs.map(_.text).toList == List("�"))
+  }
 }
