@@ -4,7 +4,7 @@ import graft.core._
 import graft.extract.Extractor
 import graft.functions.{Position, PositionScala}
 import graft.gen.CorpusGen
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, MediaDedup, Multimodal, Similarity, TextOps}
 import graft.oracle.{ExpectedChunk, PlainOracles, RefOracle}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -699,6 +699,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),
+    "dd_media_neardup" -> ((s, dir) => {
+      // perceptual (aHash/dHash) media near-dup: 150 smooth RawGray
+      // images + 25 pixel-perturbed copies — near-dups byte hashes can't
+      // see; the banded dHash join must recover every injected pair
+      // (oracle: brute-force plain twin over the same deterministic
+      // corpus)
+      import s.implicits._
+      val media = s.createDataset(MediaDedup.nearDupMediaRows(150, 25, 42L))
+        .toDF("media_ref", "kind", "content")
+      MediaDedup.nearDupPairs(s, media, maxHamming = 8)
+        .orderBy("ref_a", "ref_b")
+    }),
     "sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = Similarity.ivfIndex(e, "vec_id", "embedding", nCells = 16)
@@ -832,6 +844,13 @@ object SparkEntry {
         (id + 1000000L, v.map(x => x * 1.001f)) }
       PlainOracles.embeddingNearDupPairs(vecs ++ dups, minSim = 0.99,
         nPlanes = 6).toDF("id_a", "id_b", "cos")
+    }),
+    "dd_media_neardup" -> ((s, dir) => {
+      import s.implicits._
+      PlainOracles.mediaNearDupBrute(
+          graft.ops.MediaDedup.nearDupMediaRows(150, 25, 42L),
+          maxHamming = 8)
+        .toDF("ref_a", "ref_b", "hamming")
     }),
     "sim_ivf_trained" -> ((s, dir) => {
       import s.implicits._
@@ -1067,6 +1086,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/dd_dedup_removal/*.parquet'",
     "dd_embedding_neardup" ->
       s"SELECT * FROM '$ExpectedToken/dd_embedding_neardup/*.parquet'",
+    "dd_media_neardup" ->
+      s"SELECT * FROM '$ExpectedToken/dd_media_neardup/*.parquet'",
     "sim_ivf_trained" ->
       s"SELECT * FROM '$ExpectedToken/sim_ivf_trained/*.parquet'",
     "sim_text_embed" ->

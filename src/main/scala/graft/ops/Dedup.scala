@@ -287,6 +287,22 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // native codegen'd expression (graft.functions.SimHash64); the
+    // composed-column twin `simhash` below pins its semantics in tests
+    val fp = df.select(col(idCol).as("id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("fp"))
+    hammingPairs64(fp, "id", "fp", maxHamming)
+  }
+
+  /** Generalized Hamming-band LSH self-join over a precomputed 64-bit
+    * fingerprint column — the banding core of [[simhashPairs]], factored
+    * out so text SimHash and perceptual media hashes
+    * ([[MediaDedup.nearDupPairs]]) share one exhaustive-recall scheme.
+    * The id column may be any orderable type (Long doc ids, String
+    * media_refs); only (id, band, key) rides the shuffle.
+    */
+  def hammingPairs64(fpDf: DataFrame, idCol: String, fpCol: String,
+                     maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val bands = maxHamming + 1
@@ -298,12 +314,8 @@ object Dedup {
       call_function("shiftright", col("fp"), lit(starts(b)))
         .bitwiseAND(lit(mask))
     }
-    // native codegen'd expression (graft.functions.SimHash64); the
-    // composed-column twin `simhash` below pins its semantics in tests
-    val fp = df.select(col(idCol).as("id"),
-      graft.functions.SimHash64.simhash64(col(textCol)).as("fp"))
-    val banded = fp.select(col("id"), col("fp"),
-      posexplode(array(keys: _*)))
+    val banded = fpDf.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .select(col("id"), col("fp"), posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
       .persist() // both sides of the self-join reuse it (lazy)
     banded.as("a").join(banded.as("b"),

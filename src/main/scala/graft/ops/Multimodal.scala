@@ -31,6 +31,62 @@ object Multimodal {
     */
   trait MediaCodec extends Serializable {
     def decode(ref: String, kind: String, bytes: Array[Byte]): MediaMeta
+
+    /** Decode + box-downsample to a `gw`×`gh` luminance grid (row-major,
+      * 0–255) — the input of the perceptual hashes ([[MediaDedup]]).
+      * Grid cell (gx,gy) averages source pixels x ∈ [gx·w/gw,(gx+1)·w/gw)
+      * × y ∈ [gy·h/gh,(gy+1)·h/gh) (integer-floor bounds, floor mean) —
+      * the exact spec the plain oracle reimplements independently.
+      */
+    def luma(ref: String, kind: String, bytes: Array[Byte],
+             gw: Int, gh: Int): Array[Int]
+  }
+
+  /** Box-downsample spec shared by the shipped codecs (the oracle has an
+    * independent twin): `src(x, y)` must return 0–255 luminance.
+    */
+  private def boxLuma(w: Int, h: Int, gw: Int, gh: Int)
+                     (src: (Int, Int) => Int): Array[Int] = {
+    val out = new Array[Int](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var sum = 0L; var y = y0
+        while (y < y1) { var x = x0
+          while (x < x1) { sum += src(x, y); x += 1 }; y += 1 }
+        out(gy * gw + gx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Raw 8-bit grayscale test container: `g8` magic, 2-byte BE width and
+    * height, then w·h samples — the deterministic stand-in for a decoded
+    * frame, so near-duplicate injection works at the PIXEL level (a few
+    * perturbed samples ⇒ close perceptual hash) with zero image libs.
+    */
+  object RawGray {
+    def encode(w: Int, h: Int, samples: Array[Byte]): Array[Byte] = {
+      require(samples.length == w * h)
+      val out = new Array[Byte](6 + samples.length)
+      out(0) = 'g'; out(1) = '8'
+      out(2) = (w >> 8).toByte; out(3) = w.toByte
+      out(4) = (h >> 8).toByte; out(5) = h.toByte
+      System.arraycopy(samples, 0, out, 6, samples.length)
+      out
+    }
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (bytes.length < 6 || bytes(0) != 'g' || bytes(1) != '8') return None
+      val w = ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+      val h = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+      if (w <= 0 || h <= 0 || bytes.length < 6 + w * h) None
+      else Some((w, h, java.util.Arrays.copyOfRange(bytes, 6, 6 + w * h)))
+    }
   }
 
   /** Deterministic fake decode: metadata derived from the bytes alone, so
@@ -47,6 +103,20 @@ object Multimodal {
       }
       MediaMeta(ref, kind, bytes.length.toLong, w, ht, dur, feat)
     }
+
+    /** [[RawGray]] payloads downsample for real (pixel-level near-dups
+      * stay near); anything else gets a deterministic hash-derived grid.
+      */
+    def luma(ref: String, kind: String, bytes: Array[Byte],
+             gw: Int, gh: Int): Array[Int] =
+      RawGray.decode(bytes) match {
+        case Some((w, h, px)) =>
+          boxLuma(w, h, gw, gh)((x, y) => px(y * w + x) & 0xff)
+        case None =>
+          val h = java.util.Arrays.hashCode(bytes)
+          Array.tabulate(gw * gh)(i =>
+            math.floorMod(h * 31 + i * 0x9E3779B9, 256))
+      }
   }
 
   /** Real PNG/JPEG decode through the SAME seam (javax.imageio is in the
@@ -82,6 +152,23 @@ object Multimodal {
       }
       val n = (w.toLong * h).toFloat
       MediaMeta(ref, kind, bytes.length.toLong, w, h, 0L, hist.map(_ / n))
+    }
+
+    /** Real decode (PNG/JPEG via javax.imageio) + the shared box
+      * downsample; undecodable bytes fall back to [[FakeCodec]] so a
+      * mixed table flows through one stage.
+      */
+    def luma(ref: String, kind: String, bytes: Array[Byte],
+             gw: Int, gh: Int): Array[Int] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) FakeCodec.luma(ref, kind, bytes, gw, gh)
+      else boxLuma(img.getWidth, img.getHeight, gw, gh) { (x, y) =>
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+      }
     }
   }
 

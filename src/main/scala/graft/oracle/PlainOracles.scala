@@ -563,4 +563,63 @@ object PlainOracles {
       }
     (distinctFrac, topFrac, dupGramFrac)
   }
+
+  // ---------- perceptual media dedup twin ----------
+
+  /** Independent RawGray parse (twin of Multimodal.RawGray.decode). */
+  def grayDecodePlain(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    if (bytes.length < 6 || bytes(0) != 'g'.toByte || bytes(1) != '8'.toByte)
+      None
+    else {
+      val w = ((bytes(2) & 0xff) << 8) + (bytes(3) & 0xff)
+      val h = ((bytes(4) & 0xff) << 8) + (bytes(5) & 0xff)
+      if (w <= 0 || h <= 0 || bytes.length < 6 + w * h) None
+      else Some((w, h, bytes.slice(6, 6 + w * h)))
+    }
+
+  /** Independent box-downsample twin: cell (gx,gy) floor-averages the
+    * pixel block [gx·w/gw,(gx+1)·w/gw) × [gy·h/gh,(gy+1)·h/gh), every
+    * block at least 1×1 (the spec in MediaCodec.luma's scaladoc).
+    */
+  def boxLumaPlain(w: Int, h: Int, px: Array[Byte], gw: Int, gh: Int)
+      : Array[Int] =
+    (for (gy <- 0 until gh; gx <- 0 until gw) yield {
+      val xs = (gx * w / gw) until math.max(gx * w / gw + 1, (gx + 1) * w / gw)
+      val ys = (gy * h / gh) until math.max(gy * h / gh + 1, (gy + 1) * h / gh)
+      val vals = for (y <- ys; x <- xs) yield (px(y * w + x) & 0xff).toLong
+      (vals.sum / vals.size).toInt
+    }).toArray
+
+  /** Twin of MediaDedup.aHash64 / dHash64 over a RawGray payload (the
+    * FakeCodec hash-grid fallback is not twinned — the oracled corpus is
+    * all RawGray).
+    */
+  def pHashPlain(bytes: Array[Byte]): (Long, Long) = {
+    val Some((w, h, px)) = grayDecodePlain(bytes)
+    val g8 = boxLumaPlain(w, h, px, 8, 8)
+    val mean = g8.map(_.toLong).sum / 64
+    val ah = g8.zipWithIndex
+      .collect { case (v, i) if v >= mean => 1L << i }
+      .foldLeft(0L)(_ | _)
+    val g9 = boxLumaPlain(w, h, px, 9, 8)
+    val dh = (for (y <- 0 until 8; x <- 0 until 8
+                   if g9(y * 9 + x) < g9(y * 9 + x + 1))
+      yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+    (ah, dh)
+  }
+
+  /** Brute-force O(n²) perceptual near-dup pairs by dHash Hamming
+    * distance — the oracle for the banded MediaDedup.nearDupPairs.
+    */
+  def mediaNearDupBrute(rows: Seq[(String, String, Array[Byte])],
+                        maxHamming: Int): Seq[(String, String, Int)] = {
+    val fps = rows.map { case (ref, _, bytes) => (ref, pHashPlain(bytes)._2) }
+    for {
+      i <- fps.indices
+      j <- fps.indices
+      if fps(i)._1 < fps(j)._1
+      d = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if d <= maxHamming
+    } yield (fps(i)._1, fps(j)._1, d)
+  }
 }
