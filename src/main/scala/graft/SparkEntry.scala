@@ -276,6 +276,22 @@ object SparkEntry {
           TextOps.stopwordHits(col("text")).as("stop_hits"),
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+    "q_bpe_tokens2" -> ((s, dir) => {
+      // REAL token budgets: byte-level BPE trained on the doc_id<200
+      // sample (bounded driver merge loop, distributed word counting),
+      // applied corpus-wide as a native expression; n_pretokens is the
+      // regex estimator riding along as its own floor check. Oracle: a
+      // fully independent plain-twin trainer + tokenizer.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val merges = TextOps.trainBpe(d.where(col("doc_id") < 200), "text",
+        numMerges = 200, maxWords = 2000)
+      val toks = graft.functions.BpeTokenize.tokenize(col("text"), merges)
+      d.select(col("doc_id"),
+          size(toks).as("n_bpe_tokens"),
+          concat_ws("\u0001", slice(toks, 1, 8)).as("head_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("n_pretokens"))
+        .orderBy("doc_id")
+    }),
     "q_rep_ratio" -> ((s, dir) => {
       // Gopher-style repetition signals: distinct-word and duplicate-
       // 2-gram fractions are codegen'd map-side columns (no shuffle);
@@ -845,6 +861,19 @@ object SparkEntry {
       PlainOracles.embeddingNearDupPairs(vecs ++ dups, minSim = 0.99,
         nPlanes = 6).toDF("id_a", "id_b", "cos")
     }),
+    "q_bpe_tokens2" -> ((s, dir) => {
+      import s.implicits._
+      val sample = collectDocs(s, dir, 200).map(_._2)
+      val merges = PlainOracles.bpeTrainPlain(sample, numMerges = 200,
+        maxWords = 2000)
+      t(s, dir, "documents").select("doc_id", "text").collect()
+        .map { r =>
+          val toks = PlainOracles.bpeApplyPlain(r.getString(1), merges)
+          (r.getLong(0), toks.size, toks.take(8).mkString("\u0001"),
+           PlainOracles.bpePretokens(r.getString(1)).size)
+        }.toSeq
+        .toDF("doc_id", "n_bpe_tokens", "head_tokens", "n_pretokens")
+    }),
     "dd_media_neardup" -> ((s, dir) => {
       import s.implicits._
       PlainOracles.mediaNearDupBrute(
@@ -1088,6 +1117,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/dd_embedding_neardup/*.parquet'",
     "dd_media_neardup" ->
       s"SELECT * FROM '$ExpectedToken/dd_media_neardup/*.parquet'",
+    "q_bpe_tokens2" ->
+      s"SELECT * FROM '$ExpectedToken/q_bpe_tokens2/*.parquet'",
     "sim_ivf_trained" ->
       s"SELECT * FROM '$ExpectedToken/sim_ivf_trained/*.parquet'",
     "sim_text_embed" ->

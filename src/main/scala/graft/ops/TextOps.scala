@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -39,6 +39,28 @@ object TextOps {
     "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
   def bpeTokenCount(text: Column): Column =
     size(call_function("regexp_extract_all", text, lit(BpePattern), lit(0)))
+
+  /** Learn a byte-level BPE merge table from the corpus — the trainable
+    * counterpart of the [[bpeTokenCount]] estimate. The heavy part stays
+    * distributed: pre-tokenize + word-frequency aggregate over the whole
+    * input, then only the top `maxWords` (word, count) rows — a bounded,
+    * sf-independent table like IVF's centroid sample — reach the driver
+    * for the merge loop ([[graft.functions.BpeTokenize.learnMerges]]).
+    * Apply with [[graft.functions.BpeTokenize.tokenize]]: a native
+    * expression, zero shuffle, model shipped once per executor via the
+    * codegen reference (a broadcast-sized object, not per-row state).
+    */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 5000): Seq[(String, String)] = {
+    val wordCounts = df
+      .select(explode(call_function("regexp_extract_all", col(textCol),
+        lit(BpePattern), lit(0))).as("w"))
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.BpeTokenize.learnMerges(wordCounts, numMerges)
+  }
 
   /** Mean token length over whitespace tokens. */
   def meanTokenLen(text: Column): Column =

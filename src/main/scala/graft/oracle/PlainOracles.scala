@@ -564,6 +564,92 @@ object PlainOracles {
     (distinctFrac, topFrac, dupGramFrac)
   }
 
+  // ---------- trainable BPE twin ----------
+
+  /** Independent twin of the byte-level BPE pipeline (the pattern string
+    * is the shared SPEC; everything else — word counting, the merge
+    * loop, the apply loop — is reimplemented functionally here against
+    * graft.functions.BpeTokenize's imperative engine).
+    */
+  private val bpePreRe =
+    ("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^\\s\\p{L}\\p{N}]+|\\s+").r
+
+  def bpePretokens(text: String): Vector[String] =
+    bpePreRe.findAllIn(text).toVector
+
+  private def toByteSyms(w: String): Vector[String] =
+    new String(w.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .map(_.toString).toVector
+
+  /** Train: word frequencies over the sample docs, top `maxWords` by
+    * (count desc, word asc), then greedy most-frequent-pair merges with
+    * (left, right) tie-break; stop at `numMerges` or best count < 2.
+    */
+  def bpeTrainPlain(docs: Seq[String], numMerges: Int,
+                    maxWords: Int): Seq[(String, String)] = {
+    val wc = docs.flatMap(bpePretokens).groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(maxWords)
+    var words: Seq[(Vector[String], Long)] =
+      wc.map { case (w, c) => (toByteSyms(w), c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var n = 0
+    var go = true
+    while (go && n < numMerges) {
+      val pairCounts = words.flatMap { case (parts, c) =>
+        parts.zip(parts.drop(1)).map(p => (p, c))
+      }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      val best = pairCounts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some((pair, c)) if c >= 2 =>
+          merges += pair
+          words = words.map { case (parts, cc) =>
+            (fusePair(parts, pair), cc)
+          }
+          n += 1
+        case _ => go = false
+      }
+    }
+    merges.result()
+  }
+
+  private def fusePair(parts: Vector[String],
+                       pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < parts.length) {
+      if (i < parts.length - 1 && parts(i) == pair._1 &&
+          parts(i + 1) == pair._2) { out += pair._1 + pair._2; i += 2 }
+      else { out += parts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Apply: per pre-token, repeatedly fuse the lowest-rank adjacent pair
+    * present (all occurrences, left-to-right) until none has a rank.
+    */
+  def bpeApplyPlain(text: String,
+                    merges: Seq[(String, String)]): Vector[String] = {
+    val rank = merges.zipWithIndex.toMap
+    bpePretokens(text).flatMap { w =>
+      var parts = toByteSyms(w)
+      var go = parts.length > 1
+      while (go) {
+        val present = parts.zip(parts.drop(1))
+          .flatMap(p => rank.get(p).map(r => (r, p)))
+        if (present.isEmpty) go = false
+        else {
+          parts = fusePair(parts, present.minBy(_._1)._2)
+          if (parts.length <= 1) go = false
+        }
+      }
+      parts
+    }
+  }
+
   // ---------- perceptual media dedup twin ----------
 
   /** Independent RawGray parse (twin of Multimodal.RawGray.decode). */
