@@ -113,7 +113,7 @@ object SparkEntry {
     "ex_realpdf" -> ((s, dir) => {
       // genuine-PDF ingestion, driver-visible: deterministic real .pdf
       // files (classic / Flate / ObjStm / LZW / two-page-Flate /
-      // RC4-encrypted sixths) written to a scratch dir, ingested by
+      // RC4-encrypted / CJK-CMap sevenths) written to a scratch dir, ingested by
       // the SAME binaryFile scan → RealPdf parse → PG/TX → Extractor
       // path production uses, reduced to text rows. The oracle is the
       // GENERATOR's ground truth (RealPdfBench.pagesOf) — independent
@@ -123,7 +123,7 @@ object SparkEntry {
       (0 until 60).foreach { i =>
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, f"doc_$i%04d.pdf"),
-          graft.tools.RealPdfBench.makePdf(i.toLong, i % 6))
+          graft.tools.RealPdfBench.makePdf(i.toLong, i % 7))
       }
       graft.sources.RawFiles.read(s, tmp)
         .flatMap(d => Extractor.extractRows(d))
@@ -969,7 +969,7 @@ object SparkEntry {
       // emits one span per page, every reading-order line newline-
       // terminated (pdfminer get_text() semantics)
       (0 until 60).flatMap { i =>
-        graft.tools.RealPdfBench.pagesOf(i.toLong, i % 6).zipWithIndex
+        graft.tools.RealPdfBench.pagesOf(i.toLong, i % 7).zipWithIndex
           .map { case (lines, k) =>
             (f"doc_$i%04d.pdf", k, lines.map(_ + "\n").mkString) }
       }.toDF("doc_id", "ord", "text")

@@ -56,15 +56,18 @@ object RealPdfBench {
   def contentLines(docId: Long, variant: Int): Seq[String] = {
     val rnd = new scala.util.Random(docId * 7919 + variant)
     val nLines = 8 + rnd.nextInt(25)
+    // variant 6 (CJK predefined-CMap) carries actual CJK text: the codes
+    // in the content stream ARE these chars' UTF-16BE units
+    val prefix = if (variant == 6) "文档 " else ""
     (0 until nLines).map { i =>
       val words = (0 until 4 + rnd.nextInt(9))
         .map(j => s"w${(docId + i * 31 + j * 7) % 997}").mkString(" ")
-      s"Line $i: $words"
+      s"${prefix}Line $i: $words"
     }
   }
 
-  /** The per-page line split: variants 0-3 and 5 put every line on one
-    * page; variant 4 splits them across two pages at the midpoint
+  /** The per-page line split: variants 0-3, 5 and 6 put every line on
+    * one page; variant 4 splits them across two pages at the midpoint
     * (page sequencing through a real /Kids array).
     */
   def pagesOf(docId: Long, variant: Int): Seq[Seq[String]] = {
@@ -179,10 +182,42 @@ object RealPdfBench {
     * 0 = classic uncompressed, 1 = Flate content, 2 = ObjStm dicts,
     * 3 = LZWDecode content (the old-toolchain filter added in r04),
     * 4 = TWO Flate pages (multi-kid page tree), 5 = RC4-encrypted
-    * (empty user password, [[makeEncryptedPdf]]).
+    * (empty user password, [[makeEncryptedPdf]]), 6 = CJK-locale Type0
+    * font under the predefined /UniGB-UCS2-H CMap (hex-string content
+    * whose 2-byte codes are the text's UTF-16BE units — the shape
+    * pdfminer resolves via its cmap resources, reference
+    * setup.sql:72-91).
     */
   def makePdf(docId: Long, variant: Int): Array[Byte] = {
     if (variant == 5) return makeEncryptedPdf(docId)
+    if (variant == 6) {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      val content = new StringBuilder("BT /F1 11 Tf 72 760 Td ")
+      contentLines(docId, 6).foreach { line =>
+        val hex = line.flatMap(ch => f"${ch.toInt}%04X")
+        content.append(s"<$hex> Tj 0 -14 Td ")
+      }
+      content.append("ET\n")
+      val cBytes = content.toString.getBytes("ISO-8859-1")
+      w("%PDF-1.5\n")
+      w(s"4 0 obj\n<< /Length ${cBytes.length} >>\nstream\n")
+      out.write(cBytes)
+      w("\nendstream\nendobj\n")
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> ("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+          "/MediaBox [0 0 612 792] >>"),
+        3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+          "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>"),
+        6 -> ("<< /Type /Font /Subtype /CIDFontType0 " +
+          "/BaseFont /STSong-Light /DW 1000 >>"))
+        .foreach { case (n, b) => w(s"$n 0 obj\n$b\nendobj\n") }
+      w("startxref\n0\n%%EOF\n")
+      return out.toByteArray
+    }
     def render(lines: Seq[String]): Array[Byte] = {
       val content = new StringBuilder("BT /F1 11 Tf 72 760 Td ")
       lines.foreach(line => content.append(s"($line) Tj 0 -14 Td "))
@@ -266,7 +301,7 @@ object RealPdfBench {
 
     val dir = Files.createTempDirectory("graft-realpdf-corpus")
     (0 until nDocs).foreach { i =>
-      Files.write(dir.resolve(f"doc_$i%07d.pdf"), makePdf(i, i % 6))
+      Files.write(dir.resolve(f"doc_$i%07d.pdf"), makePdf(i, i % 7))
     }
     val out = Files.createTempDirectory("graft-realpdf-out").toString
 

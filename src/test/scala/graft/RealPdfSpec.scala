@@ -519,11 +519,11 @@ class RealPdfSpec extends AnyFunSuite {
     assert(RealPdf.parse(bomb, 1) == Vector.empty)
     val dictBomb = ("%PDF-1.4\n1 0 obj " + "<< /A " * 50000).getBytes
     assert(RealPdf.parse(dictBomb, 1) == Vector.empty)
-    // the five ex_realpdf generator variants (classic/Flate/ObjStm/
-    // LZW/two-page) under the same mutation storm — these bytes feed a
+    // the seven ex_realpdf generator variants (classic/Flate/ObjStm/
+    // LZW/two-page/RC4/CJK-CMap) under the same mutation storm — these bytes feed a
     // driver query, so crash-robustness is contract, not nicety
     (0 until 180).foreach { i =>
-      val b = graft.tools.RealPdfBench.makePdf(i % 10L, i % 6)
+      val b = graft.tools.RealPdfBench.makePdf(i % 10L, i % 7)
       (0 until 1 + next(30)).foreach { _ =>
         b(next(b.length)) = next(256).toByte
       }
@@ -602,6 +602,19 @@ class RealPdfSpec extends AnyFunSuite {
     assert(pages.length == 1)
     assert(pages(0).runs.map(_.text).toList ==
       graft.tools.RealPdfBench.contentLines(7L, 5).toList)
+  }
+
+  test("generator variant 6: CJK predefined-CMap docs decode to exact ground truth") {
+    // the driver-visible seventh of the ex_realpdf mix: UniGB-UCS2-H
+    // hex-string content with a real CJK prefix on every line
+    (0 until 5).foreach { i =>
+      val pdf = graft.tools.RealPdfBench.makePdf(i.toLong, 6)
+      val pages = RealPdf.parse(pdf, 1)
+      assert(pages.length == 1)
+      val want = graft.tools.RealPdfBench.contentLines(i.toLong, 6)
+      assert(pages(0).runs.map(_.text).toList == want.toList, s"doc $i")
+      assert(want.head.startsWith("文档 "))
+    }
   }
 
   test("font-aware: simple font /Widths + /ToUnicode give exact text and widths") {
