@@ -553,9 +553,64 @@ object RealPdf {
                                 widths: Map[Int, Double],
                                 defaultWidth: Double,
                                 toUnicode: Map[Int, String],
-                                ucs2Identity: Boolean = false) {
+                                ucs2Identity: Boolean = false,
+                                charsetCMap: Option[String] = None) {
     def hasMetrics: Boolean =
-      widths.nonEmpty || toUnicode.nonEmpty || ucs2Identity
+      widths.nonEmpty || toUnicode.nonEmpty || ucs2Identity ||
+        charsetCMap.isDefined
+  }
+
+  /** JDK charset behind a predefined NON-Unicode CJK CMap name (§9.7.5
+    * Table 118): these CMaps' codes are the bytes of the matching locale
+    * encoding, so decoding the code bytes through that charset IS the
+    * text extraction (pdfminer resolves the same names via its cmap
+    * resources — reference setup.sql:72-91). Width precision is
+    * declared-lost as with the Unicode CMaps: CIDs are unknowable
+    * without the full code→CID tables, every glyph takes /DW.
+    */
+  private def charsetCMapOf(name: String): Option[String] = {
+    val cs =
+      if (name.contains("RKSJ")) "Shift_JIS" // 90ms/90msp/83pv/Add/Ext-RKSJ
+      else if (name == "EUC-H" || name == "EUC-V") "EUC-JP"
+      else if (name.contains("GBK2K")) "GB18030"
+      else if (name.contains("GBK")) "GBK" // GBK-EUC, GBKp-EUC
+      else if (name.contains("GB")) "GB2312" // GB-EUC, GBpc-EUC
+      else if (name.contains("HKscs")) "Big5-HKSCS"
+      else if (name.contains("B5")) "Big5" // B5pc, ETen-B5, ETenms-B5
+      else if (name.contains("UHC")) "x-windows-949" // KSCms-UHC(-HW)
+      else if (name.contains("KSC")) "EUC-KR" // KSC-EUC, KSCpc-EUC
+      else null
+    Option(cs).filter(n =>
+      try java.nio.charset.Charset.isSupported(n)
+      catch { case _: Exception => false })
+  }
+
+  /** Code length in bytes at position `i` for a charset-CMap string:
+    * the DBCS lead-byte ranges of each locale encoding (§9.7.5.2 code
+    * space ranges collapse to these for the supported families).
+    */
+  private def cjkCodeLen(cs: String, bytes: Array[Byte], i: Int): Int = {
+    val b = bytes(i) & 0xff
+    val len = cs match {
+      case "Shift_JIS" =>
+        if ((b >= 0x81 && b <= 0x9F) || (b >= 0xE0 && b <= 0xFC)) 2 else 1
+      case "EUC-JP" =>
+        if (b == 0x8F) 3
+        else if (b == 0x8E || (b >= 0xA1 && b <= 0xFE)) 2
+        else 1
+      case "GB18030" =>
+        if (b >= 0x81 && b <= 0xFE) {
+          // 4-byte form: second byte 0x30-0x39 (GB18030 §5.2)
+          if (i + 1 < bytes.length && (bytes(i + 1) & 0xff) >= 0x30 &&
+              (bytes(i + 1) & 0xff) <= 0x39) 4
+          else 2
+        } else 1
+      case "GB2312" | "EUC-KR" =>
+        if (b >= 0xA1 && b <= 0xFE) 2 else 1
+      case _ => // GBK, Big5(-HKSCS), x-windows-949
+        if (b >= 0x81 && b <= 0xFE) 2 else 1
+    }
+    math.min(len, bytes.length - i)
   }
 
   /** Resolve a page's /Resources → /Font dict into name → [[Font]].
@@ -604,14 +659,18 @@ object RealPdf {
           case PNum(v) => v
           case _       => 1000.0
         }
-        val uniCMap = dictGet(fd, "Encoding", objs) match {
-          case PName(n) => n.startsWith("Uni") &&
-            (n.contains("UCS2") || n.contains("UTF16"))
-          case _ => false
+        val encName = dictGet(fd, "Encoding", objs) match {
+          case PName(n) => n
+          case _        => ""
         }
+        val uniCMap = encName.startsWith("Uni") &&
+          (encName.contains("UCS2") || encName.contains("UTF16"))
+        val csCMap = if (uniCMap) None else charsetCMapOf(encName)
         Font(isCid = true,
-             if (uniCMap) Map.empty else parseW(dictGet(desc, "W", objs), objs),
-             dw, toUnicodeOf(fd, objs), ucs2Identity = uniCMap)
+             if (uniCMap || csCMap.isDefined) Map.empty
+             else parseW(dictGet(desc, "W", objs), objs),
+             dw, toUnicodeOf(fd, objs), ucs2Identity = uniCMap,
+             charsetCMap = csCMap)
       case _ =>
         // simple font: /Widths indexed from /FirstChar (§9.6.2); absent
         // ⇒ standard-14 built-in AFM metrics by /BaseFont family
@@ -1910,14 +1969,23 @@ object RealPdf {
         // always mojibake; /DW covers every advance
         val ft = curFont
         val sb = new java.lang.StringBuilder
-        val step = if (ft.isCid) 2 else 1
+        val csName = ft.charsetCMap.orNull
+        val cs = if (csName == null) null
+          else java.nio.charset.Charset.forName(csName)
         var i = 0
         while (i < strBytes.length) {
-          // trailing odd byte of a CID string: treat as a 1-byte code
-          val code =
-            if (step == 2 && i + 1 < strBytes.length)
-              ((strBytes(i) & 0xff) << 8) | (strBytes(i + 1) & 0xff)
-            else strBytes(i) & 0xff
+          // code length: 1 for simple fonts, the locale DBCS length for
+          // charset CMaps, else 2 (trailing odd CID-string byte → 1)
+          val clen =
+            if (!ft.isCid) 1
+            else if (cs != null) cjkCodeLen(csName, strBytes, i)
+            else if (i + 1 < strBytes.length) 2
+            else 1
+          var code = 0
+          var k = 0
+          while (k < clen) {
+            code = (code << 8) | (strBytes(i + k) & 0xff); k += 1
+          }
           ft.toUnicode.get(code) match {
             case Some(u) => sb.append(u)
             case None =>
@@ -1925,16 +1993,20 @@ object RealPdf {
               // predefined Unicode CMap: the code IS the UTF-16BE unit
               // (surrogate halves append raw — a valid pair recomposes
               // the supplementary char, so UTF16-CMap 4-byte codes
-              // work); a CID with no mapping has no text identity.
+              // work); charset CMap: the code bytes decode through the
+              // locale charset (unmappable → replacement char); a CID
+              // with no mapping otherwise has no text identity.
               if (!ft.isCid) sb.append(code.toChar)
               else if (ft.ucs2Identity && code != 0) sb.append(code.toChar)
+              else if (cs != null)
+                sb.append(new String(strBytes, i, clen, cs))
               else sb.append('\uFFFD')
           }
           adv += ft.widths.getOrElse(code, ft.defaultWidth) / 1000.0 *
             fontSize + charSp
           // word spacing applies to single-byte code 32 only (§9.3.3)
           if (!ft.isCid && code == 32) adv += wordSp
-          i += step
+          i += clen
         }
         text = sb.toString
       } else {

@@ -1172,6 +1172,29 @@ class RealPdfSpec extends AnyFunSuite {
     assert(RealPdf.parse(pdf2, 1)(0).runs.map(_.text).toList == List("A本"))
   }
 
+  test("charset CMaps: GBK/RKSJ/UHC/EUC-JP codes decode through the locale charset") {
+    // GBK-EUC-H: GBK bytes D6D0 CEC4 = 中文, mixed with a 1-byte ASCII
+    // code (lead < 0x81) — variable-length code extraction
+    val gbk = RealPdf.parse(cjkPdf("GBK-EUC-H", "41D6D0CEC4"), 1)
+    assert(gbk(0).runs.map(_.text).toList == List("A中文"))
+    // 3 codes × /DW 1000 × 12pt = 36 (widths are /DW-only: CIDs unknown)
+    val r = gbk(0).runs.head
+    assert(math.abs(r.x1 - r.x0 - 36.0) < 1e-9)
+    // 90ms-RKSJ-H: Shift_JIS 93FA 967B 8CEA = 日本語 plus the 1-byte
+    // halfwidth katakana B1 = ｱ (the SJIS single-byte 0xA1-0xDF range)
+    val sjis = RealPdf.parse(cjkPdf("90ms-RKSJ-H", "93FA967B8CEAB1"), 1)
+    assert(sjis(0).runs.map(_.text).toList == List("日本語ｱ"))
+    // KSCms-UHC-H: MS949 C7D1 = 한
+    val uhc = RealPdf.parse(cjkPdf("KSCms-UHC-H", "C7D1"), 1)
+    assert(uhc(0).runs.map(_.text).toList == List("한"))
+    // EUC-H (Adobe-Japan1 EUC-JP): C6FC = 日
+    val euc = RealPdf.parse(cjkPdf("EUC-H", "C6FC"), 1)
+    assert(euc(0).runs.map(_.text).toList == List("日"))
+    // B5pc-H: Big5 A4A4 = 中
+    val b5 = RealPdf.parse(cjkPdf("B5pc-H", "A4A4"), 1)
+    assert(b5(0).runs.map(_.text).toList == List("中"))
+  }
+
   test("predefined CJK CMaps: UniKS-UTF16-H surrogate pairs recompose; code 0 is U+FFFD") {
     // U+20BB7 (𠮷) is D842 DFB7 in UTF-16BE — two 2-byte codes whose raw
     // chars recompose the supplementary character in the extracted text
@@ -1181,9 +1204,12 @@ class RealPdfSpec extends AnyFunSuite {
     // code 0000 has no text identity even under the identity CMaps
     val z = RealPdf.parse(cjkPdf("UniGB-UCS2-H", "00004E2D"), 1)
     assert(z(0).runs.map(_.text).toList == List("�中"))
-    // a NON-Unicode predefined CMap (e.g. GBK-EUC-H) must NOT take the
-    // identity path: codes are font-locale bytes, not UTF-16 — U+FFFD
-    val g = RealPdf.parse(cjkPdf("GBK-EUC-H", "D6D0"), 1)
+    // a predefined CMap outside BOTH supported families (Unicode
+    // identity, locale charset) must not take the identity path: codes
+    // are neither UTF-16 nor a JDK charset — U+FFFD (CNS-EUC is the
+    // EUC-TW family, deliberately unmapped: its 4-byte SS2 planes have
+    // no safe DBCS collapse)
+    val g = RealPdf.parse(cjkPdf("CNS-EUC-H", "D6D0"), 1)
     assert(g(0).runs.map(_.text).toList == List("�"))
   }
 }
