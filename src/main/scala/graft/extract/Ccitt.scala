@@ -2,15 +2,16 @@ package graft.extract
 
 import scala.collection.mutable.ArrayBuffer
 
-/** CCITTFaxDecode, Group 4 (ITU-T T.6 two-dimensional MMR coding) — the
-  * dominant filter of scanned-document PDFs (the reference repo's
-  * titular "OCR" corpus class; its pdfminer dependency decodes this via
-  * ccittfax). PDF parameters (ISO 32000 §7.4.6): /K < 0 selects pure
-  * 2-D (G4) coding — the only K this implements, K ≥ 0 (G3) returns
-  * empty and the caller keeps the occurrence-only path; /Columns
-  * (default 1728), /Rows (0 ⇒ decode to EOFB or data end), /BlackIs1
-  * (default false ⇒ BLACK pixels decode to 0 bits, the PDF imaging
-  * default), /EncodedByteAlign (row starts on byte boundaries).
+/** CCITTFaxDecode — Group 4 (ITU-T T.6 pure 2-D MMR) and Group 3
+  * (ITU-T T.4 1-D modified-Huffman and mixed 1-D/2-D) — the filters of
+  * scanned-document PDFs (the reference repo's titular "OCR" corpus
+  * class; its pdfminer dependency decodes these via ccittfax). PDF
+  * parameters (ISO 32000 §7.4.6): /K < 0 selects G4, /K = 0 G3 1-D,
+  * /K > 0 G3 mixed (each line EOL-prefixed, a tag bit choosing 1-D or
+  * 2-D); /Columns (default 1728), /Rows (0 ⇒ decode to EOFB or data
+  * end), /BlackIs1 (default false ⇒ BLACK pixels decode to 0 bits, the
+  * PDF imaging default), /EncodedByteAlign (row starts on byte
+  * boundaries).
   *
   * Output: packed 1-bit-per-pixel rows, MSB-first, (columns+7)/8 bytes
   * per row — exactly the sample format a /BitsPerComponent 1 image
@@ -178,6 +179,118 @@ object Ccitt {
     total
   }
 
+  /** One 2-D (MR/MMR) coded row against the reference transitions:
+    * fills `cur`, returns the transition count, or −1 on EOL/corrupt
+    * data (the caller ends the decode keeping prior rows).
+    */
+  private def decode2DRow(br: BitReader, ref: Array[Int], nRef: Int,
+                          cur: Array[Int], columns: Int): Int = {
+    var nCur = 0
+    var a0 = -1
+    var white = true
+    var rowDone = false
+    while (!rowDone) {
+      // b1: first changing element of ref right of a0 with the color
+      // that ends the current run. Ref transitions alternate starting
+      // w→b, so white wants even indices, black odd.
+      var i = 0
+      while (i < nRef && ref(i) <= a0) i += 1
+      if ((i % 2 == 0) != white) i += 1
+      val b1 = if (i < nRef) ref(i) else columns
+      val b2 = if (i + 1 < nRef) ref(i + 1) else columns
+      readMode(br) match {
+        case Mode.Pass =>
+          a0 = b2 // color unchanged, no transition recorded
+        case Mode.Horiz =>
+          val r1 = readRun(br, white)
+          val r2 = if (r1 < 0) -1 else readRun(br, !white)
+          val s = math.max(a0, 0)
+          if (r2 < 0 || (a0 >= 0 && r1 + r2 == 0)) { // malformed / stuck
+            rowDone = true; nCur = -1
+          } else {
+            val t1 = math.min(s + r1, columns)
+            val t2 = math.min(t1 + r2, columns)
+            cur(nCur) = t1; nCur += 1
+            cur(nCur) = t2; nCur += 1
+            a0 = t2 // two runs of known colors: color unchanged
+          }
+        case Mode.Done =>
+          rowDone = true; nCur = -1
+        case v => // vertical: a1 = b1 + offset, color flips
+          val a1 = math.min(math.max(b1 + v, 0), columns)
+          if (a1 <= a0) { // corrupt stream: a1 must advance (T.6 §2.2)
+            rowDone = true; nCur = -1
+          } else {
+            cur(nCur) = a1; nCur += 1
+            a0 = a1
+            white = !white
+          }
+      }
+      if (!rowDone && a0 >= columns) rowDone = true
+    }
+    nCur
+  }
+
+  /** One 1-D (modified-Huffman) coded row: alternating runs starting
+    * white until the row fills. Fills `cur` with the transition
+    * positions; −1 on malformed data or a zero-progress run pair.
+    */
+  private def decode1DRow(br: BitReader, cur: Array[Int],
+                          columns: Int): Int = {
+    var nCur = 0
+    var pos = 0
+    var white = true
+    var zeroRuns = 0
+    while (pos < columns) {
+      val r = readRun(br, white)
+      if (r < 0 || nCur >= cur.length) return -1
+      zeroRuns = if (r == 0) zeroRuns + 1 else 0
+      if (zeroRuns > 1) return -1 // two 0-runs in a row: no progress
+      pos = math.min(pos + r, columns)
+      cur(nCur) = pos; nCur += 1
+      white = !white
+    }
+    nCur
+  }
+
+  /** Pack one row of transitions: runs between transitions starting
+    * white; white bit = 1 under the PDF default (/BlackIs1 false ⇒
+    * black pixels decode to 0 bits).
+    */
+  private def packRow(cur: Array[Int], nCur: Int, columns: Int,
+                      blackIs1: Boolean): Array[Byte] = {
+    val row = new Array[Byte]((columns + 7) / 8)
+    val whiteBit = if (blackIs1) 0 else 1
+    var pos = 0; var isWhite = true; var t = 0
+    while (pos < columns) {
+      val next =
+        if (t < nCur) math.max(math.min(cur(t), columns), pos)
+        else columns
+      val bit = if (isWhite) whiteBit else 1 - whiteBit
+      if (bit == 1) {
+        var p = pos
+        while (p < next) {
+          row(p >> 3) = (row(p >> 3) | (0x80 >> (p & 7))).toByte; p += 1
+        }
+      }
+      pos = next; t += 1; isWhite = !isWhite
+    }
+    row
+  }
+
+  /** Consume fill bits + one EOL (≥11 zeros then 1) if present at the
+    * cursor; false (cursor restored) otherwise. ≥11 leading zeros can
+    * only be an EOL — no T.4 run/makeup code has more than 8.
+    */
+  private def skipEol(br: BitReader): Boolean = {
+    val start = br.pos
+    var zeros = 0
+    var b = br.read()
+    while (b == 0) { zeros += 1; b = br.read() }
+    if (b == 1 && zeros >= 11) true
+    else { br.pos = start; false }
+  }
+
   /** Decode G4 (K<0) data to packed 1-bpp rows. Returns empty on a
     * malformed stream BEFORE the first complete row; truncated streams
     * keep the rows decoded so far (scanned corpora carry damage; the
@@ -186,7 +299,6 @@ object Ccitt {
   def g4Decode(data: Array[Byte], columns: Int, rows: Int,
                blackIs1: Boolean, byteAlign: Boolean): Array[Byte] = {
     if (columns <= 0) return Array.emptyByteArray
-    val rowBytes = (columns + 7) / 8
     val out = new ArrayBuffer[Byte]()
     val br = new BitReader(data)
     var ref = new Array[Int](columns + 2)
@@ -196,72 +308,63 @@ object Ccitt {
     var nRows = 0
     while (!done && (rows <= 0 || nRows < rows) && !br.atEnd) {
       if (byteAlign) br.align()
-      var nCur = 0
-      var a0 = -1
-      var white = true
-      var rowDone = false
-      while (!rowDone) {
-        // b1: first changing element of ref right of a0 with the color
-        // that ends the current run. Ref transitions alternate starting
-        // w→b, so white wants even indices, black odd.
-        var i = 0
-        while (i < nRef && ref(i) <= a0) i += 1
-        if ((i % 2 == 0) != white) i += 1
-        val b1 = if (i < nRef) ref(i) else columns
-        val b2 = if (i + 1 < nRef) ref(i + 1) else columns
-        readMode(br) match {
-          case Mode.Pass =>
-            a0 = b2 // color unchanged, no transition recorded
-          case Mode.Horiz =>
-            val r1 = readRun(br, white)
-            val r2 = if (r1 < 0) -1 else readRun(br, !white)
-            val s = math.max(a0, 0)
-            if (r2 < 0 || (a0 >= 0 && r1 + r2 == 0)) { // malformed / stuck
-              done = true; rowDone = true; nCur = -1
-            } else {
-              val t1 = math.min(s + r1, columns)
-              val t2 = math.min(t1 + r2, columns)
-              cur(nCur) = t1; nCur += 1
-              cur(nCur) = t2; nCur += 1
-              a0 = t2 // two runs of known colors: color unchanged
-            }
-          case Mode.Done =>
-            done = true; rowDone = true; nCur = -1
-          case v => // vertical: a1 = b1 + offset, color flips
-            val a1 = math.min(math.max(b1 + v, 0), columns)
-            if (a1 <= a0) { // corrupt stream: a1 must advance (T.6 §2.2)
-              done = true; rowDone = true; nCur = -1
-            } else {
-              cur(nCur) = a1; nCur += 1
-              a0 = a1
-              white = !white
-            }
-        }
-        if (!rowDone && a0 >= columns) rowDone = true
-      }
-      if (nCur >= 0) {
-        // pack the row: runs between transitions, starting white;
-        // white bit = 1 under the PDF default (/BlackIs1 false ⇒ black
-        // pixels are 0)
-        val row = new Array[Byte](rowBytes)
-        val whiteBit = if (blackIs1) 0 else 1
-        var pos = 0; var isWhite = true; var t = 0
-        while (pos < columns) {
-          val next =
-            if (t < nCur) math.max(math.min(cur(t), columns), pos)
-            else columns
-          val bit = if (isWhite) whiteBit else 1 - whiteBit
-          if (bit == 1) {
-            var p = pos
-            while (p < next) { row(p >> 3) = (row(p >> 3) | (0x80 >> (p & 7))).toByte; p += 1 }
-          }
-          pos = next; t += 1; isWhite = !isWhite
-        }
-        out ++= row
+      val nCur = decode2DRow(br, ref, nRef, cur, columns)
+      if (nCur < 0) done = true
+      else {
+        out ++= packRow(cur, nCur, columns, blackIs1)
         nRows += 1
         val tmp = ref; ref = cur; cur = tmp; nRef = nCur
       }
     }
     out.toArray
   }
+
+  /** Decode G3 data (ITU-T T.4): K=0 pure 1-D modified-Huffman rows
+    * (EOLs optional — PDF writers often omit them under
+    * /EncodedByteAlign); K>0 mixed mode, where every row is preceded by
+    * an EOL whose following tag bit selects 1-D (1) or 2-D (0) coding.
+    * Same partial-rows-on-damage policy as [[g4Decode]].
+    */
+  def g3Decode(data: Array[Byte], k: Int, columns: Int, rows: Int,
+               blackIs1: Boolean, byteAlign: Boolean): Array[Byte] = {
+    if (columns <= 0) return Array.emptyByteArray
+    val out = new ArrayBuffer[Byte]()
+    val br = new BitReader(data)
+    var ref = new Array[Int](columns + 2)
+    var nRef = 0
+    var cur = new Array[Int](columns + 2)
+    var done = false
+    var nRows = 0
+    while (!done && (rows <= 0 || nRows < rows) && !br.atEnd) {
+      if (byteAlign) br.align()
+      val sawEol = skipEol(br)
+      if (br.atEnd) done = true
+      else {
+        val is1D =
+          if (k == 0) true
+          else if (sawEol) br.read() == 1
+          else { done = true; true } // K>0 requires EOL+tag per line
+        if (!done) {
+          val nCur =
+            if (is1D) decode1DRow(br, cur, columns)
+            else decode2DRow(br, ref, nRef, cur, columns)
+          if (nCur < 0) done = true
+          else {
+            out ++= packRow(cur, nCur, columns, blackIs1)
+            nRows += 1
+            val tmp = ref; ref = cur; cur = tmp; nRef = nCur
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** CCITTFaxDecode for any /K (ISO 32000 §7.4.6): K<0 → G4 pure 2-D,
+    * K=0 → G3 1-D, K>0 → G3 mixed.
+    */
+  def decode(data: Array[Byte], k: Int, columns: Int, rows: Int,
+             blackIs1: Boolean, byteAlign: Boolean): Array[Byte] =
+    if (k < 0) g4Decode(data, columns, rows, blackIs1, byteAlign)
+    else g3Decode(data, k, columns, rows, blackIs1, byteAlign)
 }

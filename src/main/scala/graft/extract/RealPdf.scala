@@ -1095,8 +1095,9 @@ object RealPdf {
         case "ASCIIHexDecode"    => d = asciiHexDecode(d)
         case "ASCII85Decode"     => d = ascii85Decode(d)
         case "CCITTFaxDecode" =>
-          // Group 4 (K<0) only — the scanned-document filter; G3 and
-          // malformed streams fall to the occurrence-only path
+          // Group 4 (K<0) AND Group 3 (K=0 1-D, K>0 mixed) — the
+          // scanned-document filters; malformed streams fall to the
+          // occurrence-only path
           def pnum(k: String, dflt: Int): Int =
             dictGet(parm, k, objs) match {
               case PNum(v) => v.toInt; case _ => dflt
@@ -1104,15 +1105,12 @@ object RealPdf {
           def pbool(k: String): Boolean = dictGet(parm, k, objs) match {
             case PBool(b) => b; case _ => false
           }
-          if (pnum("K", 0) >= 0) { d = Array.emptyByteArray; halt = true }
-          else {
-            val rows = pnum("Rows", dictGet(dict, "Height", objs) match {
-              case PNum(v) => v.toInt; case _ => 0
-            })
-            d = Ccitt.g4Decode(d, pnum("Columns", 1728), rows,
-              pbool("BlackIs1"), pbool("EncodedByteAlign"))
-            if (d.isEmpty) halt = true
-          }
+          val rows = pnum("Rows", dictGet(dict, "Height", objs) match {
+            case PNum(v) => v.toInt; case _ => 0
+          })
+          d = Ccitt.decode(d, pnum("K", 0), pnum("Columns", 1728), rows,
+            pbool("BlackIs1"), pbool("EncodedByteAlign"))
+          if (d.isEmpty) halt = true
         case _ => d = Array.emptyByteArray; halt = true
       }
       i += 1

@@ -1056,6 +1056,68 @@ class RealPdfSpec extends AnyFunSuite {
     assert(Ccitt.g4Decode(junk, 64, 8, false, false).length % 8 == 0)
   }
 
+  test("CCITT G3 round-trip: 1-D and mixed modes reconstruct exactly") {
+    import graft.extract.Ccitt
+    import graft.gen.CcittGen
+    val shapes: Seq[Array[Array[Boolean]]] = Seq(
+      CcittGen.scanBitmap(0, 200, 120),
+      CcittGen.scanBitmap(5, 100, 37),
+      Array.tabulate(20, 64)((_, _) => false),
+      Array.tabulate(20, 64)((_, _) => true),
+      Array.tabulate(33, 97)((y, x) => (x + y) % 2 == 0),
+      Array.tabulate(15, 1728)((y, x) => x > 400 && x < 1500 && y % 3 != 0))
+    for (bmp <- shapes) {
+      val w = bmp(0).length; val h = bmp.length
+      val want = CcittGen.packed(bmp)
+      // K=0 pure 1-D, EOL-prefixed rows
+      assert(Ccitt.g3Decode(CcittGen.g3Encode(bmp, 0), 0, w, h,
+        false, false).sameElements(want), s"1-D EOL w=$w h=$h")
+      // K=0 with EOLs omitted (the EncodedByteAlign writer shape)
+      assert(Ccitt.g3Decode(
+        CcittGen.g3Encode(bmp, 0, byteAlign = true, withEol = false),
+        0, w, h, false, true).sameElements(want), s"1-D bare w=$w h=$h")
+      // K>0 mixed: 1-D key rows + 2-D delta rows, tag-bit selected
+      for (k <- Seq(1, 2, 4)) {
+        assert(Ccitt.g3Decode(CcittGen.g3Encode(bmp, k), k, w, h,
+          false, false).sameElements(want), s"mixed k=$k w=$w h=$h")
+      }
+      // dispatcher routes by K
+      assert(Ccitt.decode(CcittGen.g3Encode(bmp, 2), 2, w, h, false, false)
+        .sameElements(want))
+      assert(Ccitt.decode(CcittGen.g4Encode(bmp), -1, w, h, false, false)
+        .sameElements(want))
+      // BlackIs1 flips samples in 1-D too
+      assert(Ccitt.g3Decode(CcittGen.g3Encode(bmp, 0), 0, w, h,
+        true, false).sameElements(CcittGen.packed(bmp, blackIs1 = true)))
+    }
+    // hand-assembled 1-D row (no encoder): white 4, black 4 of 8 wide
+    // white-4 = 1011, black-4 = 011; EOL-prefixed
+    val oneD = bitsToBytes("000000000001" + "1011" + "011")
+    val r = Ccitt.g3Decode(oneD, 0, 8, 1, false, false)
+    assert(r.length == 1 && (r(0) & 0xff) == 0xf0, f"got ${r(0)}%02x")
+    // garbage: no crash, whole rows only
+    val junk = Array.tabulate[Byte](64)(i => (i * 53 + 7).toByte)
+    assert(Ccitt.g3Decode(junk, 0, 64, 8, false, false).length % 8 == 0)
+    assert(Ccitt.g3Decode(junk, 4, 64, 8, false, false).length % 8 == 0)
+  }
+
+  test("scanned G3 fixture: K=0 and K=2 payloads recover as codec-ready PNG") {
+    for (k <- Seq(0, 2)) {
+      val pdf = graft.gen.CcittGen.makeScanPdf(3, k = k)
+      val (pages, images) = RealPdf.parseDoc(pdf, 1)
+      assert(images == Vector(RealPdf.PdfImage(1, 0, 5, 200, 120)))
+      assert(pages.head.runs.exists(_.text.startsWith("Scan 3")))
+      val png = RealPdf.imageCodecBytes(pdf, 5).get
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 200 && img.getHeight == 120)
+      val bmp = graft.gen.CcittGen.scanBitmap(3, 200, 120)
+      for (y <- 0 until 120; x <- 0 until 200)
+        assert((img.getRaster.getSample(x, y, 0) == 0) == bmp(y)(x),
+          s"k=$k pixel ($x,$y)")
+    }
+  }
+
   test("scanned-style fixture: CCITT payload recovers as codec-ready PNG") {
     val pdf = graft.gen.CcittGen.makeScanPdf(1)
     val (pages, images) = RealPdf.parseDoc(pdf, 1)
