@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object BpeBench {
 
-  /** Deterministic word-salad paragraph over a Zipf-ish 997-word vocab
-    * (word j repeats with period j+1, so low ids dominate — gives the
-    * merge loop realistic frequency structure).
+  /** Deterministic word-salad paragraph over a 997-stem vocabulary with
+    * shared morphological suffixes — the merge loop learns the suffixes
+    * and frequent stems while rare stems stay multi-token, so the
+    * subwords/pre-token ratio is meaningful.
     */
+  private val Suffix =
+    Array("ing", "ed", "ly", "tion", "er", "est", "s", "")
   private[graft] def paragraph(i: Long): String =
     (0 until 60).map { k =>
       val j = (i * 31 + k * k * 7 + k) % 997
-      s"tok${j % (1 + j.toInt / 8)}"
+      s"w$j${Suffix((j % 8).toInt)}"
     }.mkString(" ")
 
   def main(args: Array[String]): Unit = {

@@ -18,7 +18,9 @@ object MediaDedupBench {
   private val H = 32
 
   private[graft] def imageBytes(i: Long): Array[Byte] = {
-    val base = (i / 10) * 10
+    // every image unique except the decade's 9th, which perturbs the
+    // decade's 0th — exactly one injected near-dup pair per decade
+    val base = if (i % 10 == 9) i - 9 else i
     val seed = base * 0x9E3779B97F4A7C15L + 0x1234567L
     val rnd = new java.util.Random(seed)
     val px = new Array[Byte](W * H)
