@@ -182,8 +182,8 @@ object RealPdf {
     * embedded JFIF/JPEG file itself, ready for a standard codec
     * (`javax.imageio` via [[graft.ops.Multimodal.ImageIoCodec]]).
     * None for unknown objects or non-streams; Some(empty) only when a
-    * genuinely unsupported non-image filter (JBIG2, CCITT) blocks the
-    * chain.
+    * genuinely unsupported filter (JPX raster, exotic chains) blocks
+    * the chain.
     */
   def imageBytes(bytes: Array[Byte], objNum: Int): Option[Array[Byte]] =
     try {
@@ -198,13 +198,15 @@ object RealPdf {
     * [[graft.ops.Multimodal.ImageIoCodec]] (any standard codec)
     * consumes directly: a /DCTDecode//JPXDecode image returns its
     * embedded JPEG/JP2 file unchanged; raster images (Flate with or
-    * without /Predictor, LZW, RunLength, **CCITTFaxDecode Group 4** —
-    * the scanned-document filter, [[Ccitt.g4Decode]]) have their
+    * without /Predictor, LZW, RunLength, **CCITTFaxDecode** G4 + G3
+    * ([[Ccitt.decode]]) and **JBIG2Decode** generic regions
+    * ([[Jbig2.decode]]) — the scanned-document filters) have their
     * samples decoded and re-wrapped as a lossless PNG via the
     * /Width /Height /BitsPerComponent /ColorSpace geometry
     * (1/8-bit gray incl. /ImageMask, 8-bit RGB, ICCBased by /N).
     * None when the payload or geometry is genuinely unrecoverable
-    * (JBIG2, G3, exotic colorspaces) — those stay occurrence-only.
+    * (JPX, symbol-coded JBIG2, exotic colorspaces) — those stay
+    * occurrence-only.
     */
   def imageCodecBytes(bytes: Array[Byte], objNum: Int): Option[Array[Byte]] =
     try {
@@ -1110,6 +1112,25 @@ object RealPdf {
           })
           d = Ccitt.decode(d, pnum("K", 0), pnum("Columns", 1728), rows,
             pbool("BlackIs1"), pbool("EncodedByteAlign"))
+          if (d.isEmpty) halt = true
+        case "JBIG2Decode" =>
+          // generic-region subset ([[Jbig2]]): MMR + MQ-coded regions;
+          // /JBIG2Globals (its own stream, own filters) prepends
+          def inum(k: String): Int = dictGet(dict, k, objs) match {
+            case PNum(v) => v.toInt; case _ => 0
+          }
+          val globals = (parm match {
+            case PDict(m) => m.getOrElse("JBIG2Globals", PNull)
+            case _        => PNull
+          }) match {
+            case PRef(n) => objs.get(n) match {
+              case Some(Indirect(gd, Some(gData), _)) =>
+                decode(gd, gData, objs)
+              case _ => Array.emptyByteArray
+            }
+            case _ => Array.emptyByteArray
+          }
+          d = Jbig2.decode(d, globals, inum("Width"), inum("Height"))
           if (d.isEmpty) halt = true
         case _ => d = Array.emptyByteArray; halt = true
       }

@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 7`:
+  * File kinds by `i % 8`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -34,7 +34,10 @@ package graft.gen
   *   6 → `scan_NNNN.pdf`  scanned-style: one caption text line + a
   *                        full-page CCITT Group-4 1-bit image
   *                        ([[CcittGen.makeScanPdf]] — the reference's
-  *                        titular scan/OCR corpus class).
+  *                        titular scan/OCR corpus class);
+  *   7 → `jbig_NNNN.pdf`  scanned-style with a JBIG2-coded full-page
+  *                        image ([[Jbig2Gen.makeScanPdf]] — template/
+  *                        TPGDON/MMR mix varies by index).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -50,12 +53,13 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 7: @unchecked) match {
+  def fileName(i: Int): String = (i % 8: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
     case 5         => f"img_$i%04d.png"
     case 6         => f"scan_$i%04d.pdf"
+    case 7         => f"jbig_$i%04d.pdf"
   }
 
   // ---------- shared text ----------
@@ -224,7 +228,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 7: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 8: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -232,6 +236,8 @@ object MixedGen {
     case 4 => makeTxt(i).getBytes("UTF-8")
     case 5 => makePng(i)
     case 6 => CcittGen.makeScanPdf(i)
+    case 7 => Jbig2Gen.makeScanPdf(i, template = (i / 8) % 4,
+      tpgdon = i % 2 == 0, mmr = i % 5 == 0)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -245,7 +251,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 7: @unchecked) match {
+    (i % 8: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -277,6 +283,9 @@ object MixedGen {
       case 6 => Seq(
         // one caption run box + the full-page CCITT image occurrence
         GtRow(f, "pdf", s"Scan $i caption\n", null, 0),
+        GtRow(f, "image", null, s"$f#img0:obj5", 1))
+      case 7 => Seq(
+        GtRow(f, "pdf", s"Jbig $i caption\n", null, 0),
         GtRow(f, "image", null, s"$f#img0:obj5", 1))
     }
   }
