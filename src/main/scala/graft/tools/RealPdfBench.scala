@@ -326,8 +326,8 @@ object RealPdfBench {
       s"expected $nDocs docs, got ${report.docsProcessed}")
 
     val line = f"| real-PDF ingestion | $nDocs genuine .pdf files " +
-      f"(classic / Flate / ObjStm / LZW / two-page / RC4-encrypted " +
-      f"sixths) scanned+parsed+extracted in $sec%.1f s = " +
+      f"(classic / Flate / ObjStm / LZW / two-page / RC4-encrypted / " +
+      f"CJK-CMap sevenths) scanned+parsed+extracted in $sec%.1f s = " +
       f"${nDocs / sec}%.0f docs/s @ local[32]; $rows output rows; " +
       f"text recall $docsWithText/$nDocs = $recall%.4f |"
     println("[realpdf-bench] " + line)
