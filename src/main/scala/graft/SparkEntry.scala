@@ -276,6 +276,20 @@ object SparkEntry {
           TextOps.stopwordHits(col("text")).as("stop_hits"),
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+    "q_lm_score" -> ((s, dir) => {
+      // CCNet-style LM quality gate: Stupid-Backoff bigram model
+      // trained on the doc_id<200 sample (two distributed aggregates,
+      // bounded driver model), mean log10 prob per doc via the native
+      // expression. Oracle: fully independent plain trainer + scorer.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val lm = TextOps.trainNgramLm(d.where(col("doc_id") < 200), "text",
+        maxVocab = 5000, maxBigrams = 20000)
+      d.select(col("doc_id"),
+          round(graft.functions.NgramLmScore.score(col("text"), lm), 6)
+            .as("lm_score"))
+        .where(col("lm_score").isNotNull) // token-less docs unscoreable
+        .orderBy("doc_id")
+    }),
     "q_bpe_tokens2" -> ((s, dir) => {
       // REAL token budgets: byte-level BPE trained on the doc_id<200
       // sample (bounded driver merge loop, distributed word counting),
@@ -861,6 +875,16 @@ object SparkEntry {
       PlainOracles.embeddingNearDupPairs(vecs ++ dups, minSim = 0.99,
         nPlanes = 6).toDF("id_a", "id_b", "cos")
     }),
+    "q_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      val lm = PlainOracles.lmTrainPlain(collectDocs(s, dir, 200).map(_._2),
+        maxVocab = 5000, maxBigrams = 20000)
+      t(s, dir, "documents").select("doc_id", "text").collect()
+        .flatMap { r =>
+          PlainOracles.lmScorePlain(r.getString(1), lm)
+            .map(v => (r.getLong(0), PlainOracles.round6(v)))
+        }.toSeq.toDF("doc_id", "lm_score")
+    }),
     "q_bpe_tokens2" -> ((s, dir) => {
       import s.implicits._
       val sample = collectDocs(s, dir, 200).map(_._2)
@@ -1119,6 +1143,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/dd_media_neardup/*.parquet'",
     "q_bpe_tokens2" ->
       s"SELECT * FROM '$ExpectedToken/q_bpe_tokens2/*.parquet'",
+    "q_lm_score" ->
+      s"SELECT * FROM '$ExpectedToken/q_lm_score/*.parquet'",
     "sim_ivf_trained" ->
       s"SELECT * FROM '$ExpectedToken/sim_ivf_trained/*.parquet'",
     "sim_text_embed" ->

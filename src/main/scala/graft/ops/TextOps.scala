@@ -62,6 +62,36 @@ object TextOps {
     graft.functions.BpeTokenize.learnMerges(wordCounts, numMerges)
   }
 
+  /** Train the Stupid-Backoff bigram LM
+    * ([[graft.functions.NgramLmScore]]) from the corpus: two
+    * distributed frequency aggregates (whitespace unigrams; adjacent
+    * bigrams via a zip-shift transform — no UDF, no shuffle beyond the
+    * groupBys), with only the top (count desc, gram asc) `maxVocab` /
+    * `maxBigrams` rows reaching the driver. `total` is the FULL sample
+    * token count, so pruning only affects which grams keep exact
+    * probabilities, never the mass denominator.
+    */
+  def trainNgramLm(df: DataFrame, textCol: String, maxVocab: Int,
+                   maxBigrams: Int): graft.functions.NgramLm = {
+    val toks = df.select(
+      filter(split(col(textCol), " "), w => length(w) > 0).as("ws"))
+    val unigrams = toks.select(explode(col("ws")).as("w"))
+    val total = unigrams.count()
+    val vocab = unigrams.groupBy("w").count()
+      .orderBy(col("count").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val bigrams = toks
+      .where(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy("g").count()
+      .orderBy(col("count").desc, col("g").asc).limit(maxBigrams)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    graft.functions.NgramLm(vocab, bigrams, total)
+  }
+
   /** Mean token length over whitespace tokens. */
   def meanTokenLen(text: Column): Column =
     (length(text) - (tokenCount(text) - 1)).cast("double") /

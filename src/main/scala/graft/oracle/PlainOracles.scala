@@ -650,6 +650,53 @@ object PlainOracles {
     }
   }
 
+  // ---------- n-gram LM twin ----------
+
+  /** Independent twin of the Stupid-Backoff bigram LM (train + score):
+    * functional reimplementation of the spec in
+    * graft.functions.NgramLmScore's scaladoc.
+    */
+  def lmTokens(text: String): Vector[String] =
+    text.split(" ", -1).filter(_.nonEmpty).toVector
+
+  def lmTrainPlain(docs: Seq[String], maxVocab: Int, maxBigrams: Int)
+      : (Map[String, Long], Map[String, Long], Long) = {
+    val tokd = docs.map(lmTokens)
+    val total = tokd.map(_.size.toLong).sum
+    val vocab = tokd.flatten.groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(maxVocab).toMap
+    val bigrams = tokd.flatMap(ts => ts.zip(ts.drop(1)))
+      .map { case (a, b) => a + " " + b }
+      .groupBy(identity).map { case (g, gs) => (g, gs.size.toLong) }.toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(maxBigrams).toMap
+    (vocab, bigrams, total)
+  }
+
+  def lmScorePlain(text: String,
+                   model: (Map[String, Long], Map[String, Long], Long))
+      : Option[Double] = {
+    val (vocab, bigrams, total) = model
+    def uni(w: String): Double =
+      vocab.get(w).map(_.toDouble / total).getOrElse(0.1 / total)
+    val ts = lmTokens(text)
+    if (ts.isEmpty) None
+    else {
+      var sum = math.log10(uni(ts.head))
+      var k = 1
+      while (k < ts.size) {
+        val p = (bigrams.get(ts(k - 1) + " " + ts(k)),
+                 vocab.get(ts(k - 1))) match {
+          case (Some(b), Some(c)) => b.toDouble / c
+          case _                  => 0.4 * uni(ts(k))
+        }
+        sum += math.log10(p)
+        k += 1
+      }
+      Some(sum / ts.size)
+    }
+  }
+
   // ---------- perceptual media dedup twin ----------
 
   /** Independent RawGray parse (twin of Multimodal.RawGray.decode). */
