@@ -540,6 +540,17 @@ class RealPdfSpec extends AnyFunSuite {
       }
       RealPdf.parseDoc(b, 1)
     }
+    // the scanned codecs under the storm: CCITT (kind 6) and JBIG2
+    // (kind 7, incl. the MQ decoder + segment parser) — corrupt
+    // segment headers / coded data must degrade, never throw or hang
+    (0 until 80).foreach { i =>
+      val b = graft.gen.MixedGen.fileBytes(8 * (i % 11) + 6 + (i % 2))
+      (0 until 1 + next(30)).foreach { _ =>
+        b(next(b.length)) = next(256).toByte
+      }
+      RealPdf.parseDoc(b, 1)
+      RealPdf.imageCodecBytes(b, 5)
+    }
   }
 
   test("encrypted ObjStm: streams decrypt BEFORE object-stream expansion") {
