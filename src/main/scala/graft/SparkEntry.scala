@@ -276,6 +276,14 @@ object SparkEntry {
           TextOps.stopwordHits(col("text")).as("stop_hits"),
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+    "q_normalize" -> ((s, dir) =>
+      // cleaning pass 0: control-char strip + whitespace collapse, and
+      // the dedup-canonical text (lower, punctuation runs → space) —
+      // map-side codegen'd regexps, exact RE2 twins in DuckDB
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.normalizeWs(col("text")).as("text_norm"),
+          TextOps.canonicalText(col("text")).as("text_canon"))
+        .orderBy("doc_id")),
     "q_lm_score" -> ((s, dir) => {
       // CCNet-style LM quality gate: Stupid-Backoff bigram model
       // trained on the doc_id<200 sample (two distributed aggregates,
@@ -1341,6 +1349,13 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text,
              '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
              AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    "q_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text,
+             '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+             AS text_canon
          FROM documents ORDER BY doc_id""",
     "q_quality" ->
       """WITH s AS (

@@ -92,6 +92,22 @@ object TextOps {
     graft.functions.NgramLm(vocab, bigrams, total)
   }
 
+  /** Whitespace/control normalization: control bytes (C0 + DEL) become
+    * spaces, whitespace runs collapse to one space, ends trimmed — the
+    * standard first pass of every cleaning pipeline. Codegen'd regexp
+    * chain; exact RE2 twin runs verbatim in DuckDB.
+    */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+
+  /** Dedup-canonical form: lowercase, every non-alphanumeric run → one
+    * space, trimmed — the key text for exact-dup hashing across
+    * formatting variants (case, punctuation, spacing).
+    */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Mean token length over whitespace tokens. */
   def meanTokenLen(text: Column): Column =
     (length(text) - (tokenCount(text) - 1)).cast("double") /

@@ -876,6 +876,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(3) == ("clean text with no pii at all", 0))
   }
 
+  test("normalizeWs / canonicalText: control chars, runs, trim, casefold") {
+    import spark.implicits._
+    val rows = Seq(
+      "  hello\u0000world\tand\u000bmore  spaces  ",
+      "A-B.C, d!e",
+      "\u0001\u0002",
+      "already clean").toDF("t")
+      .select(TextOps.normalizeWs(col("t")).as("n"),
+              TextOps.canonicalText(col("t")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0) == ("hello world and more spaces",
+                       "hello world and more spaces"))
+    assert(rows(1) == ("A-B.C, d!e", "a b c d e"))
+    assert(rows(2) == ("", "")) // all-control input trims to empty
+    assert(rows(3) == ("already clean", "already clean"))
+  }
+
   test("corpus pipeline: stage counts monotone, dups gone, output clean") {
     val base = docsDf.select("doc_id", "text").where(col("doc_id") < 80)
     val nearDup = base.where(col("doc_id") < 5) // exact copies ≈ near dups
