@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * actually runs over raw text shards, built entirely from the oracled
   * operators in this package:
   *
+  *   0. normalization         (TextOps.normalizeWs — opt-in, lossless)
   *   1. PII scrubbing         (TextOps.redactPii)
-  *   2. quality gate          (TextOps.qualityScore >= minQuality)
+  *   2. quality gate          (TextOps.qualityScore >= minQuality;
+  *                             opt-in Gopher repetition gate)
   *   3. language filter       (langClassifier ∈ keepLangs, if set:
   *                             "heuristic" langIdGuess or "trigram"
   *                             TrigramLangId)
+  *   3½. LM quality gate      (NgramLmScore ≥ minLmScore — opt-in,
+  *                             CCNet-style; model trained from the
+  *                             corpus itself, bounded driver work)
   *   4. exact dedup           (min-id keeper per md5 digest)
   *   5. near-dup removal      (MinHash-LSH pairs → connected components)
   *   6. benchmark decontamination (Dedup.contaminationReport ≥ threshold
@@ -43,7 +48,18 @@ object CorpusPipeline {
     // the duplicate-2-gram ceiling. The defaults disable the gate so
     // existing pipelines and their oracled stage counts are unchanged.
     minDistinctWordFrac: Double = 0.0,
-    maxDup2gramFrac: Double = 1.0)
+    maxDup2gramFrac: Double = 1.0,
+    // pass 0: whitespace/control normalization (TextOps.normalizeWs) —
+    // opt-in, applied before PII scrubbing; drops nothing
+    normalize: Boolean = false,
+    // CCNet-style LM quality gate (functions.NgramLmScore): train a
+    // Stupid-Backoff bigram LM on the first lmTrainDocs of the
+    // language-filtered corpus and drop docs whose mean log10 prob
+    // falls below the floor. None = stage skipped.
+    minLmScore: Option[Double] = None,
+    lmTrainDocs: Int = 1000,
+    lmMaxVocab: Int = 5000,
+    lmMaxBigrams: Int = 20000)
 
   case class StageCount(stage: String, docs: Long)
 
@@ -64,10 +80,16 @@ object CorpusPipeline {
     val input = df.select(col(idCol), col(textCol))
     counts += StageCount("input", input.count())
 
+    // pass 0 (opt-in, lossless): control/whitespace normalization makes
+    // every downstream regex and token boundary well-behaved
+    val normalized =
+      if (!cfg.normalize) input
+      else input.withColumn(textCol, TextOps.normalizeWs(col(textCol)))
+
     // materialize the redacted corpus ONCE — every later stage count and
     // both dedup passes would otherwise re-run the scan + three regex
     // passes from source
-    val redacted = input.withColumn(textCol,
+    val redacted = normalized.withColumn(textCol,
       TextOps.redactPii(col(textCol))).localCheckpoint()
 
     val quality0 = count("quality_gate", redacted.where(
@@ -92,14 +114,26 @@ object CorpusPipeline {
       if (cfg.keepLangs.isEmpty) quality
       else quality.where(langExpr.isin(cfg.keepLangs: _*)))
 
+    // LM quality gate (opt-in): bounded driver-side model training
+    // (trainNgramLm collects only top-K gram counts), map-side scoring
+    val lmGated = cfg.minLmScore match {
+      case None => lang
+      case Some(floor) =>
+        val lm = TextOps.trainNgramLm(
+          lang.orderBy(col(idCol)).limit(cfg.lmTrainDocs), textCol,
+          cfg.lmMaxVocab, cfg.lmMaxBigrams)
+        count("lm_gate", lang.where(
+          graft.functions.NgramLmScore.score(col(textCol), lm) >= floor))
+    }
+
     // exact dedup: keep the min-id row per identical text. The digest
     // groupBy shuffles (digest, id) only; the keeper join is id-equi.
     // Checkpoint BEFORE counting so the count and the two downstream
     // consumers (near-dup pairs + removal anti-join) share one execution.
-    val keepers = Dedup.exactDedupKeepers(lang, idCol, textCol)
+    val keepers = Dedup.exactDedupKeepers(lmGated, idCol, textCol)
       .select(col("keeper_id").as(idCol))
     val exact = count("exact_dedup",
-      lang.join(keepers, Seq(idCol)).localCheckpoint())
+      lmGated.join(keepers, Seq(idCol)).localCheckpoint())
 
     val pairs = Dedup.minhashLshPairs(exact, idCol, textCol,
         cfg.minhashW, cfg.minhashK, cfg.minhashBands)

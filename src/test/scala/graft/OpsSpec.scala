@@ -893,6 +893,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(3) == ("already clean", "already clean"))
   }
 
+  test("corpus pipeline: normalize + LM gate drop gibberish, keep naturals") {
+    import spark.implicits._
+    val base = docsDf.select("doc_id", "text").where(col("doc_id") < 80)
+    // character soup the corpus LM must find improbable; messy
+    // whitespace the normalize pass must clean before anything else
+    val soup = (0 until 40).map(k => s"qzx${k}v${k * 7 % 97}j").mkString(" ")
+    val injected = Seq(
+      (9000001L, soup),
+      (9000002L, "  spaced\tout   but  otherwise the same corpus words " +
+        base.first().getString(1).split(" ").take(30).mkString(" ")))
+      .toDF("doc_id", "text")
+    val (clean, counts) = CorpusPipeline.clean(base.union(injected),
+      "doc_id", "text",
+      CorpusPipeline.Config(minQuality = 0.0, normalize = true,
+        minLmScore = Some(-4.0), lmTrainDocs = 80))
+    assert(counts.map(_.stage).contains("lm_gate"))
+    // monotone retention
+    counts.map(_.docs).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, counts.toString)
+    }
+    val ids = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9000001L), "gibberish survived the LM gate")
+    assert(ids.contains(9000002L), "in-domain doc wrongly dropped")
+    // the LM gate keeps ≥ 90% of the natural corpus
+    assert(ids.count(_ < 80) >= 72, s"kept ${ids.count(_ < 80)} of 80")
+    // normalization reached the output: no double spaces / tabs remain
+    val kept = clean.where(col("doc_id") === 9000002L)
+      .select("text").first().getString(0)
+    assert(!kept.contains("  ") && !kept.contains("\t") &&
+      kept == kept.trim)
+  }
+
   test("corpus pipeline: stage counts monotone, dups gone, output clean") {
     val base = docsDf.select("doc_id", "text").where(col("doc_id") < 80)
     val nearDup = base.where(col("doc_id") < 5) // exact copies ≈ near dups
