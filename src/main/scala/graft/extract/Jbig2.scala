@@ -27,7 +27,14 @@ package graft.extract
   * modified-Huffman tables; the encode/decode ALGORITHMS are
   * independent implementations of the two spec flowcharts, and the
   * round-trip specs pin them against each other plus hand-built
-  * segment streams.
+  * segment streams. Declared validation scope: this sandbox has no
+  * third-party JBIG2 sample to cross-check against, so while the
+  * segment/header layer is pinned byte-by-byte against the spec and
+  * the MMR mode rides the independently-pinned T.6 decoder, the MQ
+  * bit-level interop rests on the transcribed published table +
+  * flowcharts and the encode/decode round-trip — a transcription slip
+  * SHARED by both flowchart transcriptions would not be caught here
+  * (it would surface on first contact with external streams).
   *
   * Output: packed 1-bpp rows, MSB-first, WHITE = 1 (the PDF JBIG2Decode
   * filter convention — JBIG2's internal 1-is-black bitmap is inverted,
