@@ -32,7 +32,11 @@ object CleanDemo {
     val t0 = System.nanoTime()
     val (cleaned, stages) = CorpusPipeline.clean(corpus, "doc_id", "text",
       CorpusPipeline.Config(minQuality = 0.5, cutWindowTokens = 8,
-        contaminationW = 8),
+        contaminationW = 8,
+        // the round-5 opt-in stages: normalization pass + corpus-trained
+        // Stupid-Backoff LM gate (floor generous — the demo corpus is
+        // uniform, the evidence is the stage running at sf scale)
+        normalize = true, minLmScore = Some(-6.0), lmTrainDocs = 1000),
       evalSet = Some(evalSet))
     val outN = cleaned.count()
     val sec = (System.nanoTime() - t0) / 1e9
