@@ -359,6 +359,23 @@ object SparkEntry {
       graft.ops.PageFurniture.detect(rows, minPages = 3, minFrac = 0.8)
         .orderBy(col("doc_id"), col("y0").desc)
     }),
+    "q_table_cells" -> ((s, dir) => {
+      // grid-table reconstruction from positioned runs: deterministic
+      // docs with known tables (split fragments, sparse holes,
+      // multi-table multi-page docs, table-free docs) run through the
+      // REAL tokenizer, then the per-page row/column clustering.
+      // Oracle = TableGen's generator ground truth.
+      import s.implicits._
+      val runs = s.createDataset((0 until 24).map(graft.gen.TableGen.doc))
+        .flatMap { d =>
+          d.spans.iterator
+            .flatMap(sp => graft.extract.PdfTokenizer.tokenize(sp.text, 1))
+            .flatMap(pg => pg.runs.iterator.map(r =>
+              (d.doc_id, pg.page, r.x0, r.y0, r.x1, r.y1, r.text)))
+        }.toDF("doc_id", "page", "x0", "y0", "x1", "y1", "text")
+      graft.ops.TableExtract.cells(runs)
+        .orderBy("doc_id", "page", "table_id", "row", "col")
+    }),
     "q_chunk_text" -> ((s, dir) => {
       // RAG chunking: 32-token windows, stride 24 (8-token overlap) —
       // one codegen'd pass + posexplode, no shuffle before the sort
@@ -1039,6 +1056,13 @@ object SparkEntry {
       graft.gen.FurnitureGen.expected(20)
         .toDF("doc_id", "text", "y0", "pages_seen", "n_pages")
     }),
+    "q_table_cells" -> ((s, dir) => {
+      // generator ground truth: the grid cells TableGen wrote
+      import s.implicits._
+      graft.gen.TableGen.expected(24)
+        .toDF("doc_id", "page", "table_id", "row", "col", "x0", "y0",
+          "x1", "y1", "text", "n_rows", "n_cols")
+    }),
     "q_rep_ratio" -> ((s, dir) => {
       // plain-twin repetition signals over the (small) documents dim
       import s.implicits._
@@ -1119,6 +1143,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_sample_stratified/*.parquet'",
     "q_page_furniture" ->
       s"SELECT * FROM '$ExpectedToken/q_page_furniture/*.parquet'",
+    "q_table_cells" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_cells/*.parquet'",
     "q_chunk_text" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),
