@@ -284,6 +284,27 @@ object SparkEntry {
           TextOps.normalizeWs(col("text")).as("text_norm"),
           TextOps.canonicalText(col("text")).as("text_canon"))
         .orderBy("doc_id")),
+    "q_url_domains" -> ((s, dir) => {
+      // web-provenance stage (C4 blocklist / CCNet per-domain stats):
+      // extract URLs, tally per domain, drop blocklisted domains. The
+      // corpus has no URLs, so the query injects them deterministically
+      // from doc fields — the DuckDB twin builds the identical text.
+      val d = t(s, dir, "documents")
+      val text2 = concat(col("text"),
+        lit(" See http://"), col("source"), lit(".example.com/page/"),
+        pmod(col("doc_id"), lit(7)),
+        lit(" and https://www."), col("lang"), lit("-news.org/a?id="),
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" plus http://tracker.example.net/x")).otherwise(lit("")))
+      d.select(col("doc_id"), explode(TextOps.extractUrls(text2)).as("url"))
+        .select(col("doc_id"), TextOps.urlDomain(col("url")).as("domain"))
+        .where(!col("domain").isin("tracker.example.net"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("domain")
+    }),
     "q_lm_score" -> ((s, dir) => {
       // CCNet-style LM quality gate: Stupid-Backoff bigram model
       // trained on the doc_id<200 sample (two distributed aggregates,
@@ -1383,6 +1404,28 @@ object SparkEntry {
            trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
              AS text_canon
          FROM documents ORDER BY doc_id""",
+    "q_url_domains" ->
+      """WITH t2 AS (
+           SELECT doc_id,
+             text || ' See http://' || source || '.example.com/page/'
+                  || (doc_id % 7) || ' and https://www.' || lang
+                  || '-news.org/a?id=' || doc_id
+                  || CASE WHEN doc_id % 3 = 0
+                     THEN ' plus http://tracker.example.net/x'
+                     ELSE '' END AS text2
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text2, 'https?://[^\s]+')) AS url
+           FROM t2),
+         dmn AS (
+           SELECT doc_id,
+             regexp_extract(url, '^https?://([^/?#]+)', 1) AS domain
+           FROM u)
+         SELECT domain, count(*) AS n_urls,
+           count(DISTINCT doc_id) AS n_docs
+         FROM dmn WHERE domain <> 'tracker.example.net'
+         GROUP BY domain ORDER BY domain""",
     "q_quality" ->
       """WITH s AS (
            SELECT doc_id, text, ' ' || text || ' ' AS padded,

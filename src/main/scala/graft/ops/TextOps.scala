@@ -108,6 +108,20 @@ object TextOps {
   def canonicalText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** All http(s) URLs in `text` (the scheme plus the maximal
+    * non-whitespace tail) — the extraction step of a web corpus's
+    * provenance/domain-filter stage (C4's blocklist, CCNet's per-domain
+    * stats run on exactly this). Codegen'd `regexp_extract_all`; the
+    * pattern is RE2-compatible for the DuckDB twin.
+    */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+
+  /** The registrable host of one URL: the authority up to the first
+    * `/`, `?` or `#`. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "^https?://([^/?#]+)", 1)
+
   /** Mean token length over whitespace tokens. */
   def meanTokenLen(text: Column): Column =
     (length(text) - (tokenCount(text) - 1)).cast("double") /

@@ -1030,4 +1030,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.count() > 0)
     assert(frames.where(col("sample_ms") % 5000 =!= 0).count() == 0)
   }
+
+  test("url extraction + domain: pinned forms") {
+    import spark.implicits._
+    val rows = Seq(
+      "see http://a.example.com/x?q=1 and https://b.org, done",
+      "no urls here",
+      "bare https://c.net#frag tail http://d.io/p/q")
+      .toDF("text")
+      .select(explode(TextOps.extractUrls(col("text"))).as("url"))
+      .select(col("url"), TextOps.urlDomain(col("url")).as("domain"))
+      .as[(String, String)].collect().toSeq.sorted
+    assert(rows == Seq(
+      ("http://a.example.com/x?q=1", "a.example.com"),
+      ("http://d.io/p/q", "d.io"),
+      ("https://b.org,", "b.org,"),
+      ("https://c.net#frag", "c.net")))
+  }
 }
