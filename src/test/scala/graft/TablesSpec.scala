@@ -150,6 +150,38 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("genuine PDF bytes → RealPdf runs → table cells end-to-end") {
+    // a real (minimal) PDF whose content stream paints a 3x3 grid of
+    // cell texts at column x = 72/202/332, row y = 700/680/660, 11 pt —
+    // through the genuine parser the estimate path gives each glyph
+    // 0.5 em × 11 pt, so cell bboxes are exactly predictable
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val content = (for { r <- 0 until 3; c <- 0 until 3 } yield {
+      val x = 72 + c * 130; val y = 700 - r * 20
+      s"BT /F1 11 Tf $x $y Td (t${r}c$c) Tj ET"
+    }).mkString(" ").getBytes("ISO-8859-1")
+    val pdf = (("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .getBytes("ISO-8859-1")) ++ content ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+    val runs = graft.extract.RealPdf.parse(pdf, 1).head.runs
+    assert(runs.size == 9)
+    val cells = Tables.detectPage(runs.toSeq)
+    assert(cells.size == 9 &&
+      cells.forall(c => c.nRows == 3 && c.nCols == 3 && c.tableId == 0))
+    cells.foreach { c =>
+      assert(c.text == s"t${c.row}c${c.col}")
+      val x = 72.0 + c.col * 130; val y = 700.0 - c.row * 20
+      // 4 glyphs × 0.5 em × 11 pt = 22 pt wide, 11 pt tall
+      assert(c.x0 == x && c.y0 == y && c.y1 == y + 11)
+      assert(math.abs(c.x1 - (x + 22.0)) < 1e-9)
+    }
+  }
+
   test("Spark wrapper: shuffle-order insensitive, matches per-page fn") {
     import spark.implicits._
     val docs = (0 until 24).map(TableGen.doc)
