@@ -397,6 +397,22 @@ object SparkEntry {
       graft.ops.TableExtract.cells(runs)
         .orderBy("doc_id", "page", "table_id", "row", "col")
     }),
+    "q_table_tsv" -> ((s, dir) => {
+      // table → TSV serialization (the LLM-corpus form): same TableGen
+      // corpus, cells aggregated to one blob per table with two
+      // codegen'd sort_array/array_join aggregations — no UDF.
+      // Oracle = TableGen's generator-computed TSV.
+      import s.implicits._
+      val runs = s.createDataset((0 until 24).map(graft.gen.TableGen.doc))
+        .flatMap { d =>
+          d.spans.iterator
+            .flatMap(sp => graft.extract.PdfTokenizer.tokenize(sp.text, 1))
+            .flatMap(pg => pg.runs.iterator.map(r =>
+              (d.doc_id, pg.page, r.x0, r.y0, r.x1, r.y1, r.text)))
+        }.toDF("doc_id", "page", "x0", "y0", "x1", "y1", "text")
+      graft.ops.TableExtract.toTsv(graft.ops.TableExtract.cells(runs))
+        .orderBy("doc_id", "page", "table_id")
+    }),
     "q_chunk_text" -> ((s, dir) => {
       // RAG chunking: 32-token windows, stride 24 (8-token overlap) —
       // one codegen'd pass + posexplode, no shuffle before the sort
@@ -1084,6 +1100,12 @@ object SparkEntry {
         .toDF("doc_id", "page", "table_id", "row", "col", "x0", "y0",
           "x1", "y1", "text", "n_rows", "n_cols")
     }),
+    "q_table_tsv" -> ((s, dir) => {
+      // generator ground truth: the TSV blobs TableGen's cells imply
+      import s.implicits._
+      graft.gen.TableGen.expectedTsv(24)
+        .toDF("doc_id", "page", "table_id", "n_rows", "n_cols", "tsv")
+    }),
     "q_rep_ratio" -> ((s, dir) => {
       // plain-twin repetition signals over the (small) documents dim
       import s.implicits._
@@ -1166,6 +1188,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_page_furniture/*.parquet'",
     "q_table_cells" ->
       s"SELECT * FROM '$ExpectedToken/q_table_cells/*.parquet'",
+    "q_table_tsv" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_tsv/*.parquet'",
     "q_chunk_text" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),

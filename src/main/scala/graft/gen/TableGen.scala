@@ -76,7 +76,23 @@ object TableGen {
     * table_id, row, col, x0, y0, x1, y1, text, n_rows, n_cols).
     */
   def expected(n: Int): Seq[(String, Int, Int, Int, Int, Double, Double,
-                             Double, Double, String, Int, Int)] = {
+                             Double, Double, String, Int, Int)] =
+    expectedByVariant(n)
+
+  /** Expected `q_table_tsv` rows: the cells grouped to one TSV blob per
+    * table — (doc_id, page, table_id, n_rows, n_cols, tsv). */
+  def expectedTsv(n: Int): Seq[(String, Int, Int, Int, Int, String)] =
+    expected(n).groupBy(c => (c._1, c._2, c._3)).toSeq
+      .sortBy(_._1)
+      .map { case ((id, page, tid), cells) =>
+        val tsv = cells.groupBy(_._4).toSeq.sortBy(_._1)
+          .map { case (_, rowCells) =>
+            rowCells.sortBy(_._5).map(_._10).mkString("\t")
+          }.mkString("\n")
+        (id, page, tid, cells.head._11, cells.head._12, tsv)
+      }
+
+  private def expectedByVariant(n: Int) = {
     def gridCells(i: Int, id: String, page: Int, tableId: Int, t: Int,
                   topY: Double, nRows: Int, nCols: Int,
                   skip: Set[(Int, Int)] = Set.empty) =

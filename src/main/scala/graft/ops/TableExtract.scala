@@ -58,4 +58,28 @@ object TableExtract {
       }(Encoders.product[TableCell])
       .toDF()
   }
+
+  /** Serialize detected tables to one TSV text blob each — the form an
+    * LLM training corpus ingests (present cells joined by tab in
+    * column order, rows by newline; sparse holes collapse). Input is
+    * [[cells]]'s output; returns (doc_id, page, table_id, n_rows,
+    * n_cols, tsv). Two codegen'd aggregations, no UDF: cells →
+    * sort_array(collect_list(struct…)) → array_join, so the only
+    * exchanges are the two keyed groupBys (the second is a prefix of
+    * the first's key — AQE coalesces them into co-partitioned stages).
+    */
+  def toTsv(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    cells
+      .groupBy("doc_id", "page", "table_id", "row")
+      .agg(first("n_rows").as("n_rows"), first("n_cols").as("n_cols"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("col"), col("text")))),
+          x => x.getField("text")), "\t").as("row_text"))
+      .groupBy("doc_id", "page", "table_id")
+      .agg(first("n_rows").as("n_rows"), first("n_cols").as("n_cols"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("row"), col("row_text")))),
+          x => x.getField("row_text")), "\n").as("tsv"))
+  }
 }

@@ -150,6 +150,21 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("toTsv: rows by newline, cells by tab, holes collapse") {
+    import spark.implicits._
+    val rs = Seq(
+      run(72, 700, 40, 12, "a"), run(200, 700, 40, 12, "b"),
+      run(330, 700, 40, 12, "c"),
+      run(72, 680, 40, 12, "d"), /* hole at (1,1) */
+      run(330, 680, 40, 12, "f"))
+    val df = rs.map(r => ("d1", 1, r.x0, r.y0, r.x1, r.y1, r.text))
+      .toDF("doc_id", "page", "x0", "y0", "x1", "y1", "text")
+    val tsv = graft.ops.TableExtract.toTsv(
+        graft.ops.TableExtract.cells(df))
+      .as[(String, Int, Int, Int, Int, String)].collect().toSeq
+    assert(tsv == Seq(("d1", 1, 0, 2, 3, "a\tb\tc\nd\tf")))
+  }
+
   test("genuine PDF bytes → RealPdf runs → table cells end-to-end") {
     // a real (minimal) PDF whose content stream paints a 3x3 grid of
     // cell texts at column x = 72/202/332, row y = 700/680/660, 11 pt —
