@@ -1,6 +1,6 @@
 package graft.extract
 
-import graft.core.Run
+import graft.core.{ExtractionSpec, InputDoc, Run}
 import scala.collection.mutable.ArrayBuffer
 
 /** Table reconstruction from positioned runs — the classic downstream of
@@ -194,6 +194,35 @@ object Tables {
       }
     }
     flush()
+    out.result()
+  }
+
+  /** Per-doc fused detection — the zero-shuffle ingest-time path:
+    * tokenize the doc's pdf spans with the extractor's document-global
+    * page numbering (same `spanOrdering` + firstPage threading as
+    * [[Extractor.extractRows]]) and detect each page's tables locally.
+    * Calling this inside the extraction `mapPartitions` stage yields
+    * exactly the rows [[graft.ops.TableExtract.cells]] computes from
+    * materialized runs, with no extra exchange (TablesSpec pins the
+    * parity). Returns (page, cell) pairs.
+    */
+  def detectDoc(doc: InputDoc, minRows: Int = 2, minCols: Int = 2,
+                cellGap: Double = 1.0, rowGap: Double = 2.0)
+      : Vector[(Int, Cell)] = {
+    val spans = if (doc.spans == null) Vector.empty
+                else doc.spans.sorted(ExtractionSpec.spanOrdering)
+    var pageCounter = 0
+    val out = Vector.newBuilder[(Int, Cell)]
+    spans.foreach { s =>
+      if (s.kind == "pdf") {
+        val pages = PdfTokenizer.tokenize(s.text, pageCounter + 1)
+        if (pages.nonEmpty) pageCounter = pages.last.page
+        pages.foreach { pg =>
+          detectPage(pg.runs.toSeq, minRows, minCols, cellGap, rowGap)
+            .foreach(c => out += ((pg.page, c)))
+        }
+      }
+    }
     out.result()
   }
 

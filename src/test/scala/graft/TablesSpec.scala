@@ -197,6 +197,18 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fused per-doc path == materialized-runs path on the full corpus") {
+    val got = (0 until 24).flatMap { i =>
+      val d = TableGen.doc(i)
+      Tables.detectDoc(d).map { case (page, c) =>
+        (d.doc_id, page, c.tableId, c.row, c.col, c.x0, c.y0, c.x1,
+         c.y1, c.text, c.nRows, c.nCols)
+      }
+    }.sortBy(t => (t._1, t._2, t._3, t._4, t._5))
+    assert(got == TableGen.expected(24)
+      .sortBy(t => (t._1, t._2, t._3, t._4, t._5)))
+  }
+
   test("Spark wrapper: shuffle-order insensitive, matches per-page fn") {
     import spark.implicits._
     val docs = (0 until 24).map(TableGen.doc)
