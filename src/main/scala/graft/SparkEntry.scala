@@ -397,6 +397,22 @@ object SparkEntry {
       graft.ops.TableExtract.cells(runs)
         .orderBy("doc_id", "page", "table_id", "row", "col")
     }),
+    "q_table_cells_pdf" -> ((s, dir) => {
+      // table recovery from GENUINE PDF bytes: per-doc real PDFs built
+      // distributed, parsed by the real parser (RealPdf), then the same
+      // per-page clustering. Oracle = TableGen's estimate-path-exact
+      // generator ground truth (glyph = 0.5 em × 11 pt).
+      import s.implicits._
+      val runs = s.createDataset(0 until 18)
+        .flatMap { i =>
+          val doc = f"rtdoc_$i%03d"
+          graft.extract.RealPdf.parse(graft.gen.TableGen.pdfBytes(i), 1)
+            .iterator.flatMap(pg => pg.runs.iterator.map(r =>
+              (doc, pg.page, r.x0, r.y0, r.x1, r.y1, r.text)))
+        }.toDF("doc_id", "page", "x0", "y0", "x1", "y1", "text")
+      graft.ops.TableExtract.cells(runs)
+        .orderBy("doc_id", "page", "table_id", "row", "col")
+    }),
     "q_table_tsv" -> ((s, dir) => {
       // table → TSV serialization (the LLM-corpus form): same TableGen
       // corpus, cells aggregated to one blob per table with two
@@ -1106,6 +1122,13 @@ object SparkEntry {
       graft.gen.TableGen.expectedTsv(24)
         .toDF("doc_id", "page", "table_id", "n_rows", "n_cols", "tsv")
     }),
+    "q_table_cells_pdf" -> ((s, dir) => {
+      // generator ground truth: estimate-path-exact cell bboxes
+      import s.implicits._
+      graft.gen.TableGen.expectedPdf(18)
+        .toDF("doc_id", "page", "table_id", "row", "col", "x0", "y0",
+          "x1", "y1", "text", "n_rows", "n_cols")
+    }),
     "q_rep_ratio" -> ((s, dir) => {
       // plain-twin repetition signals over the (small) documents dim
       import s.implicits._
@@ -1190,6 +1213,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_cells/*.parquet'",
     "q_table_tsv" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv/*.parquet'",
+    "q_table_cells_pdf" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_cells_pdf/*.parquet'",
     "q_chunk_text" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -79,6 +79,50 @@ object TableGen {
                              Double, Double, String, Int, Int)] =
     expectedByVariant(n)
 
+  // ---- genuine-PDF variant (q_table_cells_pdf) ----
+  // One real (minimal classic-xref-free) PDF per doc: a title line, an
+  // R×C grid of cell texts each painted by its own Td/Tj at column
+  // x = 72 + c*130, row y = 700 - r*20, 11 pt, and a footer. Through
+  // graft.extract.RealPdf the estimate path gives every glyph
+  // 0.5 em × 11 pt = 5.5 pt, so the expected cell bboxes are exact.
+
+  def pdfRows(i: Int): Int = 2 + i % 3
+  def pdfCols(i: Int): Int = 2 + i % 2
+  private def pdfCellText(i: Int, r: Int, c: Int) = s"v${i}_${r}_$c"
+
+  def pdfBytes(i: Int): Array[Byte] = {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val paints = new StringBuilder
+    paints ++= s"BT /F1 11 Tf 72 760 Td (Genuine table doc $i) Tj ET "
+    for { r <- 0 until pdfRows(i); c <- 0 until pdfCols(i) } paints ++=
+      s"BT /F1 11 Tf ${72 + c * 130} ${700 - r * 20} Td " +
+        s"(${pdfCellText(i, r, c)}) Tj ET "
+    paints ++= s"BT /F1 11 Tf 72 40 Td (Footer $i) Tj ET"
+    val content = paints.toString.getBytes("ISO-8859-1")
+    (("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>") +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .getBytes("ISO-8859-1")) ++ content ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+  }
+
+  /** Expected `q_table_cells_pdf` rows (same columns as [[expected]]):
+    * estimate-path glyph width 5.5 pt makes x1 exact. */
+  def expectedPdf(n: Int): Seq[(String, Int, Int, Int, Int, Double,
+                                Double, Double, Double, String, Int, Int)] =
+    (0 until n).flatMap { i =>
+      val id = f"rtdoc_$i%03d"
+      for { r <- 0 until pdfRows(i); c <- 0 until pdfCols(i) } yield {
+        val tx = pdfCellText(i, r, c)
+        val x0 = 72.0 + c * 130; val y0 = 700.0 - r * 20
+        (id, 1, 0, r, c, x0, y0, x0 + 5.5 * tx.length, y0 + 11.0, tx,
+         pdfRows(i), pdfCols(i))
+      }
+    }
+
   /** Expected `q_table_tsv` rows: the cells grouped to one TSV blob per
     * table — (doc_id, page, table_id, n_rows, n_cols, tsv). */
   def expectedTsv(n: Int): Seq[(String, Int, Int, Int, Int, String)] =
