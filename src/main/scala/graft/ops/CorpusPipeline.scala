@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
   * operators in this package:
   *
   *   0. normalization         (TextOps.normalizeWs — opt-in, lossless)
+  *   0½. domain blocklist     (drop docs citing a blocked domain —
+  *                             opt-in, the C4-style provenance gate)
   *   1. PII scrubbing         (TextOps.redactPii)
   *   2. quality gate          (TextOps.qualityScore >= minQuality;
   *                             opt-in Gopher repetition gate)
@@ -52,6 +54,11 @@ object CorpusPipeline {
     // pass 0: whitespace/control normalization (TextOps.normalizeWs) —
     // opt-in, applied before PII scrubbing; drops nothing
     normalize: Boolean = false,
+    // stage 0½: drop any doc whose text cites a blocked domain (C4's
+    // badwords/blocklist gate, applied to provenance instead of
+    // content). Empty = stage skipped; map-side higher-order filter,
+    // no shuffle.
+    blockedDomains: Seq[String] = Seq.empty,
     // CCNet-style LM quality gate (functions.NgramLmScore): train a
     // Stupid-Backoff bigram LM on the first lmTrainDocs of the
     // language-filtered corpus and drop docs whose mean log10 prob
@@ -86,10 +93,19 @@ object CorpusPipeline {
       if (!cfg.normalize) input
       else input.withColumn(textCol, TextOps.normalizeWs(col(textCol)))
 
+    // stage 0½ (opt-in): provenance blocklist BEFORE the redaction
+    // checkpoint — dropped docs never pay the PII regex chain, and the
+    // filter is a codegen'd exists() over the extracted URLs
+    val domainOk =
+      if (cfg.blockedDomains.isEmpty) normalized
+      else count("domain_filter", normalized.where(!exists(
+        TextOps.extractUrls(col(textCol)),
+        u => TextOps.urlDomain(u).isin(cfg.blockedDomains: _*))))
+
     // materialize the redacted corpus ONCE — every later stage count and
     // both dedup passes would otherwise re-run the scan + three regex
     // passes from source
-    val redacted = normalized.withColumn(textCol,
+    val redacted = domainOk.withColumn(textCol,
       TextOps.redactPii(col(textCol))).localCheckpoint()
 
     val quality0 = count("quality_gate", redacted.where(

@@ -968,6 +968,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!counts2.map(_.stage).contains("repetition_gate"))
   }
 
+  test("pipeline domain blocklist: docs citing blocked domains dropped, stage absent at defaults") {
+    import spark.implicits._
+    val base = docsDf.select("doc_id", "text").where(col("doc_id") < 40)
+    val tainted = Seq(
+      (9000001L, "perfectly natural text that nonetheless cites " +
+        "https://spam.example/landing?x=1 somewhere in the middle of it " +
+        "with plenty of ordinary running words around the citation too"),
+      (9000002L, "equally natural text citing https://fine.example/page " +
+        "which is NOT on the blocklist and therefore must survive the " +
+        "provenance gate along with the rest of this clean corpus"))
+      .toDF("doc_id", "text")
+    val (clean, counts) = CorpusPipeline.clean(base.union(tainted),
+      "doc_id", "text",
+      CorpusPipeline.Config(minQuality = 0.0,
+        blockedDomains = Seq("spam.example", "malware.example")))
+    assert(counts.map(_.stage).contains("domain_filter"))
+    val ids = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9000001L), "blocked-domain doc survived")
+    assert(ids.contains(9000002L), "unblocked-domain doc wrongly dropped")
+    assert(ids.contains(20L)) // url-free organic docs pass untouched
+    // defaults = gate off: stage list unchanged for existing callers
+    val (_, counts2) = CorpusPipeline.clean(base, "doc_id", "text",
+      CorpusPipeline.Config())
+    assert(!counts2.map(_.stage).contains("domain_filter"))
+  }
+
   test("corpus pipeline decontamination: docs leaking eval windows are dropped") {
     val base = docsDf.select("doc_id", "text").where(col("doc_id") < 60)
     // eval set = the full text of docs 10 and 11 — those corpus docs leak
