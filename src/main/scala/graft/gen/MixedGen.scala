@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 8`:
+  * File kinds by `i % 9`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -37,7 +37,14 @@ package graft.gen
   *                        titular scan/OCR corpus class);
   *   7 → `jbig_NNNN.pdf`  scanned-style with a JBIG2-coded full-page
   *                        image ([[Jbig2Gen.makeScanPdf]] — template/
-  *                        TPGDON/MMR mix varies by index).
+  *                        TPGDON/MMR mix varies by index);
+  *   8 → `memo_NNNN.docx` genuine WordprocessingML zip: known
+  *                        paragraphs (one entity- and tab-bearing),
+  *                        an embedded image blip inside the second
+  *                        paragraph (emits BEFORE that paragraph's
+  *                        text, [[graft.extract.DocxExtractor]]
+  *                        tag-position rule), and a dangling r:embed
+  *                        that must stay silent.
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -53,13 +60,14 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 8: @unchecked) match {
+  def fileName(i: Int): String = (i % 9: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
     case 5         => f"img_$i%04d.png"
     case 6         => f"scan_$i%04d.pdf"
     case 7         => f"jbig_$i%04d.pdf"
+    case 8         => f"memo_$i%04d.docx"
   }
 
   // ---------- shared text ----------
@@ -217,6 +225,79 @@ object MixedGen {
        |""".stripMargin
   }
 
+  // ---------- DOCX ----------
+
+  private def nParas(i: Int): Int = 3 + i % 3
+
+  /** Paragraph texts AS EXTRACTED (entities decoded, tab literal) — the
+    * ground truth; [[makeDocx]] writes the XML-escaped forms.
+    */
+  private def docxParas(i: Int): Seq[String] =
+    (s"Docx memo $i overview paragraph for the mixed corpus." +:
+      lines(i, "Memo", nParas(i))) :+
+      s"Closing café note m${(i * 23) % 883}\twith a literal tab."
+
+  private def docxImage(i: Int): String = "media/image1.png"
+
+  /** Genuine WordprocessingML zip. Deterministic: fixed entry times,
+    * STORED method (no deflate-implementation dependence in the bytes).
+    */
+  private def makeDocx(i: Int): Array[Byte] = {
+    val paras = docxParas(i)
+    val bodyParas = paras.zipWithIndex.map { case (t, j) =>
+      val runs = new StringBuilder("<w:pPr><w:jc w:val=\"left\"/></w:pPr>")
+      if (j == 1) // blip INSIDE the second paragraph → emits before it
+        runs.append("<w:r><w:drawing><a:graphic><a:graphicData>" +
+          "<a:blip r:embed=\"rId1\"/>" +
+          "</a:graphicData></a:graphic></w:drawing></w:r>")
+      if (j == paras.length - 1) {
+        // written escaped + via w:tab; decodes back to docxParas form
+        val Array(pre, post) = t.split('\t')
+        runs.append(s"<w:r><w:t>${pre.replace("café", "caf&#233;")}" +
+          "</w:t><w:tab/><w:t>" + post + "</w:t></w:r>")
+        // a dangling relationship id — must never emit
+        runs.append("<w:r><w:drawing><a:blip r:embed=\"rId404\"/>" +
+          "</w:drawing></w:r>")
+      } else runs.append(s"<w:r><w:t>$t</w:t></w:r>")
+      s"<w:p>$runs</w:p>"
+    }
+    val documentXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"""" +
+        """ xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"""" +
+        """ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        s"<w:body>${bodyParas.mkString}<w:p/></w:body></w:document>"
+    val relsXml =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        s"""<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/image" Target="${docxImage(i)}"/>""" +
+        "</Relationships>"
+    val contentTypes =
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Default Extension="png" ContentType="image/png"/></Types>"""
+    zipStored(
+      "[Content_Types].xml" -> contentTypes.getBytes("UTF-8"),
+      "word/document.xml" -> documentXml.getBytes("UTF-8"),
+      "word/_rels/document.xml.rels" -> relsXml.getBytes("UTF-8"),
+      s"word/${docxImage(i)}" -> makePng(i))
+  }
+
+  private def zipStored(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, bytes) =>
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(0L)
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(bytes.length.toLong)
+      val crc = new java.util.zip.CRC32(); crc.update(bytes)
+      e.setCrc(crc.getValue)
+      z.putNextEntry(e); z.write(bytes); z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
   // ---------- txt / media ----------
 
   private def makeTxt(i: Int): String =
@@ -228,7 +309,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 8: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 9: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -238,6 +319,7 @@ object MixedGen {
     case 6 => CcittGen.makeScanPdf(i)
     case 7 => Jbig2Gen.makeScanPdf(i, template = (i / 8) % 4,
       tpgdon = i % 2 == 0, mmr = i % 5 == 0)
+    case 8 => makeDocx(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -251,7 +333,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 8: @unchecked) match {
+    (i % 9: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -287,6 +369,16 @@ object MixedGen {
       case 7 => Seq(
         GtRow(f, "pdf", s"Jbig $i caption\n", null, 0),
         GtRow(f, "image", null, s"$f#img0:obj5", 1))
+      case 8 =>
+        // paragraphs as verbatim "text" rows; the blip sits inside the
+        // SECOND paragraph, so its media row precedes that text row
+        // (ex_mixed's media_ref tail reduction turns
+        // `memo.docx#media/image1.png` into `image1.png`)
+        val ps = docxParas(i)
+        (GtRow(f, "text", ps.head, null, 0) +:
+          GtRow(f, "image", null, "image1.png", 1) +:
+          ps.tail.zipWithIndex.map { case (t, k) =>
+            GtRow(f, "text", t, null, k + 2) })
     }
   }
 }

@@ -31,7 +31,7 @@ object RawFiles {
 
   private val TextExt: Map[String, String] = Map(
     "pdf" -> "pdf", "html" -> "html", "htm" -> "html",
-    "txt" -> "text", "text" -> "text")
+    "txt" -> "text", "text" -> "text", "docx" -> "docx")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -66,9 +66,17 @@ object RawFiles {
     * recoverable via `RealPdf.imageBytes(bytes, N)`; offsets 1..k in
     * content-stream order, so [[graft.core.ExtractionSpec]]'s offset
     * ordering reproduces the document's own text→media sequence).
-    * Everything else decodes as a single UTF-8 span. ONE definition
-    * shared by the batch directory reader and the streaming source, so
-    * the two ingestion paths cannot drift.
+    * Genuine DOCX (zip magic + `word/document.xml`) decodes through
+    * [[graft.extract.DocxExtractor]] into the spec's EXISTING
+    * vocabulary — one verbatim "text" span per paragraph plus one
+    * media span per embedded blip (media_ref `<path>#<relsTarget>`,
+    * payloads recoverable via [[docxMediaPayload]]), offsets in
+    * document order — so [[graft.core.ExtractionSpec]] needs no new
+    * kind. Everything else decodes as a single UTF-8 span (a
+    * non-archive `.docx` falls back to a "text" span — "docx" is an
+    * ingest classification, never a span kind). ONE definition shared
+    * by the batch directory reader and the streaming source, so the
+    * two ingestion paths cannot drift.
     */
   private[graft] def docSpans(kind: String, path: String,
                               bytes: Array[Byte]): Vector[Span] =
@@ -81,8 +89,29 @@ object RawFiles {
           val tail = if (im.objNum > 0) s"obj${im.objNum}" else "inline"
           Span("image", null, s"$path#img${im.seq}:$tail", im.seq + 1)
         }
-    } else Vector(Span(kind,
+    } else if (kind == "docx" && graft.extract.DocxExtractor.isDocx(bytes)) {
+      graft.extract.DocxExtractor.items(bytes).zipWithIndex.map {
+        case (graft.extract.DocxExtractor.Text(t), k) =>
+          Span("text", t, null, k)
+        case (graft.extract.DocxExtractor.Media(mk, ref), k) =>
+          Span(mk, null, s"$path#$ref", k)
+      }
+    } else Vector(Span(if (kind == "docx") "text" else kind,
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8), null, 0))
+
+  /** Byte-fetch for a DOCX media span minted by [[docSpans]]: the ref
+    * tail after `#` is the relationship Target, resolved against the
+    * ORIGINAL archive bytes (part `word/<target>`). The DOCX half of
+    * the media-by-reference contract ([[pdfImagePayload]] is the PDF
+    * half).
+    */
+  def docxMediaPayload(docxBytes: Array[Byte],
+                       mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf('#')
+    if (h < 0) None
+    else graft.extract.DocxExtractor.mediaPayload(
+      docxBytes, mediaRef.substring(h + 1))
+  }
 
   /** Recover the CODEC-READY payload behind a media span minted by
     * [[docSpans]]: a media_ref of the form `<path>#img<seq>:obj<N>`

@@ -117,6 +117,46 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RawFiles.pdfImagePayload(pdfBytes, "no-fragment.pdf").isEmpty)
   }
 
+  test("genuine DOCX decodes to interleaved text+media spans at the ingest boundary") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-docx")
+    // MixedGen variant 8 (i=8): known paragraphs + one embedded image
+    Files.write(dir.resolve("memo_0008.docx"), graft.gen.MixedGen.fileBytes(8))
+    // a .docx that is NOT a zip falls back to a verbatim "text" span —
+    // "docx" is an ingest classification, never a span kind
+    Files.writeString(dir.resolve("fake.docx"), "just plain bytes")
+    val docs = RawFiles.read(spark, dir.toString).collect()
+      .map(d => d.doc_id -> d).toMap
+    val memo = docs("memo_0008.docx").spans.sortBy(_.offset)
+    // generator ground truth: para 0, image (inside para 1 → precedes
+    // it), remaining paras — shape from MixedGen.expected, not a parser
+    val gt = graft.gen.MixedGen.expected(9)
+      .filter(_.doc_id == "memo_0008.docx")
+    val wantKinds = gt.map(_.kind).toVector
+    assert(wantKinds.take(3) == Vector("text", "image", "text"))
+    assert(memo.map(_.kind) == wantKinds)
+    assert(memo.map(s => Option(s.text)) == gt.map(r => Option(r.text)))
+    assert(memo.head.text ==
+      "Docx memo 8 overview paragraph for the mixed corpus.")
+    assert(memo(1).media_ref.endsWith("memo_0008.docx#media/image1.png"))
+    assert(memo.last.text.contains("café") && memo.last.text.contains("\t"))
+    assert(memo.map(_.offset) == memo.indices.toVector)
+    assert(docs("fake.docx").spans ==
+      Vector(Span("text", "just plain bytes", null, 0)))
+    // extraction passes the interleaved sequence through unchanged
+    val rows = Extractor.extractRows(docs("memo_0008.docx"))
+    assert(rows.map(_.kind) == wantKinds)
+    assert(rows.map(_.order) == memo.indices.toVector)
+    // …and RefOracle agrees (the dual-impl invariant covers docx docs)
+    val oracleRows = RefOracle.extract(docs("memo_0008.docx"))
+    assert(rows.map(r => (r.kind, r.text, r.media_ref, r.order)) ==
+      oracleRows.outSpans.map(o => (o.kind, o.text, o.media_ref, o.order)))
+    // byte-fetch half: the media ref resolves back to the stored part
+    val bytes = Files.readAllBytes(dir.resolve("memo_0008.docx"))
+    val payload = RawFiles.docxMediaPayload(bytes, memo(1).media_ref)
+    assert(payload.exists(_.nonEmpty))
+  }
+
   test("spans-table JSON + flat-CSV staging roundtrip to the parquet shape") {
     import spark.implicits._
     val docs = CorpusGen.corpus(42L, 30).filter(_.spans.nonEmpty)
