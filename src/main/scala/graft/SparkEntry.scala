@@ -306,6 +306,29 @@ object SparkEntry {
           countDistinct("doc_id").as("n_docs"))
         .orderBy("domain")
     }),
+    "q_pdf_links" -> ((s, dir) => {
+      // the PDF half of the provenance stage: /Link annotation URIs +
+      // display-mapped rects from GENUINE pdf bytes (LinkGen fixtures:
+      // direct + indirect /A actions, /Rotate 90 thirds, GoTo/Square/
+      // action-less decoys), domains via the same urlDomain the C4
+      // blocklist stage uses. Oracle: generator ground truth with an
+      // independently hand-derived rotation mapping.
+      import s.implicits._
+      val tmp = scratchDir("graft-links")
+      graft.gen.LinkGen.write(tmp, 36)
+      s.read.format("binaryFile").load(tmp)
+        .select(col("path"), col("content"))
+        .flatMap { r =>
+          val path = r.getString(0)
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          graft.extract.RealPdf.links(r.getAs[Array[Byte]]("content"))
+            .map(l => (name, l.page, l.uri, l.x0, l.y0, l.x1, l.y1))
+        }
+        .toDF("doc_id", "page", "uri", "x0", "y0", "x1", "y1")
+        .withColumn("domain", TextOps.urlDomain(col("uri")))
+        .select("doc_id", "page", "uri", "domain", "x0", "y0", "x1", "y1")
+        .orderBy("doc_id", "page", "uri")
+    }),
     "q_lm_score" -> ((s, dir) => {
       // CCNet-style LM quality gate: Stupid-Backoff bigram model
       // trained on the doc_id<200 sample (two distributed aggregates,
@@ -1130,6 +1153,15 @@ object SparkEntry {
         .toDF("doc_id", "page", "table_id", "row", "col", "x0", "y0",
           "x1", "y1", "text", "n_rows", "n_cols")
     }),
+    "q_pdf_links" -> ((s, dir) => {
+      // generator ground truth: the URIs/domains LinkGen wrote, rects
+      // through its own hand-derived 90° mapping
+      import s.implicits._
+      graft.gen.LinkGen.expected(36)
+        .map(g => (g.doc_id, g.page, g.uri, g.domain,
+          g.x0, g.y0, g.x1, g.y1))
+        .toDF("doc_id", "page", "uri", "domain", "x0", "y0", "x1", "y1")
+    }),
     "q_rep_ratio" -> ((s, dir) => {
       // plain-twin repetition signals over the (small) documents dim
       import s.implicits._
@@ -1216,6 +1248,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv/*.parquet'",
     "q_table_cells_pdf" ->
       s"SELECT * FROM '$ExpectedToken/q_table_cells_pdf/*.parquet'",
+    "q_pdf_links" ->
+      s"SELECT * FROM '$ExpectedToken/q_pdf_links/*.parquet'",
     "q_chunk_text" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),

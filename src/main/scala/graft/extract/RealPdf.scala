@@ -151,18 +151,7 @@ object RealPdf {
         // rotation as the page-level affine base (forms compose onto
         // it). A non-zero MediaBox origin translates by (−llx, −lly)
         // FIRST — cropped scans put text at page-local coordinates.
-        val rot = ((rotRaw % 360) + 360) % 360
-        val (pw, ph, r) = rot match {
-          case 90  => (h, w, Array(0.0, -1.0, 1.0, 0.0, 0.0, w))
-          case 180 => (w, h, Array(-1.0, 0.0, 0.0, -1.0, w, h))
-          case 270 => (h, w, Array(0.0, 1.0, -1.0, 0.0, h, 0.0))
-          case _   => (w, h, IdentityM)
-        }
-        val base =
-          if (ox == 0.0 && oy == 0.0) r
-          else Array(r(0), r(1), r(2), r(3),
-            -ox * r(0) - oy * r(2) + r(4),
-            -ox * r(1) - oy * r(3) + r(5))
+        val (pw, ph, base) = displayBase(ox, oy, w, h, rotRaw)
         val page = PdfTokenizer.Page(pageNo, pw, ph, new ArrayBuffer[Run])
         try {
           val content = contentOf(dict, objs)
@@ -174,6 +163,96 @@ object RealPdf {
       }
       (pages, ctx.images.toVector)
     } catch { case _: Exception => (Vector.empty, Vector.empty) }
+
+  /** (pageWidth, pageHeight, base display matrix) for one page's
+    * /MediaBox origin + /Rotate — the §7.7.3.3 display transform
+    * SHARED by text geometry ([[parseDoc]]) and annotation rectangles
+    * ([[links]]), so a link's bbox lands in the same coordinate frame
+    * as the text runs it overlays.
+    */
+  private def displayBase(ox: Double, oy: Double, w: Double, h: Double,
+                          rotRaw: Int): (Double, Double, Array[Double]) = {
+    val rot = ((rotRaw % 360) + 360) % 360
+    val (pw, ph, r) = rot match {
+      case 90  => (h, w, Array(0.0, -1.0, 1.0, 0.0, 0.0, w))
+      case 180 => (w, h, Array(-1.0, 0.0, 0.0, -1.0, w, h))
+      case 270 => (h, w, Array(0.0, 1.0, -1.0, 0.0, h, 0.0))
+      case _   => (w, h, IdentityM)
+    }
+    val base =
+      if (ox == 0.0 && oy == 0.0) r
+      else Array(r(0), r(1), r(2), r(3),
+        -ox * r(0) - oy * r(2) + r(4),
+        -ox * r(1) - oy * r(3) + r(5))
+    (pw, ph, base)
+  }
+
+  /** One external hyperlink: a /Subtype /Link annotation whose action
+    * is /S /URI (ISO 32000 §12.5.6.5 + §12.6.4.7). `page` is 1-based;
+    * the bbox is the annotation /Rect mapped through the page's
+    * display transform (MediaBox origin + /Rotate) and normalized to
+    * x0<=x1, y0<=y1 — the same bottom-left-origin frame as text runs,
+    * so link rects overlay the [[Run]] geometry directly.
+    */
+  final case class PdfLink(page: Int, uri: String,
+                           x0: Double, y0: Double, x1: Double, y1: Double)
+
+  /** External URI links of a genuine PDF, page order then /Annots array
+    * order. Internal links (/Dest or GoTo actions) and non-link
+    * annotations are skipped; malformed entries degrade silently (never
+    * throws). URI strings decode like text strings (PDFDocEncoding ≈
+    * Latin-1, or UTF-16BE with BOM). Limitation (declared): in an
+    * encrypted PDF, annotation dicts stored as DIRECT objects keep
+    * their /URI strings encrypted (string-level decryption is
+    * stream-scoped here) — modern writers put annots in ObjStms, which
+    * decrypt correctly.
+    */
+  def links(bytes: Array[Byte]): Vector[PdfLink] =
+    try {
+      val objs = scanObjects(bytes)
+      var pageNo = 0
+      pageTree(objs).flatMap { case (dict, (ox, oy, w, h), _, rotRaw) =>
+        pageNo += 1
+        val (_, _, base) = displayBase(ox, oy, w, h, rotRaw)
+        val annots = dictGet(dict, "Annots", objs) match {
+          case PArr(items) => items
+          case _           => Vector.empty
+        }
+        annots.flatMap { a =>
+          val ad = resolve(a, objs)
+          val isLink = dictGet(ad, "Subtype", objs) == PName("Link")
+          val uri =
+            if (!isLink) None
+            else dictGet(ad, "A", objs) match {
+              case act: PDict if dictGet(act, "S", objs) == PName("URI") =>
+                dictGet(act, "URI", objs) match {
+                  case PStr(b) => Some(decodeText(b))
+                  case _       => None
+                }
+              case _ => None
+            }
+          uri.flatMap { u =>
+            dictGet(ad, "Rect", objs) match {
+              case PArr(r0) if r0.length == 4 =>
+                val ns = r0.map(resolve(_, objs))
+                  .collect { case PNum(v) => v }
+                if (ns.length != 4) None
+                else {
+                  def tx(x: Double, y: Double): (Double, Double) =
+                    (base(0) * x + base(2) * y + base(4),
+                     base(1) * x + base(3) * y + base(5))
+                  val (ax, ay) = tx(ns(0), ns(1))
+                  val (bx, by) = tx(ns(2), ns(3))
+                  Some(PdfLink(pageNo, u,
+                    math.min(ax, bx), math.min(ay, by),
+                    math.max(ax, bx), math.max(ay, by)))
+                }
+              case _ => None
+            }
+          }
+        }
+      }
+    } catch { case _: Exception => Vector.empty }
 
   /** Payload bytes of image XObject `objNum` with its non-image filters
     * undone: Flate/LZW/RunLength/ASCIIHex/ASCII85 stages are decoded,

@@ -1285,4 +1285,51 @@ class RealPdfSpec extends AnyFunSuite {
     val g = RealPdf.parse(cjkPdf("CNS-EUC-H", "D6D0"), 1)
     assert(g(0).runs.map(_.text).toList == List("�"))
   }
+
+  test("link annotations: URI links with display-mapped rects; decoys skipped") {
+    // unrotated doc (i=0, even → INDIRECT /A object): identity mapping;
+    // the GoTo (/Dest), /Square, and action-less decoys never emit
+    val l0 = RealPdf.links(graft.gen.LinkGen.fileBytes(0))
+    assert(l0 == Vector(
+      RealPdf.PdfLink(1, "https://site0.example/page0?ref=a0",
+        72, 700, 200, 714),
+      RealPdf.PdfLink(1, "http://blog0.example/post0",
+        72, 650, 260, 664)))
+    // rotated doc (i=2, /Rotate 90 on 612×792): (x,y) → (y, 612−x),
+    // normalized corners — matches LinkGen's independent hand mapping
+    val l2 = RealPdf.links(graft.gen.LinkGen.fileBytes(2))
+    assert(l2 == Vector(
+      RealPdf.PdfLink(1, "https://site2.example/page2?ref=a2",
+        700, 412, 714, 540),
+      RealPdf.PdfLink(1, "http://blog2.example/post2",
+        650, 352, 664, 540)))
+    // text extraction is unaffected by the annotation army
+    val pages = RealPdf.parse(graft.gen.LinkGen.fileBytes(0), 1)
+    assert(pages.length == 1 &&
+      pages(0).runs.forall(_.text.startsWith("Link doc 0")))
+  }
+
+  test("link annotations: UTF-16BE /URI decodes; malformed bytes degrade") {
+    // a hex-string URI with BOM — PDFDocEncoding's UTF-16 escape hatch
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val uri16 = "FEFF" + "http://é.example/a".map(c => f"${c.toInt}%04X").mkString
+    val pdf = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Annots [ " +
+        s"<< /Subtype /Link /Rect [1 2 3 4] /A << /S /URI /URI <$uri16> >> >> " +
+        "<< /Subtype /Link /Rect [9] /A << /S /URI /URI (short rect) >> >> ] >>") +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(RealPdf.links(pdf) ==
+      Vector(RealPdf.PdfLink(1, "http://é.example/a", 1, 2, 3, 4)))
+    // mutation storm over the LinkGen fixtures: links() degrades, never
+    // throws — these bytes feed the q_pdf_links driver query
+    var seed = 424242
+    def next(n: Int): Int = { seed = seed * 1103515245 + 12347; math.abs(seed) % n }
+    (0 until 150).foreach { i =>
+      val b = graft.gen.LinkGen.fileBytes(i % 9)
+      (0 until 1 + next(25)).foreach(_ => b(next(b.length)) = next(256).toByte)
+      RealPdf.links(b)
+    }
+  }
 }
