@@ -79,7 +79,24 @@ object RawFiles {
     * two ingestion paths cannot drift.
     */
   private[graft] def docSpans(kind: String, path: String,
-                              bytes: Array[Byte]): Vector[Span] =
+                              bytes: Array[Byte]): Vector[Span] = {
+    // CONTENT MAGIC overrides extension within the text-kind family:
+    // web corpora routinely misname files (a crawler's `.txt` that is
+    // really a PDF, a CMS download endpoint serving DOCX as `.html`).
+    // Only payloads that START with a binary container magic reroute
+    // (%PDF- / zip-with-word/document.xml) — anything else keeps its
+    // suffix classification, so genuine text never misroutes. Files
+    // OUTSIDE the text suffixes are untouched: the reference's suffix
+    // filter (media by reference, unknown dropped) stays authoritative.
+    val kindEff =
+      if (graft.extract.RealPdf.isPdf(bytes)) "pdf"
+      else if (graft.extract.DocxExtractor.isDocx(bytes)) "docx"
+      else kind
+    docSpansDispatch(kindEff, path, bytes)
+  }
+
+  private def docSpansDispatch(kind: String, path: String,
+                               bytes: Array[Byte]): Vector[Span] =
     if (kind == "pdf" && graft.extract.RealPdf.isPdf(bytes)) {
       val (pages, images) = graft.extract.RealPdf.parseDoc(bytes, 1)
       Span("pdf", graft.extract.RealPdf.toContentStream(pages), null, 0) +:

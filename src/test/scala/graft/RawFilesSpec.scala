@@ -157,6 +157,31 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(payload.exists(_.nonEmpty))
   }
 
+  test("content magic overrides a lying extension within the text-kind family") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-sniff")
+    // a genuine PDF saved as .txt (crawler artifact) → positioned spans
+    Files.write(dir.resolve("really_a.txt"),
+      graft.tools.RealPdfBench.makePdf(7L, 0))
+    // a genuine DOCX served as .html (CMS endpoint) → paragraph spans
+    Files.write(dir.resolve("download.html"), graft.gen.MixedGen.fileBytes(8))
+    // honest text stays text — even mentioning %PDF- mid-file
+    Files.writeString(dir.resolve("notes.txt"),
+      "the %PDF- magic only counts at byte 0 of the payload")
+    val docs = RawFiles.read(spark, dir.toString).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(docs("really_a.txt").spans.head.kind == "pdf")
+    assert(Extractor.extractRows(docs("really_a.txt"))
+      .exists(r => r.text != null && r.text.nonEmpty && r.page.contains(1)))
+    val memo = docs("download.html").spans.sortBy(_.offset)
+    assert(memo.map(_.kind).take(3) == Vector("text", "image", "text"))
+    assert(memo.head.text ==
+      "Docx memo 8 overview paragraph for the mixed corpus.")
+    assert(docs("notes.txt").spans ==
+      Vector(Span("text",
+        "the %PDF- magic only counts at byte 0 of the payload", null, 0)))
+  }
+
   test("spans-table JSON + flat-CSV staging roundtrip to the parquet shape") {
     import spark.implicits._
     val docs = CorpusGen.corpus(42L, 30).filter(_.spans.nonEmpty)
