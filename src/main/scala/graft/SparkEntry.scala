@@ -329,6 +329,25 @@ object SparkEntry {
         .select("doc_id", "page", "uri", "domain", "x0", "y0", "x1", "y1")
         .orderBy("doc_id", "page", "uri")
     }),
+    "q_pdf_outline" -> ((s, dir) => {
+      // document TOC recovery: /Outlines preorder walk (title, depth,
+      // target page) from the same genuine fixtures as q_pdf_links —
+      // /Dest arrays AND /GoTo actions resolve, outline-free quarters
+      // contribute nothing. Oracle: generator ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-outline")
+      graft.gen.LinkGen.write(tmp, 36)
+      s.read.format("binaryFile").load(tmp)
+        .select(col("path"), col("content"))
+        .flatMap { r =>
+          val path = r.getString(0)
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          graft.extract.RealPdf.outline(r.getAs[Array[Byte]]("content"))
+            .map(o => (name, o.pos, o.depth, o.title, o.page))
+        }
+        .toDF("doc_id", "pos", "depth", "title", "page")
+        .orderBy("doc_id", "pos")
+    }),
     "q_lm_score" -> ((s, dir) => {
       // CCNet-style LM quality gate: Stupid-Backoff bigram model
       // trained on the doc_id<200 sample (two distributed aggregates,
@@ -1162,6 +1181,13 @@ object SparkEntry {
           g.x0, g.y0, g.x1, g.y1))
         .toDF("doc_id", "page", "uri", "domain", "x0", "y0", "x1", "y1")
     }),
+    "q_pdf_outline" -> ((s, dir) => {
+      // generator ground truth: the preorder TOC LinkGen wrote
+      import s.implicits._
+      graft.gen.LinkGen.expectedOutline(36)
+        .map(g => (g.doc_id, g.pos, g.depth, g.title, g.page))
+        .toDF("doc_id", "pos", "depth", "title", "page")
+    }),
     "q_rep_ratio" -> ((s, dir) => {
       // plain-twin repetition signals over the (small) documents dim
       import s.implicits._
@@ -1250,6 +1276,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_cells_pdf/*.parquet'",
     "q_pdf_links" ->
       s"SELECT * FROM '$ExpectedToken/q_pdf_links/*.parquet'",
+    "q_pdf_outline" ->
+      s"SELECT * FROM '$ExpectedToken/q_pdf_outline/*.parquet'",
     "q_chunk_text" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),

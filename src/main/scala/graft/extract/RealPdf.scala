@@ -254,6 +254,120 @@ object RealPdf {
       }
     } catch { case _: Exception => Vector.empty }
 
+  /** One document-outline (bookmark) entry: `pos` is the 0-based
+    * preorder position across the whole tree, `depth` the nesting level
+    * (top chapters = 0), `page` the 1-based target page (0 when the
+    * destination is absent or unresolvable). The outline IS the
+    * document's table of contents (ISO 32000 §12.3.3) — the structural
+    * metadata a corpus pipeline wants next to the prose.
+    */
+  final case class PdfOutline(pos: Int, depth: Int, title: String, page: Int)
+
+  /** Document outline in preorder (/First child chain, /Next sibling
+    * chain from /Root → /Outlines). Titles decode like text strings
+    * (PDFDocEncoding ≈ Latin-1, or UTF-16BE with BOM); the target page
+    * resolves from the first element of /Dest (or a /GoTo action's /D)
+    * against the page tree's object numbers. Cycles, bombs, and
+    * malformed nodes degrade silently — a crafted /Next loop must not
+    * hang an executor (preorder is capped at 10k entries, depth 64).
+    */
+  def outline(bytes: Array[Byte]): Vector[PdfOutline] =
+    try {
+      val objs = scanObjects(bytes)
+      // 1-based page number by page OBJECT number — dest arrays point at
+      // pages by reference, so numbering must follow refs, not dicts
+      val pageNum = scala.collection.mutable.HashMap.empty[Int, Int]
+      locally {
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        def walk(ref: PObj, depth: Int): Unit = ref match {
+          case PRef(n) if depth <= 64 && seen.add(n) =>
+            val node = resolve(ref, objs)
+            dictGet(node, "Type", objs) match {
+              case PName("Pages") => dictGet(node, "Kids", objs) match {
+                case PArr(kids) => kids.foreach(walk(_, depth + 1))
+                case _          => ()
+              }
+              case PName("Page") => pageNum(n) = pageNum.size + 1
+              case _             => ()
+            }
+          case _ => ()
+        }
+        objs.collectFirst { case (_, Indirect(d @ PDict(m), _, _))
+            if m.get("Type").contains(PName("Catalog")) => d }
+          .foreach { cat =>
+            cat match {
+              case PDict(m) => m.get("Pages") match {
+                case Some(r: PRef) => walk(r, 0)
+                case _             => ()
+              }
+              case _ => ()
+            }
+          }
+      }
+      def pageOf(node: PObj): Int = {
+        val dest = dictGet(node, "Dest", objs) match {
+          case PNull => dictGet(node, "A", objs) match {
+            case a: PDict if dictGet(a, "S", objs) == PName("GoTo") =>
+              dictGet(a, "D", objs)
+            case _ => PNull
+          }
+          case d => d
+        }
+        dest match {
+          case PArr(items) if items.nonEmpty => items.head match {
+            case PRef(n) => pageNum.getOrElse(n, 0)
+            case _       => 0
+          }
+          case _ => 0
+        }
+      }
+      val out = Vector.newBuilder[PdfOutline]
+      val seen = scala.collection.mutable.HashSet.empty[Int]
+      var pos = 0
+      def walkItems(first: PObj, depth: Int): Unit = {
+        var cur = first
+        var hops = 0
+        while (cur != PNull && pos < 10000 && depth <= 64 && hops < 10000) {
+          hops += 1
+          val guard = cur match {
+            case PRef(n) => seen.add(n) // a revisited ref = cycle: stop
+            case _       => true
+          }
+          if (!guard) return
+          val node = resolve(cur, objs)
+          dictGet(node, "Title", objs) match {
+            case PStr(b) =>
+              out += PdfOutline(pos, depth, decodeText(b), pageOf(node))
+              pos += 1
+            case _ => ()
+          }
+          node match {
+            case PDict(m) => m.get("First") match {
+              case Some(f) => walkItems(f, depth + 1)
+              case None    => ()
+            }
+            case _ => ()
+          }
+          cur = node match {
+            case PDict(m) => m.getOrElse("Next", PNull)
+            case _        => PNull
+          }
+        }
+      }
+      objs.collectFirst { case (_, Indirect(d @ PDict(m), _, _))
+          if m.get("Type").contains(PName("Catalog")) => d }
+        .foreach { cat =>
+          dictGet(cat, "Outlines", objs) match {
+            case o: PDict => o match {
+              case PDict(m) => m.get("First").foreach(walkItems(_, 0))
+              case _        => ()
+            }
+            case _ => ()
+          }
+        }
+      out.result()
+    } catch { case _: Exception => Vector.empty }
+
   /** Payload bytes of image XObject `objNum` with its non-image filters
     * undone: Flate/LZW/RunLength/ASCIIHex/ASCII85 stages are decoded,
     * while a DCTDecode/JPXDecode stage passes the remaining bytes

@@ -44,6 +44,7 @@ object LinkGen {
       c.toString
     }
     val rot = if (rotated(i)) " /Rotate 90" else ""
+    val outlined = hasOutline(i)
     // annots: A (direct action), B (indirect action for even i),
     // internal GoTo decoy, /Square decoy, action-less link decoy
     val aB =
@@ -53,7 +54,22 @@ object LinkGen {
     sb.append("%PDF-1.5\n")
     sb.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
       .append(content).append("\nendstream\nendobj\n")
-    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R" +
+      (if (outlined) " /Outlines 5 0 R" else "") + " >>\nendobj\n")
+    if (outlined) {
+      val ts = outlineTitles(i)
+      sb.append("5 0 obj\n<< /Type /Outlines /First 8 0 R /Last 9 0 R " +
+        "/Count 3 >>\nendobj\n")
+      sb.append(s"8 0 obj\n<< /Title (${ts(0)}) /Parent 5 0 R " +
+        "/Dest [3 0 R /Fit] /Next 9 0 R /First 10 0 R /Last 10 0 R " +
+        "/Count 1 >>\nendobj\n")
+      // chapter 2 targets via a /GoTo ACTION, not /Dest — both §12.3.2
+      // destination forms must resolve
+      sb.append(s"9 0 obj\n<< /Title (${ts(2)}) /Parent 5 0 R " +
+        "/A << /S /GoTo /D [3 0 R /Fit] >> >>\nendobj\n")
+      sb.append(s"10 0 obj\n<< /Title (${ts(1)}) /Parent 8 0 R " +
+        "/Dest [3 0 R /Fit] >>\nendobj\n")
+    }
     sb.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 " +
       "/MediaBox [0 0 612 792] >>\nendobj\n")
     sb.append(s"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R$rot " +
@@ -91,6 +107,29 @@ object LinkGen {
       val (bx, by) = (y1, 612.0 - x1)
       (math.min(ax, bx), math.min(ay, by),
        math.max(ax, bx), math.max(ay, by))
+    }
+  }
+
+  private def hasOutline(i: Int): Boolean = i % 4 != 3
+
+  /** Preorder titles: chapter 1, its child section, chapter 2 (the
+    * accented chapter pins PDFDocEncoding≈Latin-1 title decode).
+    */
+  private def outlineTitles(i: Int): Seq[String] = Seq(
+    s"Chapter 1 of doc $i",
+    s"Section 1.1 m${(i * 29) % 883}",
+    s"Chapter 2 résumé $i")
+
+  final case class GtOutline(doc_id: String, pos: Int, depth: Int,
+                             title: String, page: Int)
+
+  def expectedOutline(n: Int): Seq[GtOutline] = (0 until n).flatMap { i =>
+    if (!hasOutline(i)) Seq.empty
+    else {
+      val f = fileName(i)
+      val ts = outlineTitles(i)
+      Seq(GtOutline(f, 0, 0, ts(0), 1), GtOutline(f, 1, 1, ts(1), 1),
+          GtOutline(f, 2, 0, ts(2), 1))
     }
   }
 

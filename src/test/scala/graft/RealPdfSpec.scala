@@ -1309,6 +1309,38 @@ class RealPdfSpec extends AnyFunSuite {
       pages(0).runs.forall(_.text.startsWith("Link doc 0")))
   }
 
+  test("outline: preorder walk, /Dest and /GoTo targets, cycles terminate") {
+    // LinkGen doc 0: chapter (Dest) → child section → chapter 2 (GoTo
+    // action); Latin-1 accents in the title decode via PDFDocEncoding
+    val o0 = RealPdf.outline(graft.gen.LinkGen.fileBytes(0))
+    assert(o0 == Vector(
+      RealPdf.PdfOutline(0, 0, "Chapter 1 of doc 0", 1),
+      RealPdf.PdfOutline(1, 1, "Section 1.1 m0", 1),
+      RealPdf.PdfOutline(2, 0, "Chapter 2 résumé 0", 1)))
+    // doc 3 (i % 4 == 3) carries no /Outlines
+    assert(RealPdf.outline(graft.gen.LinkGen.fileBytes(3)).isEmpty)
+    // a crafted /Next cycle must terminate, keeping the pre-cycle items
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val cyclic = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R >>") +
+      obj(5, "<< /Type /Outlines /First 8 0 R >>") +
+      obj(8, "<< /Title (loop a) /Next 9 0 R >>") +
+      obj(9, "<< /Title (loop b) /Next 8 0 R >>") +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(RealPdf.outline(cyclic).map(_.title) ==
+      Vector("loop a", "loop b"))
+    // mutation storm: outline() degrades, never throws or hangs
+    var seed = 777
+    def next(n: Int): Int = { seed = seed * 1103515245 + 12347; math.abs(seed) % n }
+    (0 until 150).foreach { i =>
+      val b = graft.gen.LinkGen.fileBytes(i % 9)
+      (0 until 1 + next(25)).foreach(_ => b(next(b.length)) = next(256).toByte)
+      RealPdf.outline(b)
+    }
+  }
+
   test("link annotations: UTF-16BE /URI decodes; malformed bytes degrade") {
     // a hex-string URI with BOM — PDFDocEncoding's UTF-16 escape hatch
     def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
