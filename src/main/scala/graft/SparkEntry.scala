@@ -135,10 +135,11 @@ object SparkEntry {
     "ex_mixed" -> ((s, dir) => {
       // mixed-format directory ingestion, driver-visible: genuine PDFs
       // (text-only / image-XObject / form-XObject / CCITT-G4 / JBIG2
-      // scanned ninths), HTML pages with known boilerplate AND embedded
+      // scanned tenths), HTML pages with known boilerplate AND embedded
       // media, plain-text notes, genuine DOCX memos (paragraph text +
-      // embedded-image blips), and standalone media files in ONE
-      // scratch tree, through the production binaryFile
+      // embedded-image blips), Markdown posts (headings / soft-wrapped
+      // paragraphs / lists / fenced code / image refs), and standalone
+      // media files in ONE scratch tree, through the production binaryFile
       // scan → RawFiles classification → Extractor. Output is the
       // north-rule span invariant (kind, text, media_ref, order);
       // media_ref reduced to its path-independent tail so the result

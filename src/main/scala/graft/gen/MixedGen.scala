@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 9`:
+  * File kinds by `i % 10`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -60,7 +60,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 9: @unchecked) match {
+  def fileName(i: Int): String = (i % 10: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -68,6 +68,7 @@ object MixedGen {
     case 6         => f"scan_$i%04d.pdf"
     case 7         => f"jbig_$i%04d.pdf"
     case 8         => f"memo_$i%04d.docx"
+    case 9         => f"post_$i%04d.md"
   }
 
   // ---------- shared text ----------
@@ -298,6 +299,43 @@ object MixedGen {
     bos.toByteArray
   }
 
+  // ---------- markdown ----------
+
+  private def mdFig(i: Int): String = s"fig_$i.png"
+
+  /** Blocks AS EXTRACTED (markers stripped, soft wraps joined, image
+    * read as alt text, code verbatim) — the ground truth; [[makeMd]]
+    * writes the marked-up form.
+    */
+  private def mdBlocks(i: Int): Seq[String] = Seq(
+    s"Post $i heading m${(i * 31) % 883}",
+    s"Intro paragraph of post $i with a useful link in it " +
+      s"soft-wrapped for m${(i * 7) % 883}.",
+    s"figure chart $i",
+    s"item one m${(i * 11) % 883} item two continues the run",
+    s"val x$i = ${i * 3} // verbatim code for post $i",
+    s"Quoted closing thought m${(i * 13) % 883} for post $i.")
+
+  private def makeMd(i: Int): String = {
+    val b = mdBlocks(i)
+    s"""# ${b(0)}
+       |
+       |Intro paragraph of post $i with a [useful link](https://ex${i % 5}.example/p$i) in it
+       |soft-wrapped for m${(i * 7) % 883}.
+       |
+       |![${b(2)}](${mdFig(i)} "Figure")
+       |
+       |- item one m${(i * 11) % 883}
+       |- item two continues the run
+       |
+       |```scala
+       |${b(4)}
+       |```
+       |
+       |> ${b(5)}
+       |""".stripMargin
+  }
+
   // ---------- txt / media ----------
 
   private def makeTxt(i: Int): String =
@@ -309,7 +347,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 9: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 10: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -320,6 +358,7 @@ object MixedGen {
     case 7 => Jbig2Gen.makeScanPdf(i, template = (i / 8) % 4,
       tpgdon = i % 2 == 0, mmr = i % 5 == 0)
     case 8 => makeDocx(i)
+    case 9 => makeMd(i).getBytes("UTF-8")
   }
 
   def write(dir: String, n: Int): Unit =
@@ -333,7 +372,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 9: @unchecked) match {
+    (i % 10: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -379,6 +418,19 @@ object MixedGen {
           GtRow(f, "image", null, "image1.png", 1) +:
           ps.tail.zipWithIndex.map { case (t, k) =>
             GtRow(f, "text", t, null, k + 2) })
+      case 9 =>
+        // markdown blocks as "text" rows; the figure image emits at tag
+        // position — before its own alt-text paragraph block (external
+        // URL refs pass through verbatim, like HTML src)
+        val b = mdBlocks(i)
+        Seq(
+          GtRow(f, "text", b(0), null, 0),
+          GtRow(f, "text", b(1), null, 1),
+          GtRow(f, "image", null, mdFig(i), 2),
+          GtRow(f, "text", b(2), null, 3),
+          GtRow(f, "text", b(3), null, 4),
+          GtRow(f, "text", b(4), null, 5),
+          GtRow(f, "text", b(5), null, 6))
     }
   }
 }

@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *   genuine PDF bytes additionally yield one "image" media span per
   *   embedded-image occurrence — see [[docSpans]]);
   *   .html/.htm → one "html" span; .txt/.text → one "text" span;
+  *   .md/.markdown → decoded at ingest by [[graft.extract.MdExtractor]]
+  *   into "text" spans (one per block) + media spans (one per image
+  *   reference, URL verbatim);
   *   image/audio/video extensions → one media span passing the file
   *   path through as media_ref (bytes stay in the store — the north
   *   rule's media-by-reference semantics); anything else is dropped,
@@ -31,7 +34,8 @@ object RawFiles {
 
   private val TextExt: Map[String, String] = Map(
     "pdf" -> "pdf", "html" -> "html", "htm" -> "html",
-    "txt" -> "text", "text" -> "text", "docx" -> "docx")
+    "txt" -> "text", "text" -> "text", "docx" -> "docx",
+    "md" -> "md", "markdown" -> "md")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -113,6 +117,19 @@ object RawFiles {
         case (graft.extract.DocxExtractor.Media(mk, ref), k) =>
           Span(mk, null, s"$path#$ref", k)
       }
+    } else if (kind == "md") {
+      // Markdown decodes at the ingest boundary like DOCX — text blocks
+      // as "text" spans, image/media references as media spans with the
+      // URL passing through VERBATIM (external reference, like an HTML
+      // src attribute; there is no archive to resolve against).
+      graft.extract.MdExtractor
+        .items(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        .zipWithIndex.map {
+          case (graft.extract.MdExtractor.Block(t), k) =>
+            Span("text", t, null, k)
+          case (graft.extract.MdExtractor.Media(mk, ref), k) =>
+            Span(mk, null, ref, k)
+        }
     } else Vector(Span(if (kind == "docx") "text" else kind,
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8), null, 0))
 

@@ -157,6 +157,32 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(payload.exists(_.nonEmpty))
   }
 
+  test("markdown decodes to text blocks + referenced media at the ingest boundary") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-md")
+    // MixedGen variant 9 (i=9): heading/para/figure/list/code/quote
+    Files.write(dir.resolve("post_0009.md"), graft.gen.MixedGen.fileBytes(9))
+    val docs = RawFiles.read(spark, dir.toString).collect()
+      .map(d => d.doc_id -> d).toMap
+    val post = docs("post_0009.md").spans.sortBy(_.offset)
+    // shape from MixedGen.expected (generator ground truth, not a parser)
+    val gt = graft.gen.MixedGen.expected(10)
+      .filter(_.doc_id == "post_0009.md")
+    assert(post.map(_.kind) == gt.map(_.kind).toVector)
+    assert(post.map(s => Option(s.text)) == gt.map(r => Option(r.text)))
+    // the image reference passes through VERBATIM — an external URL,
+    // not an archive part (unlike DOCX blips)
+    val img = post.find(_.kind == "image").get
+    assert(img.media_ref == "fig_9.png")
+    assert(post.map(_.offset) == post.indices.toVector)
+    // extraction passes the interleaved sequence through unchanged,
+    // and RefOracle agrees
+    val rows = Extractor.extractRows(docs("post_0009.md"))
+    val oracleRows = RefOracle.extract(docs("post_0009.md"))
+    assert(rows.map(r => (r.kind, r.text, r.media_ref, r.order)) ==
+      oracleRows.outSpans.map(o => (o.kind, o.text, o.media_ref, o.order)))
+  }
+
   test("content magic overrides a lying extension within the text-kind family") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft-sniff")
