@@ -349,6 +349,32 @@ object SparkEntry {
         .toDF("doc_id", "pos", "depth", "title", "page")
         .orderBy("doc_id", "pos")
     }),
+    "q_pdf_formfields" -> ((s, dir) => {
+      // filled-form recovery: AcroForm field values never enter content
+      // streams (they render via appearance XObjects), so the layout
+      // walk is blind to them — this surfaces (qualified name, type,
+      // value, display-mapped widget rect) per field. FormGen fixtures:
+      // merged widgets, /FT+/V inheritance through a field tree,
+      // checkbox state names, multi-select choice arrays, UTF-16BE hex
+      // values, blank fields, /Sig decoys, /Rotate 90 thirds,
+      // form-less quarters. Oracle: generator ground truth with the
+      // independent hand-derived rotation mapping.
+      import s.implicits._
+      val tmp = scratchDir("graft-forms")
+      graft.gen.FormGen.write(tmp, 36)
+      s.read.format("binaryFile").load(tmp)
+        .select(col("path"), col("content"))
+        .flatMap { r =>
+          val path = r.getString(0)
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          graft.extract.RealPdf.formFields(r.getAs[Array[Byte]]("content"))
+            .map(ff => (name, ff.pos, ff.page, ff.name, ff.ftype,
+              ff.value, ff.x0, ff.y0, ff.x1, ff.y1))
+        }
+        .toDF("doc_id", "pos", "page", "name", "ftype", "value",
+          "x0", "y0", "x1", "y1")
+        .orderBy("doc_id", "pos")
+    }),
     "q_lm_score" -> ((s, dir) => {
       // CCNet-style LM quality gate: Stupid-Backoff bigram model
       // trained on the doc_id<200 sample (two distributed aggregates,
@@ -1189,6 +1215,16 @@ object SparkEntry {
         .map(g => (g.doc_id, g.pos, g.depth, g.title, g.page))
         .toDF("doc_id", "pos", "depth", "title", "page")
     }),
+    "q_pdf_formfields" -> ((s, dir) => {
+      // generator ground truth: the form fields FormGen wrote, rects
+      // through its own hand-derived 90° mapping
+      import s.implicits._
+      graft.gen.FormGen.expected(36)
+        .map(g => (g.doc_id, g.pos, g.page, g.name, g.ftype, g.value,
+          g.x0, g.y0, g.x1, g.y1))
+        .toDF("doc_id", "pos", "page", "name", "ftype", "value",
+          "x0", "y0", "x1", "y1")
+    }),
     "q_rep_ratio" -> ((s, dir) => {
       // plain-twin repetition signals over the (small) documents dim
       import s.implicits._
@@ -1279,6 +1315,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_pdf_links/*.parquet'",
     "q_pdf_outline" ->
       s"SELECT * FROM '$ExpectedToken/q_pdf_outline/*.parquet'",
+    "q_pdf_formfields" ->
+      s"SELECT * FROM '$ExpectedToken/q_pdf_formfields/*.parquet'",
     "q_chunk_text" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -368,6 +368,145 @@ object RealPdf {
       out.result()
     } catch { case _: Exception => Vector.empty }
 
+  final case class PdfFormField(pos: Int, page: Int, name: String,
+                                ftype: String, value: String,
+                                x0: Double, y0: Double,
+                                x1: Double, y1: Double)
+
+  /** Interactive AcroForm field values (ISO 32000 §12.7) in /Fields
+    * preorder: one row per terminal WIDGET. Names fully qualify down
+    * the field tree (`parent.child` via the /T chain); /FT and /V are
+    * inheritable field attributes (§12.7.3.1) so a kid without its own
+    * takes its ancestor's. Values decode like text strings
+    * (PDFDocEncoding ≈ Latin-1, or UTF-16BE with BOM); /Btn values are
+    * appearance-state NAMES (`Yes`/`Off`); multi-select /Ch arrays join
+    * with `", "`; an absent /V reads as `""` — a blank form is still a
+    * form. /Sig fields are skipped (no pos consumed). Rects map through
+    * the page display transform (MediaBox + /Rotate); the widget's page
+    * resolves by /Annots membership first, /P dict equality second,
+    * else 0 with an identity rect. Field VALUES never enter content
+    * streams — they render through appearance XObjects the layout walk
+    * ignores — so plain extraction cannot see them; this is the
+    * recovery path for filled-form corpora. Cycles and bombs degrade
+    * silently (preorder capped at 10k, depth 64; never throws).
+    * Reference scope: pdfminer's layout walk has no annotation access
+    * (/root/reference/setup.sql:72-91) — a north-rule extension, like
+    * [[links]] and [[outline]].
+    */
+  def formFields(bytes: Array[Byte]): Vector[PdfFormField] =
+    try {
+      val objs = scanObjects(bytes)
+      val idBase = Array[Double](1, 0, 0, 1, 0, 0)
+      // per-page: display base, annot-ref membership, the page dict
+      // itself (for /P equality fallback)
+      val annotPage =
+        scala.collection.mutable.HashMap.empty[Int, (Int, Array[Double])]
+      val pageDicts = Vector.newBuilder[(PObj, Int, Array[Double])]
+      var pageNo = 0
+      pageTree(objs).foreach { case (dict, (ox, oy, w, h), _, rotRaw) =>
+        pageNo += 1
+        val no = pageNo
+        val (_, _, base) = displayBase(ox, oy, w, h, rotRaw)
+        pageDicts += ((dict, no, base))
+        dictGet(dict, "Annots", objs) match {
+          case PArr(items) => items.foreach {
+            case PRef(n) => if (!annotPage.contains(n))
+              annotPage(n) = (no, base)
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+      val pages = pageDicts.result()
+      val out = Vector.newBuilder[PdfFormField]
+      var pos = 0
+      val seen = scala.collection.mutable.HashSet.empty[Int]
+      def valueOf(v: PObj): String = v match {
+        case PStr(b)     => decodeText(b)
+        case PName(n)    => n
+        case PArr(items) => items.map(x => valueOf(resolve(x, objs)))
+          .filter(_.nonEmpty).mkString(", ")
+        case _           => ""
+      }
+      def emit(d: PObj, refNum: Int, name: String, ft: String,
+               v: PObj): Unit = {
+        if (ft == "Sig") return
+        dictGet(d, "Rect", objs) match {
+          case PArr(r0) if r0.length == 4 =>
+            val ns = r0.map(resolve(_, objs)).collect { case PNum(x) => x }
+            if (ns.length != 4) return
+            val (pg, base) = annotPage.get(refNum).getOrElse {
+              dictGet(d, "P", objs) match {
+                case pd: PDict =>
+                  pages.collectFirst { case (q, no, b) if q == pd =>
+                    (no, b) }.getOrElse((0, idBase))
+                case _ => (0, idBase)
+              }
+            }
+            def tx(x: Double, y: Double): (Double, Double) =
+              (base(0) * x + base(2) * y + base(4),
+               base(1) * x + base(3) * y + base(5))
+            val (ax, ay) = tx(ns(0), ns(1))
+            val (bx, by) = tx(ns(2), ns(3))
+            val ftype = ft match {
+              case "Tx"  => "text"
+              case "Btn" => "button"
+              case "Ch"  => "choice"
+              case ""    => "unknown"
+              case other => other.toLowerCase
+            }
+            out += PdfFormField(pos, pg, name, ftype, valueOf(v),
+              math.min(ax, bx), math.min(ay, by),
+              math.max(ax, bx), math.max(ay, by))
+            pos += 1
+          case _ => ()
+        }
+      }
+      def walk(ref: PObj, parentName: String, inhFt: String, inhV: PObj,
+               depth: Int): Unit = {
+        if (depth > 64 || pos >= 10000) return
+        val refNum = ref match {
+          case PRef(n) => if (seen.add(n)) n else return
+          case _       => -1
+        }
+        resolve(ref, objs) match {
+          case d: PDict =>
+            val name = dictGet(d, "T", objs) match {
+              case PStr(b) if parentName.isEmpty => decodeText(b)
+              case PStr(b) => s"$parentName.${decodeText(b)}"
+              case _       => parentName
+            }
+            val ft = dictGet(d, "FT", objs) match {
+              case PName(x) => x
+              case _        => inhFt
+            }
+            val v = dictGet(d, "V", objs) match {
+              case PNull => inhV
+              case x     => x
+            }
+            dictGet(d, "Kids", objs) match {
+              case PArr(kids) if kids.nonEmpty =>
+                kids.foreach(walk(_, name, ft, v, depth + 1))
+              case _ => emit(d, refNum, name, ft, v)
+            }
+          case _ => ()
+        }
+      }
+      objs.collectFirst { case (_, Indirect(d @ PDict(m), _, _))
+          if m.get("Type").contains(PName("Catalog")) => d }
+        .foreach { cat =>
+          dictGet(cat, "AcroForm", objs) match {
+            case af: PDict => dictGet(af, "Fields", objs) match {
+              case PArr(fields) =>
+                fields.foreach(walk(_, "", "", PNull, 0))
+              case _ => ()
+            }
+            case _ => ()
+          }
+        }
+      out.result()
+    } catch { case _: Exception => Vector.empty }
+
   /** Payload bytes of image XObject `objNum` with its non-image filters
     * undone: Flate/LZW/RunLength/ASCIIHex/ASCII85 stages are decoded,
     * while a DCTDecode/JPXDecode stage passes the remaining bytes

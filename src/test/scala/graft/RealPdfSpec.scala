@@ -1364,4 +1364,52 @@ class RealPdfSpec extends AnyFunSuite {
       RealPdf.links(b)
     }
   }
+
+  test("AcroForm fields: qualified names, inheritance, UTF-16 values, sig decoys, rotation") {
+    import graft.gen.FormGen
+    // every fixture matches the generator's ground truth exactly —
+    // incl. /Rotate 90 thirds (independent hand mapping) and the
+    // form-less quarters (empty)
+    val want = FormGen.expected(36).groupBy(_.doc_id)
+    (0 until 36).foreach { i =>
+      val f = FormGen.fileName(i)
+      val got = RealPdf.formFields(FormGen.fileBytes(i)).map(ff =>
+        FormGen.GtField(f, ff.pos, ff.page, ff.name, ff.ftype, ff.value,
+          ff.x0, ff.y0, ff.x1, ff.y1))
+      assert(got == want.getOrElse(f, Seq.empty).toVector, s"doc $i")
+    }
+    // pin the load-bearing decodes explicitly
+    val f2 = RealPdf.formFields(FormGen.fileBytes(2))
+    assert(f2.find(_.name == "memo").get.value == "Memo № 2 ✓")
+    assert(f2.find(_.name == "addr.line2").get.value == "inherited 2")
+    assert(f2.find(_.name == "fullname").get.value == "José Müller 2")
+    assert(!f2.exists(_.ftype == "sig"))
+    // page text is unaffected by the form machinery
+    val pages = RealPdf.parse(FormGen.fileBytes(0), 1)
+    assert(pages.length == 1 &&
+      pages(0).runs.forall(_.text.startsWith("Form doc 0")))
+    // a /Kids cycle terminates; the self-reference is skipped while the
+    // legitimate kid still emits with its inherited value
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val cyclic = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R " +
+        "/AcroForm << /Fields [6 0 R] >> >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/MediaBox [0 0 612 792] >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Annots [7 0 R] >>") +
+      obj(6, "<< /FT /Tx /T (a) /V (v) /Kids [7 0 R 6 0 R] >>") +
+      obj(7, "<< /Subtype /Widget /T (b) /Rect [1 2 3 4] >>") +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(RealPdf.formFields(cyclic) ==
+      Vector(RealPdf.PdfFormField(0, 1, "a.b", "text", "v", 1, 2, 3, 4)))
+    // mutation storm: formFields() degrades, never throws or hangs —
+    // these bytes feed the q_pdf_formfields driver query
+    var seed = 31337
+    def next(n: Int): Int = { seed = seed * 1103515245 + 12347; math.abs(seed) % n }
+    (0 until 150).foreach { i =>
+      val b = FormGen.fileBytes(i % 9)
+      (0 until 1 + next(25)).foreach(_ => b(next(b.length)) = next(256).toByte)
+      RealPdf.formFields(b)
+    }
+  }
 }
