@@ -349,6 +349,55 @@ object SparkEntry {
         .toDF("doc_id", "pos", "depth", "title", "page")
         .orderBy("doc_id", "pos")
     }),
+    "q_table_tsv_html" -> ((s, dir) => {
+      // the HTML half of the table family: <table> DOM recovery into
+      // the same TSV vocabulary as positional-PDF grids and markdown
+      // pipes — data tables never clear the boilerpipe block gate (cells
+      // are short), so this is their only visibility path. HtmlTableGen
+      // fixtures: th headers, entity cells, <br>-in-cell, implicit
+      // </tr>/</td> closes, nested-in-cell tables (own id by open
+      // order), footer-wrapped layout tables (dropped), table-free
+      // fifths. Oracle: generator ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-htmltsv")
+      graft.gen.HtmlTableGen.write(tmp, 30)
+      s.read.format("binaryFile").load(tmp)
+        .select(col("path"), col("content"))
+        .flatMap { r =>
+          val path = r.getString(0)
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          val html = new String(r.getAs[Array[Byte]]("content"),
+            java.nio.charset.StandardCharsets.UTF_8)
+          graft.extract.HtmlExtractor.tables(html).zipWithIndex.map {
+            case (rows, tid) =>
+              (name, tid, rows.length, rows.map(_.length).max,
+                rows.map(_.mkString("\t")).mkString("\n"))
+          }
+        }
+        .toDF("doc_id", "table_id", "n_rows", "n_cols", "tsv")
+        .orderBy("doc_id", "table_id")
+    }),
+    "q_table_tsv_md" -> ((s, dir) => {
+      // markdown pipe tables land in the same TSV vocabulary as the
+      // positional-PDF table family (q_table_tsv): the md front end
+      // emits each GitHub table as ONE tab/newline-joined text block —
+      // recovered here from genuine .md files through the production
+      // ingest + extraction path. Oracle: generator ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-mdtsv")
+      (0 until 24).foreach { k =>
+        val i = 10 * k + 9
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
+          graft.gen.MixedGen.fileBytes(i)): Unit
+      }
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .where(col("text").contains("\t"))
+        .select(col("doc_id"), col("text").as("tsv"))
+        .orderBy("doc_id")
+    }),
     "q_pdf_formfields" -> ((s, dir) => {
       // filled-form recovery: AcroForm field values never enter content
       // streams (they render via appearance XObjects), so the layout
@@ -1215,6 +1264,21 @@ object SparkEntry {
         .map(g => (g.doc_id, g.pos, g.depth, g.title, g.page))
         .toDF("doc_id", "pos", "depth", "title", "page")
     }),
+    "q_table_tsv_html" -> ((s, dir) => {
+      // generator ground truth: the tables HtmlTableGen wrote
+      import s.implicits._
+      graft.gen.HtmlTableGen.expected(30)
+        .map(g => (g.doc_id, g.table_id, g.n_rows, g.n_cols, g.tsv))
+        .toDF("doc_id", "table_id", "n_rows", "n_cols", "tsv")
+    }),
+    "q_table_tsv_md" -> ((s, dir) => {
+      // generator ground truth: the pipe-table TSV each md doc carries
+      import s.implicits._
+      (0 until 24).map { k =>
+        val i = 10 * k + 9
+        (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
+      }.toDF("doc_id", "tsv")
+    }),
     "q_pdf_formfields" -> ((s, dir) => {
       // generator ground truth: the form fields FormGen wrote, rects
       // through its own hand-derived 90° mapping
@@ -1317,6 +1381,10 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_pdf_outline/*.parquet'",
     "q_pdf_formfields" ->
       s"SELECT * FROM '$ExpectedToken/q_pdf_formfields/*.parquet'",
+    "q_table_tsv_md" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_tsv_md/*.parquet'",
+    "q_table_tsv_html" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_chunk_text" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),

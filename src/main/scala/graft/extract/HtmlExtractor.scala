@@ -196,6 +196,135 @@ object HtmlExtractor {
     out.result()
   }
 
+  /** Structured `<table>` recovery — the HTML half of the engine's
+    * table family (positional-PDF grids → [[graft.extract.Tables]],
+    * markdown pipe tables → [[MdExtractor]]). The block machine above
+    * correctly treats table CELLS as boilerplate-length prose (they
+    * almost never clear MinBlockLen), so data tables are invisible to
+    * [[items]]; this walk recovers them as rows of cells instead.
+    *
+    * Exact spec (shared with the test twin):
+    *  - Same token grammar as [[items]]: tags / comments / raw-text
+    *    interiors (script/style) are skipped identically; a malformed
+    *    `<` is literal text.
+    *  - Boilerplate containers ([[BoilerTags]]) suppress tables inside
+    *    them entirely (nav/footer layout junk) — a `<table>` at boiler
+    *    depth > 0 and everything in it is dropped.
+    *  - `<table>` opens a collector (NESTED tables collect separately,
+    *    ids by OPEN order — a nested table's cells belong to it, not
+    *    the outer cell); `</table>` closes the innermost.
+    *  - `<tr>` opens a row (closing an open one — implicit close);
+    *    `</tr>` closes it. `<td>`/`<th>` opens a cell (closing an open
+    *    one; a cell outside any row opens an implicit row);
+    *    `</td>`/`</th>` closes it.
+    *  - Text accumulates into the open cell only (caption / between-row
+    *    text is dropped), entity-decoded like [[items]]; any OTHER
+    *    block tag ([[BlockTags]] minus the table family) inside an open
+    *    cell reads as one space (`<br>`, nested `<p>`). Cell text
+    *    normalizes at close (whitespace collapse + trim); empty cells
+    *    are KEPT (grid shape survives).
+    *  - A row is kept iff it has ≥1 cell; a table is kept iff it has
+    *    ≥1 row with ≥1 nonempty cell. Unclosed tables/rows/cells close
+    *    at end of input.
+    *
+    * Output: one entry per kept table in OPEN order — the rows of
+    * normalized cell texts.
+    */
+  def tables(html: String): Vector[Vector[Vector[String]]] = {
+    if (html == null) return Vector.empty
+    final class Ctx(val id: Int) {
+      val rows = ArrayBuffer.empty[Vector[String]]
+      val cells = ArrayBuffer.empty[String]
+      val cell = new java.lang.StringBuilder
+      var cellOpen = false
+      var rowOpen = false
+      def closeCell(): Unit = if (cellOpen) {
+        cells += normalize(cell.toString); cell.setLength(0)
+        cellOpen = false
+      }
+      def closeRow(): Unit = {
+        closeCell()
+        if (rowOpen && cells.nonEmpty) rows += cells.toVector
+        cells.clear(); rowOpen = false
+      }
+    }
+    val done = scala.collection.mutable.TreeMap
+      .empty[Int, Vector[Vector[String]]]
+    val stack = scala.collection.mutable.Stack.empty[Ctx]
+    var nextId = 0
+    var suppressed = 0 // boiler-depth <table> opens awaiting their close
+    var boilerDepth = 0
+    val TableFamily = Set("table", "tr", "td", "th")
+
+    def closeTable(): Unit = if (stack.nonEmpty) {
+      val t = stack.pop()
+      t.closeRow()
+      if (t.rows.exists(_.exists(_.nonEmpty))) done(t.id) = t.rows.toVector
+    }
+    def addText(t: String): Unit =
+      if (boilerDepth == 0 && suppressed == 0 && stack.nonEmpty &&
+          stack.top.cellOpen) stack.top.cell.append(t): Unit
+
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val gt = html.indexOf('>', i + 1)
+          val parsed = if (gt > i) parseTag(html, i, gt) else None
+          parsed match {
+            case Some((name, closing, _)) =>
+              val selfClosing = isSelfClosing(html, i, gt)
+              if (BoilerTags(name)) {
+                if (closing) { if (boilerDepth > 0) boilerDepth -= 1 }
+                else if (!selfClosing) boilerDepth += 1
+              } else if (name == "table") {
+                if (!closing) {
+                  if (boilerDepth > 0) suppressed += 1
+                  else { stack.push(new Ctx(nextId)); nextId += 1 }
+                } else {
+                  if (suppressed > 0) suppressed -= 1 else closeTable()
+                }
+              } else if (suppressed == 0 && boilerDepth == 0 &&
+                         stack.nonEmpty) {
+                val t = stack.top
+                name match {
+                  case "tr" => if (closing) t.closeRow()
+                               else { t.closeRow(); t.rowOpen = true }
+                  case "td" | "th" =>
+                    if (closing) t.closeCell()
+                    else {
+                      t.closeCell()
+                      if (!t.rowOpen) t.rowOpen = true
+                      t.cellOpen = true
+                    }
+                  case _ =>
+                    if (t.cellOpen && BlockTags(name) &&
+                        !TableFamily(name)) t.cell.append(' '): Unit
+                }
+              }
+              i = gt + 1
+              if (!closing && !selfClosing && RawTextTags(name))
+                i = rawTextEnd(html, i, name)
+            case None =>
+              addText("<"); i += 1
+          }
+        }
+      } else {
+        val next = html.indexOf('<', i)
+        val end = if (next < 0) n else next
+        addText(decodeEntities(html.substring(i, end)))
+        i = end
+      }
+    }
+    while (stack.nonEmpty) closeTable()
+    done.values.toVector
+  }
+
   /** Returns (lowercased tag name, isClosing, index just past the name)
     * if html(start..gt) is a well-formed tag, else None.
     */

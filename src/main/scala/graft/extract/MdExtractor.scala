@@ -31,6 +31,18 @@ import scala.collection.mutable.ArrayBuffer
   *    its own block (markers + the one space stripped, inline-processed,
   *    normalized). Trailing closing `#` runs are NOT stripped
   *    (declared simplification).
+  *  - PIPE TABLE (GitHub form): a maximal run of consecutive lines
+  *    whose trimmed form starts with `|` is a table iff it has ≥2
+  *    lines and line 2 is a DELIMITER row (after outer-pipe strip and
+  *    split on `|`, ≥1 cell, every cell trimmed matches `:?-+:?`).
+  *    The open paragraph flushes first; the table then emits as ONE
+  *    block — each non-delimiter line a row, cells inline-processed
+  *    and normalized, joined with TAB, rows joined with `\n` (the
+  *    engine's table-TSV vocabulary, same as the positional-PDF
+  *    `q_table_tsv` shape; ragged rows stay ragged, `\|` escapes are
+  *    not interpreted — declared). Cell media emit at tag position,
+  *    before the table block. A `|` run that is NOT a table (no
+  *    delimiter second line) reads as ordinary paragraph lines.
   *  - BLANK line (whitespace-only) outside a fence: paragraph boundary.
   *  - Any other line joins the open paragraph after per-line stripping:
   *    leading blockquote markers (`>` optionally followed by one
@@ -63,6 +75,7 @@ object MdExtractor {
 
   private val Heading = "^(#{1,6}) (.*)$".r
   private val ListMarker = "^\\s*(?:[-*+]|\\d{1,9}\\.)\\s+".r
+  private val DelimCell = "^:?-+:?$".r
   // group 1 = optional bang, 2 = alt/text, 3 = url, optional "title"
   private val InlineRef =
     "(!?)\\[([^\\]]*)\\]\\(\\s*([^)\\s]*)(?:\\s+\"[^\"]*\")?\\s*\\)".r
@@ -118,6 +131,32 @@ object MdExtractor {
       ListMarker.replaceFirstIn(s, "")
     }
 
+    def cellsOf(line: String): Vector[String] = {
+      var t = line.trim
+      if (t.startsWith("|")) t = t.substring(1)
+      if (t.endsWith("|")) t = t.substring(0, t.length - 1)
+      t.split("\\|", -1).toVector
+    }
+    def isDelimRow(line: String): Boolean = {
+      val cs = cellsOf(line).map(_.trim)
+      cs.nonEmpty && cs.forall(c => DelimCell.matches(c))
+    }
+
+    // candidate pipe-table run: buffered until a non-`|` line decides
+    val tbl = ArrayBuffer.empty[String]
+    def flushTable(): Unit = {
+      if (tbl.isEmpty) return
+      val run = tbl.toVector
+      tbl.clear()
+      if (run.length >= 2 && isDelimRow(run(1))) {
+        flushPara()
+        val rows = (run.head +: run.drop(2))
+          .map(l => cellsOf(l).map(c => normalize(inline(c)))
+            .mkString("\t"))
+        out += Block(rows.mkString("\n"))
+      } else run.foreach(l => para += inline(stripMarkers(l)))
+    }
+
     val split = md.split("\n", -1)
     val lines = (if (split.nonEmpty && split.last.isEmpty) split.init
                  else split).iterator.map(_.stripSuffix("\r"))
@@ -134,19 +173,25 @@ object MdExtractor {
         val ticks = trimmed.takeWhile(_ == '`').length
         if (ticks >= fenceLen && trimmed.drop(ticks).isEmpty) closeFence()
         else fence += line
+      } else if (trimmed.startsWith("|")) {
+        tbl += line
       } else if (trimmed.startsWith("```")) {
-        flushPara()
+        flushTable(); flushPara()
         fenceLen = trimmed.takeWhile(_ == '`').length
-      } else trimmed match {
-        case "" => flushPara()
-        case Heading(_, text) =>
-          flushPara()
-          val t = normalize(inline(text))
-          if (t.nonEmpty) out += Block(t)
-        case _ =>
-          para += inline(stripMarkers(line))
+      } else {
+        flushTable()
+        trimmed match {
+          case "" => flushPara()
+          case Heading(_, text) =>
+            flushPara()
+            val t = normalize(inline(text))
+            if (t.nonEmpty) out += Block(t)
+          case _ =>
+            para += inline(stripMarkers(line))
+        }
       }
     }
+    flushTable()
     if (fenceLen > 0) closeFence() else flushPara()
     out.toVector
   }

@@ -45,6 +45,13 @@ package graft.gen
   *                        text, [[graft.extract.DocxExtractor]]
   *                        tag-position rule), and a dangling r:embed
   *                        that must stay silent.
+  *   9 → `post_NNNN.md`   markdown post: ATX heading, soft-wrapped
+  *                        paragraph with an inline link, a figure image
+  *                        (emits at tag position, alt text reads as its
+  *                        own block), a two-item list run, a GitHub
+  *                        pipe table (reads as ONE TSV block), a fenced
+  *                        code block (verbatim), a blockquote
+  *                        ([[graft.extract.MdExtractor]]).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -313,8 +320,14 @@ object MixedGen {
       s"soft-wrapped for m${(i * 7) % 883}.",
     s"figure chart $i",
     s"item one m${(i * 11) % 883} item two continues the run",
+    s"name\tqty\nalpha $i\t${i % 9}\nbeta row\t${(i * 3) % 7}",
     s"val x$i = ${i * 3} // verbatim code for post $i",
     s"Quoted closing thought m${(i * 13) % 883} for post $i.")
+
+  /** The pipe-table TSV block (index 4 of [[mdBlocks]]) for one md doc
+    * — the ground truth behind `q_table_tsv_md`.
+    */
+  def mdTableTsv(i: Int): String = mdBlocks(i)(4)
 
   private def makeMd(i: Int): String = {
     val b = mdBlocks(i)
@@ -328,11 +341,16 @@ object MixedGen {
        |- item one m${(i * 11) % 883}
        |- item two continues the run
        |
+       || name | qty |
+       || :--- | ---: |
+       || alpha $i | ${i % 9} |
+       || beta row | ${(i * 3) % 7} |
+       |
        |```scala
-       |${b(4)}
+       |${b(5)}
        |```
        |
-       |> ${b(5)}
+       |> ${b(6)}
        |""".stripMargin
   }
 
@@ -421,7 +439,8 @@ object MixedGen {
       case 9 =>
         // markdown blocks as "text" rows; the figure image emits at tag
         // position — before its own alt-text paragraph block (external
-        // URL refs pass through verbatim, like HTML src)
+        // URL refs pass through verbatim, like HTML src); the pipe
+        // table reads as ONE TSV block
         val b = mdBlocks(i)
         Seq(
           GtRow(f, "text", b(0), null, 0),
@@ -430,7 +449,8 @@ object MixedGen {
           GtRow(f, "text", b(2), null, 3),
           GtRow(f, "text", b(3), null, 4),
           GtRow(f, "text", b(4), null, 5),
-          GtRow(f, "text", b(5), null, 6))
+          GtRow(f, "text", b(5), null, 6),
+          GtRow(f, "text", b(6), null, 7))
     }
   }
 }

@@ -81,23 +81,49 @@ class MdSpec extends AnyFunSuite {
         if (seg.lines.exists(_.exists(!_.isWhitespace)))
           out += Block(seg.lines.mkString("\n"))
       } else {
-        // fold prose lines into paragraphs split on blanks/headings
+        // fold prose lines into paragraphs split on blanks/headings;
+        // group `|` runs first and test the GitHub delimiter row
         val para = Vector.newBuilder[String]
         def flush(): Unit = {
           val t = para.result().mkString(" ").replaceAll("\\s+", " ").trim
           if (t.nonEmpty) out += Block(t)
           para.clear()
         }
-        seg.lines.foreach { line =>
+        def cells(s: String): Vector[String] = {
+          val x = s.trim.stripPrefix("|")
+          val y = if (x.endsWith("|")) x.dropRight(1) else x
+          y.split("\\|", -1).toVector
+        }
+        val ls = seg.lines
+        var li = 0
+        while (li < ls.length) {
+          val line = ls(li)
           val t = line.trim
-          val h = "^(#{1,6}) (.*)$".r.findFirstMatchIn(t)
-          if (t.isEmpty) flush()
-          else if (h.isDefined) {
-            flush()
-            val txt = emitProse(h.get.group(2))
-              .replaceAll("\\s+", " ").trim
-            if (txt.nonEmpty) out += Block(txt)
-          } else para += emitProse(strip(line))
+          if (t.startsWith("|")) {
+            var j = li
+            while (j < ls.length && ls(j).trim.startsWith("|")) j += 1
+            val run = ls.slice(li, j)
+            val isTable = run.length >= 2 &&
+              cells(run(1)).forall(_.trim.matches(":?-+:?"))
+            if (isTable) {
+              flush()
+              val tsv = (run.head +: run.drop(2)).map(l =>
+                cells(l).map(c => emitProse(c).replaceAll("\\s+", " ")
+                  .trim).mkString("\t")).mkString("\n")
+              out += Block(tsv)
+            } else run.foreach(l => para += emitProse(strip(l)))
+            li = j
+          } else {
+            val h = "^(#{1,6}) (.*)$".r.findFirstMatchIn(t)
+            if (t.isEmpty) flush()
+            else if (h.isDefined) {
+              flush()
+              val txt = emitProse(h.get.group(2))
+                .replaceAll("\\s+", " ").trim
+              if (txt.nonEmpty) out += Block(txt)
+            } else para += emitProse(strip(line))
+            li += 1
+          }
         }
         flush()
       }
@@ -160,6 +186,31 @@ class MdSpec extends AnyFunSuite {
       Block("unclosed tail")))
   }
 
+  test("pipe tables: TSV block, delimiter row dropped, non-tables stay prose") {
+    val md =
+      """Intro para before the table
+        || name | qty |
+        || :--- | ---: |
+        || alpha [a link](http://x.example/p) | 3 |
+        || beta ![pic](t.png) | 4 | extra |
+        |after para
+        |
+        || no | delimiter |
+        || just | prose |
+        |
+        || lone pipe line""".stripMargin
+    assert(MdExtractor.items(md) == Vector(
+      Block("Intro para before the table"),
+      Media("image", "t.png"),
+      Block("name\tqty\nalpha a link\t3\nbeta pic\t4\textra"),
+      Block("after para"),
+      Block("| no | delimiter | | just | prose |"),
+      Block("| lone pipe line")))
+    // ragged + outer-pipe-free rows, table at EOF
+    assert(MdExtractor.items("a | b\n| h1 | h2 |\n|---|---|\n| x |") ==
+      Vector(Block("a | b"), Block("h1\th2\nx")))
+  }
+
   test("media kind by extension; crlf input") {
     assert(MdExtractor.mediaKind("a/b.JPEG?x=1") == "image")
     assert(MdExtractor.mediaKind("pod.mp3#t") == "audio")
@@ -177,7 +228,9 @@ class MdSpec extends AnyFunSuite {
       "- item m", "1. ordinal", "> quote line", "```", "````scala",
       "code interior ![x](y.png)", "", "   ", "soft wrap tail",
       "with ![alt text](img_0.png) inline", "a [link](http://x.example/q) here",
-      "![clip](v.webm) lead", "mixed > not a quote")
+      "![clip](v.webm) lead", "mixed > not a quote",
+      "| c1 | c2 |", "| --- | :-: |", "| v1 | ![t](u.png) v2 |",
+      "| lone", "|-|")
     (0 until 80).foreach { _ =>
       val doc = (0 until 3 + next(18)).map(_ => frags(next(frags.size)))
         .mkString("\n")
