@@ -156,6 +156,26 @@ object SparkEntry {
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
+    "ex_epub" -> ((s, dir) => {
+      // genuine EPUB ingestion, driver-visible: OCF zip → container.xml
+      // → OPF manifest+spine → XHTML chapters, through the production
+      // binaryFile scan → RawFiles classification → Extractor. Nav
+      // documents drop via the HTML link-density gate, chapter images
+      // emit at tag position with in-archive refs (../ hrefs
+      // normalized), absent chapters skip silently. media_ref reduced
+      // to its path-independent tail as in ex_mixed. Oracle: the
+      // GENERATOR's ground truth (EpubGen.expected).
+      import s.implicits._
+      val tmp = scratchDir("graft-epub")
+      graft.gen.EpubGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "ex_chunks" -> ((s, dir) => {
       // ≅ reference document_chunks incl. P13 extracted_at (setup.sql:123;
       // deterministic base + chunk_n so the driver oracle can hash it)
@@ -1264,6 +1284,14 @@ object SparkEntry {
         .map(g => (g.doc_id, g.pos, g.depth, g.title, g.page))
         .toDF("doc_id", "pos", "depth", "title", "page")
     }),
+    "ex_epub" -> ((s, dir) => {
+      // generator ground truth — what EpubGen wrote (spine-ordered kept
+      // blocks + tag-position images), independent of every parser
+      import s.implicits._
+      graft.gen.EpubGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
     "q_table_tsv_html" -> ((s, dir) => {
       // generator ground truth: the tables HtmlTableGen wrote
       import s.implicits._
@@ -1361,6 +1389,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_realpdf/*.parquet'",
     "ex_mixed" ->
       s"SELECT * FROM '$ExpectedToken/ex_mixed/*.parquet'",
+    "ex_epub" ->
+      s"SELECT * FROM '$ExpectedToken/ex_epub/*.parquet'",
     "q_rep_ratio" ->
       s"SELECT * FROM '$ExpectedToken/q_rep_ratio/*.parquet'",
     "sim_sq8_topk" ->

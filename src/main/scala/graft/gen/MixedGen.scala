@@ -290,7 +290,7 @@ object MixedGen {
       s"word/${docxImage(i)}" -> makePng(i))
   }
 
-  private def zipStored(entries: (String, Array[Byte])*): Array[Byte] = {
+  private[gen] def zipStored(entries: (String, Array[Byte])*): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)
     entries.foreach { case (name, bytes) =>

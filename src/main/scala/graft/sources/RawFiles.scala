@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   *   .md/.markdown → decoded at ingest by [[graft.extract.MdExtractor]]
   *   into "text" spans (one per block) + media spans (one per image
   *   reference, URL verbatim);
+  *   .epub → decoded at ingest by [[graft.extract.EpubExtractor]] into
+  *   spine-ordered "text" spans + media spans (in-archive refs);
   *   image/audio/video extensions → one media span passing the file
   *   path through as media_ref (bytes stay in the store — the north
   *   rule's media-by-reference semantics); anything else is dropped,
@@ -35,7 +37,7 @@ object RawFiles {
   private val TextExt: Map[String, String] = Map(
     "pdf" -> "pdf", "html" -> "html", "htm" -> "html",
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
-    "md" -> "md", "markdown" -> "md")
+    "md" -> "md", "markdown" -> "md", "epub" -> "epub")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -95,6 +97,7 @@ object RawFiles {
     val kindEff =
       if (graft.extract.RealPdf.isPdf(bytes)) "pdf"
       else if (graft.extract.DocxExtractor.isDocx(bytes)) "docx"
+      else if (graft.extract.EpubExtractor.isEpub(bytes)) "epub"
       else kind
     docSpansDispatch(kindEff, path, bytes)
   }
@@ -117,21 +120,70 @@ object RawFiles {
         case (graft.extract.DocxExtractor.Media(mk, ref), k) =>
           Span(mk, null, s"$path#$ref", k)
       }
+    } else if (kind == "epub" && graft.extract.EpubExtractor.isEpub(bytes)) {
+      // EPUB decodes at the ingest boundary: spine-ordered chapter
+      // blocks as "text" spans, chapter media as media spans whose ref
+      // tail is the IN-ARCHIVE path (payloads recoverable via
+      // [[epubMediaPayload]]); external http(s)/data srcs pass through
+      // verbatim like HTML.
+      graft.extract.EpubExtractor.items(bytes).zipWithIndex.map {
+        case (graft.extract.EpubExtractor.Text(t), k) =>
+          Span("text", t, null, k)
+        case (graft.extract.EpubExtractor.Media(mk, ref), k) =>
+          val full = if (ref.matches("(?i)^(https?|data):.*")) ref
+                     else s"$path#$ref"
+          Span(mk, null, full, k)
+      }
     } else if (kind == "md") {
       // Markdown decodes at the ingest boundary like DOCX — text blocks
       // as "text" spans, image/media references as media spans with the
       // URL passing through VERBATIM (external reference, like an HTML
       // src attribute; there is no archive to resolve against).
-      graft.extract.MdExtractor
-        .items(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      graft.extract.MdExtractor.items(decodeTextPayload(bytes))
         .zipWithIndex.map {
           case (graft.extract.MdExtractor.Block(t), k) =>
             Span("text", t, null, k)
           case (graft.extract.MdExtractor.Media(mk, ref), k) =>
             Span(mk, null, ref, k)
         }
-    } else Vector(Span(if (kind == "docx") "text" else kind,
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8), null, 0))
+    } else Vector(Span(
+      if (kind == "docx" || kind == "epub") "text" else kind,
+      decodeTextPayload(bytes), null, 0))
+
+  /** Text-payload decode with BOM sniffing: a UTF-16LE/BE or UTF-8 BOM
+    * routes to its charset (the BOM itself is dropped); everything else
+    * reads as UTF-8. Web corpora carry Windows-exported UTF-16
+    * .txt/.html files that would otherwise decode to NUL-ridden
+    * mojibake — the same at-byte-0-only magic rule the PDF/DOCX
+    * sniffing applies, so honest UTF-8 never misroutes (a BOM mid-file
+    * is content).
+    */
+  private[graft] def decodeTextPayload(bytes: Array[Byte]): String = {
+    import java.nio.charset.StandardCharsets._
+    def b(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 2 && b(0) == 0xFE && b(1) == 0xFF)
+      new String(bytes, 2, bytes.length - 2, UTF_16BE)
+    else if (bytes.length >= 2 && b(0) == 0xFF && b(1) == 0xFE)
+      new String(bytes, 2, bytes.length - 2, UTF_16LE)
+    else if (bytes.length >= 3 && b(0) == 0xEF && b(1) == 0xBB &&
+             b(2) == 0xBF)
+      new String(bytes, 3, bytes.length - 3, UTF_8)
+    else new String(bytes, UTF_8)
+  }
+
+  /** Byte-fetch for an EPUB media span minted by [[docSpans]]: the ref
+    * tail after `#` is the in-archive path, resolved against the
+    * ORIGINAL book bytes. The EPUB third of the media-by-reference
+    * contract ([[pdfImagePayload]] / [[docxMediaPayload]] are the
+    * others).
+    */
+  def epubMediaPayload(epubBytes: Array[Byte],
+                       mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf('#')
+    if (h < 0) None
+    else graft.extract.EpubExtractor.mediaPayload(
+      epubBytes, mediaRef.substring(h + 1))
+  }
 
   /** Byte-fetch for a DOCX media span minted by [[docSpans]]: the ref
     * tail after `#` is the relationship Target, resolved against the

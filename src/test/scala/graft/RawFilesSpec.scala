@@ -183,6 +183,60 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
       oracleRows.outSpans.map(o => (o.kind, o.text, o.media_ref, o.order)))
   }
 
+  test("genuine EPUB decodes to spine-ordered text+media spans at the ingest boundary") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-epub")
+    Files.write(dir.resolve("book_0001.epub"), graft.gen.EpubGen.fileBytes(1))
+    // an .epub that is NOT a zip falls back to a verbatim "text" span
+    Files.writeString(dir.resolve("fake.epub"), "just plain bytes")
+    // a genuine EPUB behind a lying .txt extension reroutes by magic
+    Files.write(dir.resolve("really_a.txt"), graft.gen.EpubGen.fileBytes(2))
+    val docs = RawFiles.read(spark, dir.toString).collect()
+      .map(d => d.doc_id -> d).toMap
+    val book = docs("book_0001.epub").spans.sortBy(_.offset)
+    val gt = graft.gen.EpubGen.expected(2)
+      .filter(_.doc_id == "book_0001.epub")
+    assert(book.map(_.kind) == gt.map(_.kind).toVector)
+    assert(book.map(s => Option(s.text)) == gt.map(r => Option(r.text)))
+    val img = book.find(_.kind == "image").get
+    assert(img.media_ref.endsWith(
+      "book_0001.epub#" + graft.gen.EpubGen.imgPath(1)))
+    // byte-fetch half: the ref resolves back to the stored entry
+    val bytes = Files.readAllBytes(dir.resolve("book_0001.epub"))
+    assert(RawFiles.epubMediaPayload(bytes, img.media_ref)
+      .exists(_.length == 5))
+    assert(docs("fake.epub").spans ==
+      Vector(Span("text", "just plain bytes", null, 0)))
+    assert(docs("really_a.txt").spans.count(_.kind == "text") >= 2)
+    // RefOracle agrees on the ingested book (dual-impl invariant)
+    val rows = Extractor.extractRows(docs("book_0001.epub"))
+    val oracleRows = RefOracle.extract(docs("book_0001.epub"))
+    assert(rows.map(r => (r.kind, r.text, r.media_ref, r.order)) ==
+      oracleRows.outSpans.map(o => (o.kind, o.text, o.media_ref, o.order)))
+  }
+
+  test("BOM'd text payloads decode through their charset at ingest") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-bom")
+    Files.write(dir.resolve("win.txt"),
+      ("\uFEFF" + "wide résumé ✓ text").getBytes("UTF-16LE"))
+    Files.write(dir.resolve("be.txt"),
+      ("\uFEFF" + "be text ✓").getBytes("UTF-16BE"))
+    Files.write(dir.resolve("bom.md"),
+      ("\uFEFF# Head md\n\npara text here\n").getBytes("UTF-8"))
+    // a BOM that is not at byte 0 is content, not an encoding signal
+    Files.writeString(dir.resolve("mid.txt"), "mid\uFEFFfile bom stays")
+    val docs = RawFiles.read(spark, dir.toString).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(docs("win.txt").spans ==
+      Vector(Span("text", "wide résumé ✓ text", null, 0)))
+    assert(docs("be.txt").spans ==
+      Vector(Span("text", "be text ✓", null, 0)))
+    assert(docs("bom.md").spans.map(_.text) ==
+      Vector("Head md", "para text here"))
+    assert(docs("mid.txt").spans.head.text == "mid\uFEFFfile bom stays")
+  }
+
   test("content magic overrides a lying extension within the text-kind family") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft-sniff")
