@@ -406,7 +406,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-mdtsv")
       (0 until 24).foreach { k =>
-        val i = 10 * k + 9
+        val i = 11 * k + 9
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
           graft.gen.MixedGen.fileBytes(i)): Unit
@@ -456,6 +456,40 @@ object SparkEntry {
           round(graft.functions.NgramLmScore.score(col("text"), lm), 6)
             .as("lm_score"))
         .where(col("lm_score").isNotNull) // token-less docs unscoreable
+        .orderBy("doc_id")
+    }),
+    "q_dehyphenate" -> ((s, dir) => {
+      // hyphenation repair: a hyphen + line break whose continuation
+      // starts lowercase is a typesetting wrap artifact — merged; the
+      // upper/digit continuations keep hyphen + break. The wrapped text
+      // is composed deterministically from doc fields so the RE2 twin
+      // sees the identical corpus (same pattern as q_url_domains).
+      val d = t(s, dir, "documents")
+      val wrapped = concat(substring(col("text"), 1, 40),
+        lit("exam-\nple tail-\nWord digit-\n9 dash-stay end"))
+      d.select(col("doc_id"), TextOps.dehyphenate(wrapped).as("dehyph"))
+        .orderBy("doc_id")
+    }),
+    "q_lm_buckets" -> ((s, dir) => {
+      // CCNet-style perplexity bucketing: head/middle/tail by the
+      // SAMPLE's exact score terciles — thresholds come from the same
+      // bounded doc_id<200 sample the LM trains on (driver work stays
+      // fixed at corpus scale; the bucketing itself is one codegen'd
+      // projection against two broadcast constants). Oracle: fully
+      // independent plain trainer + scorer + identical tercile rule.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val sample = d.where(col("doc_id") < 200)
+      val lm = TextOps.trainNgramLm(sample, "text",
+        maxVocab = 5000, maxBigrams = 20000)
+      def sc = round(graft.functions.NgramLmScore.score(col("text"), lm), 6)
+      val ss = sample.select(sc.as("s")).where(col("s").isNotNull)
+        .collect().map(_.getDouble(0)).sorted
+      val (t1, t2) = (ss(ss.length / 3), ss(2 * ss.length / 3))
+      d.select(col("doc_id"), sc.as("lm_score"))
+        .where(col("lm_score").isNotNull)
+        .withColumn("bucket",
+          when(col("lm_score") >= t2, "head")
+            .when(col("lm_score") >= t1, "middle").otherwise("tail"))
         .orderBy("doc_id")
     }),
     "q_bpe_tokens2" -> ((s, dir) => {
@@ -1102,6 +1136,26 @@ object SparkEntry {
             .map(v => (r.getLong(0), PlainOracles.round6(v)))
         }.toSeq.toDF("doc_id", "lm_score")
     }),
+    "q_lm_buckets" -> ((s, dir) => {
+      // independent plain trainer + scorer + the same tercile rule over
+      // the rounded sample scores
+      import s.implicits._
+      val sample = collectDocs(s, dir, 200).map(_._2)
+      val lm = PlainOracles.lmTrainPlain(sample,
+        maxVocab = 5000, maxBigrams = 20000)
+      val ss = sample.flatMap(t => PlainOracles.lmScorePlain(t, lm))
+        .map(PlainOracles.round6).sorted
+      val (t1, t2) = (ss(ss.length / 3), ss(2 * ss.length / 3))
+      t(s, dir, "documents").select("doc_id", "text").collect()
+        .flatMap { r =>
+          PlainOracles.lmScorePlain(r.getString(1), lm).map { v =>
+            val sc = PlainOracles.round6(v)
+            val b = if (sc >= t2) "head"
+                    else if (sc >= t1) "middle" else "tail"
+            (r.getLong(0), sc, b)
+          }
+        }.toSeq.toDF("doc_id", "lm_score", "bucket")
+    }),
     "q_bpe_tokens2" -> ((s, dir) => {
       import s.implicits._
       val sample = collectDocs(s, dir, 200).map(_._2)
@@ -1303,7 +1357,7 @@ object SparkEntry {
       // generator ground truth: the pipe-table TSV each md doc carries
       import s.implicits._
       (0 until 24).map { k =>
-        val i = 10 * k + 9
+        val i = 11 * k + 9
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),
@@ -1415,6 +1469,15 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_md/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
+    "q_lm_buckets" ->
+      s"SELECT * FROM '$ExpectedToken/q_lm_buckets/*.parquet'",
+    "q_dehyphenate" ->
+      """SELECT doc_id,
+           regexp_replace(
+             substr(text, 1, 40) || 'exam-' || chr(10) || 'ple tail-' ||
+               chr(10) || 'Word digit-' || chr(10) || '9 dash-stay end',
+             '-\r?\n([a-z])', '\1', 'g') AS dehyph
+         FROM documents ORDER BY doc_id""",
     "q_chunk_text" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),

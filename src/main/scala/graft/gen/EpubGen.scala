@@ -107,7 +107,12 @@ object EpubGen {
     * prefixes the file path; the driver query reduces to the last `/`
     * segment, so rows here carry the bare image name for `ex_epub`).
     */
-  def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
+  def expected(n: Int): Seq[GtRow] = (0 until n).flatMap(expectedDoc)
+
+  /** Ground truth for ONE book index (also feeds the MixedGen
+    * 11th-variant rows).
+    */
+  def expectedDoc(i: Int): Seq[GtRow] = {
     val f = fileName(i)
     val ch1Rows =
       if (ch1Missing(i)) Seq.empty

@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 10`:
+  * File kinds by `i % 11`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -51,7 +51,11 @@ package graft.gen
   *                        own block), a two-item list run, a GitHub
   *                        pipe table (reads as ONE TSV block), a fenced
   *                        code block (verbatim), a blockquote
-  *                        ([[graft.extract.MdExtractor]]).
+  *                        ([[graft.extract.MdExtractor]]);
+  *   10 → `book_NNNN.epub` genuine OCF book ([[EpubGen.fileBytes]]):
+  *                        nav + two XHTML chapters + image, nested
+  *                        `../` hrefs and absent-chapter skips by
+  *                        index ([[graft.extract.EpubExtractor]]).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -67,7 +71,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 10: @unchecked) match {
+  def fileName(i: Int): String = (i % 11: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -76,6 +80,7 @@ object MixedGen {
     case 7         => f"jbig_$i%04d.pdf"
     case 8         => f"memo_$i%04d.docx"
     case 9         => f"post_$i%04d.md"
+    case 10        => f"book_$i%04d.epub"
   }
 
   // ---------- shared text ----------
@@ -365,7 +370,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 10: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 11: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -377,6 +382,7 @@ object MixedGen {
       tpgdon = i % 2 == 0, mmr = i % 5 == 0)
     case 8 => makeDocx(i)
     case 9 => makeMd(i).getBytes("UTF-8")
+    case 10 => EpubGen.fileBytes(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -390,7 +396,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 10: @unchecked) match {
+    (i % 11: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -451,6 +457,12 @@ object MixedGen {
           GtRow(f, "text", b(4), null, 5),
           GtRow(f, "text", b(5), null, 6),
           GtRow(f, "text", b(6), null, 7))
+      case 10 =>
+        // EPUB: spine-ordered chapter blocks + the tag-position image —
+        // EpubGen owns the ground truth (media_ref already the bare
+        // image name, matching the path-tail reduction ex_mixed applies)
+        EpubGen.expectedDoc(i).map(r =>
+          GtRow(f, r.kind, r.text, r.media_ref, r.ord))
     }
   }
 }

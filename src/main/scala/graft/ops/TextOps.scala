@@ -114,6 +114,17 @@ object TextOps {
     * stats run on exactly this). Codegen'd `regexp_extract_all`; the
     * pattern is RE2-compatible for the DuckDB twin.
     */
+  /** Hyphenation repair for extracted text: `-` + line break followed
+    * by a LOWERCASE letter is a typesetting line-wrap artifact (PDF /
+    * book column wrap) — the word halves rejoin; continuations starting
+    * upper/digit keep the hyphen and the break (compound names,
+    * ranges). Conservative by design: never invents joins the
+    * typesetter didn't force. Codegen'd regexp, RE2-compatible
+    * (verbatim DuckDB twin in `q_dehyphenate`).
+    */
+  def dehyphenate(text: Column): Column =
+    regexp_replace(text, "-\\r?\\n([a-z])", "$1")
+
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
 

@@ -876,6 +876,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(3) == ("clean text with no pii at all", 0))
   }
 
+  test("dehyphenate: lowercase continuations merge, upper/digit keep hyphen+break") {
+    import spark.implicits._
+    val rows = Seq(
+      "exam-\nple stays one word",
+      "tail-\r\ncrlf merges too",
+      "compound-\nWord keeps the break",
+      "range 3-\n9 keeps it too",
+      "mid-dash untouched, trailing-\n").toDF("t")
+      .select(TextOps.dehyphenate(col("t")).as("d"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "example stays one word")
+    assert(rows(1) == "tailcrlf merges too")
+    assert(rows(2) == "compound-\nWord keeps the break")
+    assert(rows(3) == "range 3-\n9 keeps it too")
+    assert(rows(4) == "mid-dash untouched, trailing-\n")
+  }
+
   test("normalizeWs / canonicalText: control chars, runs, trim, casefold") {
     import spark.implicits._
     val rows = Seq(
