@@ -418,6 +418,23 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("tsv"))
         .orderBy("doc_id")
     }),
+    "q_table_tsv_xlsx" -> ((s, dir) => {
+      // the spreadsheet quarter of the table family: genuine .xlsx
+      // workbooks through the production binaryFile scan → RawFiles
+      // classification → Extractor — each non-empty worksheet's used
+      // range enters as one "text" span holding its TSV (shared/inline/
+      // rich strings, lexical-form numerics, cached formula strings,
+      // booleans, holes and gap rows as empty cells/lines, absent sheet
+      // parts skipped). Oracle: generator ground truth (XlsxGen).
+      import s.implicits._
+      val tmp = scratchDir("graft-xlsxtsv")
+      graft.gen.XlsxGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("order").as("ord"), col("text").as("tsv"))
+        .orderBy("doc_id", "ord")
+    }),
     "q_pdf_formfields" -> ((s, dir) => {
       // filled-form recovery: AcroForm field values never enter content
       // streams (they render via appearance XObjects), so the layout
@@ -1361,6 +1378,16 @@ object SparkEntry {
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),
+    "q_table_tsv_xlsx" -> ((s, dir) => {
+      // generator ground truth: the per-sheet used-range TSVs XlsxGen
+      // wrote, in workbook order — independent of every parser
+      import s.implicits._
+      (0 until 24).flatMap { i =>
+        graft.gen.XlsxGen.expectedSheets(i).zipWithIndex.map {
+          case ((_, tsv), k) => (graft.gen.XlsxGen.fileName(i), k, tsv)
+        }
+      }.toDF("doc_id", "ord", "tsv")
+    }),
     "q_pdf_formfields" -> ((s, dir) => {
       // generator ground truth: the form fields FormGen wrote, rects
       // through its own hand-derived 90° mapping
@@ -1469,6 +1496,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_md/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
+    "q_table_tsv_xlsx" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_tsv_xlsx/*.parquet'",
     "q_lm_buckets" ->
       s"SELECT * FROM '$ExpectedToken/q_lm_buckets/*.parquet'",
     "q_dehyphenate" ->

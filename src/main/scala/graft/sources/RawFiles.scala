@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *   reference, URL verbatim);
   *   .epub → decoded at ingest by [[graft.extract.EpubExtractor]] into
   *   spine-ordered "text" spans + media spans (in-archive refs);
+  *   .xlsx → decoded at ingest by [[graft.extract.XlsxExtractor]] into
+  *   one "text" span per non-empty worksheet holding its used-range TSV
+  *   (the engine's table vocabulary), in workbook order;
   *   image/audio/video extensions → one media span passing the file
   *   path through as media_ref (bytes stay in the store — the north
   *   rule's media-by-reference semantics); anything else is dropped,
@@ -37,7 +40,8 @@ object RawFiles {
   private val TextExt: Map[String, String] = Map(
     "pdf" -> "pdf", "html" -> "html", "htm" -> "html",
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
-    "md" -> "md", "markdown" -> "md", "epub" -> "epub")
+    "md" -> "md", "markdown" -> "md", "epub" -> "epub",
+    "xlsx" -> "xlsx")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -98,6 +102,7 @@ object RawFiles {
       if (graft.extract.RealPdf.isPdf(bytes)) "pdf"
       else if (graft.extract.DocxExtractor.isDocx(bytes)) "docx"
       else if (graft.extract.EpubExtractor.isEpub(bytes)) "epub"
+      else if (graft.extract.XlsxExtractor.isXlsx(bytes)) "xlsx"
       else kind
     docSpansDispatch(kindEff, path, bytes)
   }
@@ -134,6 +139,15 @@ object RawFiles {
                      else s"$path#$ref"
           Span(mk, null, full, k)
       }
+    } else if (kind == "xlsx" && graft.extract.XlsxExtractor.isXlsx(bytes)) {
+      // XLSX decodes at the ingest boundary into the engine's TABLE
+      // vocabulary: each non-empty worksheet's used range enters as one
+      // "text" span holding its TSV (tab-joined cells, newline-joined
+      // rows — exactly the shape markdown pipe tables and HTML <table>
+      // recovery produce), in workbook order. Empty sheets emit nothing.
+      graft.extract.XlsxExtractor.sheets(bytes)
+        .collect { case (_, tsv) if tsv.exists(!_.isWhitespace) => tsv }
+        .zipWithIndex.map { case (tsv, k) => Span("text", tsv, null, k) }
     } else if (kind == "md") {
       // Markdown decodes at the ingest boundary like DOCX — text blocks
       // as "text" spans, image/media references as media spans with the
@@ -147,7 +161,8 @@ object RawFiles {
             Span(mk, null, ref, k)
         }
     } else Vector(Span(
-      if (kind == "docx" || kind == "epub") "text" else kind,
+      if (kind == "docx" || kind == "epub" || kind == "xlsx") "text"
+      else kind,
       decodeTextPayload(bytes), null, 0))
 
   /** Text-payload decode with BOM sniffing: a UTF-16LE/BE or UTF-8 BOM
