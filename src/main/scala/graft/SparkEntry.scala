@@ -744,6 +744,27 @@ object SparkEntry {
             6).as("score"))
         .orderBy(col("score").desc, col("vec_id").asc).limit(20)
     }),
+    "sim_pq_topk" -> ((s, dir) => {
+      // product quantization (Jégou et al. 2011): embeddings store as
+      // m=8 code BYTES instead of 256 float bytes (32×), and the query
+      // scan is m table lookups per row against a driver-computed ADC
+      // LUT — the original vectors never load. Codebooks train on a
+      // bounded sample (O(sample) driver work, like sim_ivf_trained);
+      // encode is a zero-shuffle codegen'd argmin scan. Twin: fully
+      // independent PlainOracles PQ (own normalize/k-means/encode/ADC).
+      val e = t(s, dir, "embeddings")
+      val books = graft.ops.Similarity.trainPqCodebooks(
+        e, "vec_id", "embedding", m = 8, ksub = 16,
+        sampleN = 200, iters = 3)
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val lut = graft.ops.Similarity.pqQueryLut(q, books)
+      graft.ops.Similarity.pqEncode(e, "vec_id", "embedding", books)
+        .select(col("vec_id"),
+          round(graft.ops.Similarity.pqAdcScore(col("codes"), lut), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(20)
+    }),
     "q_bm25_topk" -> ((s, dir) =>
       // lexical half of the reference's hybrid search (setup.sql:182-201)
       graft.ops.Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
@@ -1302,6 +1323,16 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       PlainOracles.sq8TopKPlain(vecs, 0L, 20).toDF("vec_id", "score")
     }),
+    "sim_pq_topk" -> ((s, dir) => {
+      // independent plain PQ (own normalize, per-subspace k-means,
+      // encode, ADC scoring) over the embeddings dim table
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      PlainOracles.pqTopKPlain(vecs, 0L, m = 8, ksub = 16,
+        sampleN = 200, iters = 3, k = 20).toDF("vec_id", "score")
+    }),
     "q_sample_stratified" -> ((s, dir) => {
       // plain-twin hash draw over the documents dim
       import s.implicits._
@@ -1476,6 +1507,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_rep_ratio/*.parquet'",
     "sim_sq8_topk" ->
       s"SELECT * FROM '$ExpectedToken/sim_sq8_topk/*.parquet'",
+    "sim_pq_topk" ->
+      s"SELECT * FROM '$ExpectedToken/sim_pq_topk/*.parquet'",
     "q_sample_stratified" ->
       s"SELECT * FROM '$ExpectedToken/q_sample_stratified/*.parquet'",
     "q_page_furniture" ->

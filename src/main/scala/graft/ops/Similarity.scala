@@ -96,6 +96,192 @@ object Similarity {
     dot / (na * nb)
   }
 
+  // ---------- product quantization (PQ) ----------
+
+  /** L2 norm of an embedding — materialize this in its OWN projection
+    * and hand it to [[l2NormalizeWith]]: an O(d) reduction referenced
+    * inside a per-element lambda would re-evaluate per element
+    * (O(d²)/row — the [[int8Scale]] two-projection rule).
+    */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(transform(vec.cast("array<double>"), x => x * x),
+      lit(0.0), (s, v) => s + v))
+
+  /** Unit-normalize against a pre-materialized [[l2Norm]] column;
+    * all-zero vectors stay zero.
+    */
+  def l2NormalizeWith(vec: Column, norm: Column): Column =
+    transform(vec.cast("array<double>"),
+      x => when(norm > 0, x / norm).otherwise(lit(0.0)))
+
+  /** Product-quantization codebooks (Jégou et al. 2011, the Faiss PQ
+    * scheme): the (unit-normalized) vector splits into `m` contiguous
+    * subvectors of dim/m dims; each subspace gets its own `ksub`-entry
+    * codebook from squared-L2 k-means over a bounded deterministic
+    * sample — training is O(sample) driver work like [[trainCentroids]],
+    * identical at 100 MB and 100 TB. Storage per vector collapses from
+    * 4·d bytes to m code bytes (32× at d=64, m=8 — the difference
+    * between an index that fits executor memory and one that doesn't).
+    *
+    * Deterministic spec (mirrored op-for-op by the PlainOracles twin):
+    * sample = `sampleN` smallest rows by (xxhash64(id), id); vectors
+    * unit-normalized in double (zero stays zero); per subspace,
+    * farthest-point init (seed 0 = first sample row; each next seed
+    * maximizes squared-L2 distance to its nearest chosen seed, lowest
+    * index on ties) then `iters` Lloyd rounds (first-min assignment,
+    * mean updates, empty cells keep their previous codeword).
+    */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ksub: Int, sampleN: Int = 2000,
+                       iters: Int = 5): Array[Array[Array[Double]]] = {
+    val raw = df.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(sampleN).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(raw.nonEmpty, "trainPqCodebooks: empty input")
+    val dim = raw.head.length
+    require(dim % m == 0, s"trainPqCodebooks: dim $dim not divisible by $m")
+    val dsub = dim / m
+    val sample = raw.map(normalizeD)
+    Array.tabulate(m) { j =>
+      kmeansL2(sample.map(v => java.util.Arrays.copyOfRange(
+        v, j * dsub, (j + 1) * dsub)), ksub, iters)
+    }
+  }
+
+  /** Encode the corpus against PQ codebooks: one codegen'd projection —
+    * normalize (norm in its own projection), then per subspace an
+    * argmin squared-L2 scan over the codebook literals (lowest code on
+    * exact ties, the [[ivfAssign]] first-occurrence rule). Zero
+    * shuffles; `codes` is an m-entry int array.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val normed = df
+      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+      .select(col(idCol),
+        l2NormalizeWith(col(vecCol), col("nrm")).as("nv"))
+    val codeCols = (0 until m).map { j =>
+      val bookLit = array(books(j).map(cw =>
+        array(cw.map(lit(_)): _*)): _*)
+      val sub = slice(col("nv"), j * dsub + 1, dsub)
+      val dists = transform(bookLit, c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, v) => s + v))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    normed.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC lookup table for one query: lut(j)(c) = dot(normalized query's
+    * subvector j, codeword c) — m·ksub doubles computed once on the
+    * driver, broadcast as literals into [[pqAdcScore]].
+    */
+  def pqQueryLut(query: Array[Float],
+                 books: Array[Array[Array[Double]]])
+      : Array[Array[Double]] = {
+    val dsub = books(0)(0).length
+    val q = normalizeD(query)
+    books.zipWithIndex.map { case (book, j) =>
+      book.map { cw =>
+        var s = 0.0; var i = 0
+        while (i < dsub) { s += q(j * dsub + i) * cw(i); i += 1 }
+        s
+      }
+    }
+  }
+
+  /** Asymmetric-distance score: Σ_j lut(j)(code_j) ≈ cosine(query, v)
+    * for unit-normalized vectors — the scan touches ONLY the m-byte
+    * codes plus m table lookups per row; the original embeddings never
+    * load. This is why PQ is the 100 TB read path.
+    */
+  def pqAdcScore(codes: Column, lut: Array[Array[Double]]): Column =
+    lut.zipWithIndex.map { case (row, j) =>
+      element_at(array(row.map(lit(_)): _*),
+        element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Driver-side unit normalize, the same double arithmetic as the
+    * Catalyst [[l2NormalizeWith]] path (ascending-index sum).
+    */
+  private def normalizeD(v: Array[Float]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) {
+      out(i) = if (n > 0) v(i).toDouble / n else 0.0
+      i += 1
+    }
+    out
+  }
+
+  /** Squared-L2 k-means with the deterministic spec of
+    * [[trainPqCodebooks]] — farthest-point init, first-min assignment,
+    * empty-cell carry-over.
+    */
+  private def kmeansL2(points: Array[Array[Double]], k0: Int,
+                       iters: Int): Array[Array[Double]] = {
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val k = math.min(k0, points.length)
+    val dsub = points.head.length
+    val seeds = new Array[Int](k)
+    seeds(0) = 0
+    val nearestD = Array.fill(points.length)(Double.MaxValue)
+    var chosen = 1
+    while (chosen < k) {
+      val last = points(seeds(chosen - 1))
+      var i = 0
+      while (i < points.length) {
+        val d = sq(points(i), last)
+        if (d < nearestD(i)) nearestD(i) = d
+        i += 1
+      }
+      var bestI = -1; var bestD = -1.0
+      i = 0
+      while (i < points.length) {
+        var taken = false
+        var c = 0
+        while (c < chosen) { if (seeds(c) == i) taken = true; c += 1 }
+        if (!taken && nearestD(i) > bestD) { bestD = nearestD(i); bestI = i }
+        i += 1
+      }
+      seeds(chosen) = bestI
+      chosen += 1
+    }
+    var cents = seeds.map(points(_).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dsub))
+      val counts = new Array[Long](cents.length)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val d = sq(cents(c), p)
+          if (d < bestD) { bestD = d; best = c } // first min wins
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dsub)(i => sums(c)(i) / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `nCells`
     * deterministic centroids (the centroids are the first nCells vectors
     * by id — a deterministic "training sample"), search only the query's

@@ -541,6 +541,91 @@ object PlainOracles {
     }.sortBy { case (id, s) => (-s, id) }.take(k)
   }
 
+  /** Plain twin of the product-quantization ANN path
+    * ([[graft.ops.Similarity.trainPqCodebooks]] / `pqEncode` /
+    * `pqQueryLut` / `pqAdcScore`): unit-normalize in double, per-
+    * subspace squared-L2 k-means over the (xxhash64(id), id)-smallest
+    * sampleN rows — farthest-point init (lowest index on ties), Lloyd
+    * with first-min assignment / mean updates / empty-cell carry-over —
+    * then argmin encoding (lowest code on ties) and ADC scoring
+    * (Σ_j dot(q_sub_j, codeword(code_j)) in ascending j), rounded
+    * HALF_UP to 6. Double arithmetic mirrors the engine op-for-op so
+    * expected parquet is bit-identical.
+    */
+  def pqTopKPlain(vecs: Seq[(Long, Array[Float])], queryId: Long,
+                  m: Int, ksub: Int, sampleN: Int, iters: Int, k: Int)
+      : Seq[(Long, Double)] = {
+    def norm(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.sqrt(s)
+      v.map(x => if (n > 0) x.toDouble / n else 0.0)
+    }
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val dim = vecs.head._2.length
+    val dsub = dim / m
+    val sample = vecs
+      .sortBy { case (id, _) => (XXH64.hashLong(id, Seed), id) }
+      .take(sampleN).map { case (_, v) => norm(v) }
+
+    def kmeans(points: Seq[Array[Double]]): Vector[Array[Double]] = {
+      val kk = math.min(ksub, points.length)
+      val seeds = mutable.ArrayBuffer(0)
+      while (seeds.length < kk) {
+        val next = points.indices
+          .filterNot(seeds.contains)
+          .map(i => (i, seeds.map(s => sq(points(s), points(i))).min))
+          .minBy { case (i, nearest) => (-nearest, i) }._1
+        seeds += next
+      }
+      var cents = seeds.toVector.map(points(_).clone())
+      (0 until iters).foreach { _ =>
+        val bestOf = points.map(p =>
+          cents.indices.minBy(c => (sq(cents(c), p), c)))
+        cents = cents.indices.toVector.map { c =>
+          val members = points.indices.filter(bestOf(_) == c)
+          if (members.isEmpty) cents(c)
+          else {
+            val sums = new Array[Double](points.head.length)
+            members.foreach { mi =>
+              var i = 0
+              while (i < sums.length) { sums(i) += points(mi)(i); i += 1 }
+            }
+            sums.map(_ / members.length)
+          }
+        }
+      }
+      cents
+    }
+
+    val books = (0 until m).map(j =>
+      kmeans(sample.map(_.slice(j * dsub, (j + 1) * dsub))))
+    def encode(v: Array[Double]): Vector[Int] =
+      (0 until m).toVector.map { j =>
+        val sub = v.slice(j * dsub, (j + 1) * dsub)
+        books(j).indices.minBy(c => (sq(books(j)(c), sub), c))
+      }
+    val q = norm(vecs.find(_._1 == queryId).get._2)
+    val lut = (0 until m).map { j =>
+      books(j).map { cw =>
+        var s = 0.0; var i = 0
+        while (i < dsub) { s += q(j * dsub + i) * cw(i); i += 1 }
+        s
+      }
+    }
+    vecs.map { case (id, v) =>
+      val codes = encode(norm(v))
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += lut(j)(codes(j)); j += 1 }
+      (id, round6(s))
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
   /** Plain twin of the Gopher-style repetition signals
     * ([[graft.ops.TextOps.distinctWordFrac]] / top-word mass /
     * [[graft.ops.TextOps.dup2gramFrac]]): functional string ops over

@@ -180,6 +180,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ: engine ADC top-k == plain twin bit-exactly; self is rank 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = graft.ops.Similarity.trainPqCodebooks(
+      df, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 25, iters = 3)
+    val q = vecs.find(_._1 == 5L).get._2
+    val lut = graft.ops.Similarity.pqQueryLut(q, books)
+    val encoded = graft.ops.Similarity.pqEncode(
+      df, "vec_id", "embedding", books)
+    val got = encoded
+      .select(col("vec_id"),
+        round(graft.ops.Similarity.pqAdcScore(col("codes"), lut), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exp = graft.oracle.PlainOracles.pqTopKPlain(
+      vecs, 5L, m = 8, ksub = 16, sampleN = 25, iters = 3, k = 10)
+    assert(got == exp)
+    // the query itself must win. Uniform-random 64-d vectors are VQ's
+    // worst case (no cluster structure for the codebooks to exploit),
+    // so the absolute ADC self-score sits well under the exact 1.0 —
+    // the retrieval property (rank) is what PQ preserves.
+    assert(got.head._1 == 5L && got.head._2 > 0.4)
+    // the storage contract: m=8 codes, each addressing ksub=16 words
+    val codes = encoded.select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c =>
+      c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
   test("page furniture: headers/footers found, watermark below threshold, strip removes them") {
     import spark.implicits._
     val rows = spark.createDataset(
