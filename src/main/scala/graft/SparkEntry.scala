@@ -138,7 +138,8 @@ object SparkEntry {
       // scanned tenths), HTML pages with known boilerplate AND embedded
       // media, plain-text notes, genuine DOCX memos (paragraph text +
       // embedded-image blips), Markdown posts (headings / soft-wrapped
-      // paragraphs / lists / fenced code / image refs), and standalone
+      // paragraphs / lists / fenced code / image refs), EPUB books,
+      // XLSX workbooks (used-range TSV sheets), and standalone
       // media files in ONE scratch tree, through the production binaryFile
       // scan → RawFiles classification → Extractor. Output is the
       // north-rule span invariant (kind, text, media_ref, order);
@@ -406,7 +407,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-mdtsv")
       (0 until 24).foreach { k =>
-        val i = 11 * k + 9
+        val i = 12 * k + 9
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
           graft.gen.MixedGen.fileBytes(i)): Unit
@@ -1405,7 +1406,7 @@ object SparkEntry {
       // generator ground truth: the pipe-table TSV each md doc carries
       import s.implicits._
       (0 until 24).map { k =>
-        val i = 11 * k + 9
+        val i = 12 * k + 9
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),

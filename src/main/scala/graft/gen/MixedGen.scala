@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 11`:
+  * File kinds by `i % 12`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -55,7 +55,12 @@ package graft.gen
   *   10 → `book_NNNN.epub` genuine OCF book ([[EpubGen.fileBytes]]):
   *                        nav + two XHTML chapters + image, nested
   *                        `../` hrefs and absent-chapter skips by
-  *                        index ([[graft.extract.EpubExtractor]]).
+  *                        index ([[graft.extract.EpubExtractor]]);
+  *   11 → `grid_NNNN.xlsx` genuine SpreadsheetML workbook
+  *                        ([[XlsxGen.fileBytes]]): shared/rich/inline
+  *                        strings, holes, gap rows, ghost sheets —
+  *                        each sheet one used-range TSV text span
+  *                        ([[graft.extract.XlsxExtractor]]).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -71,7 +76,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 11: @unchecked) match {
+  def fileName(i: Int): String = (i % 12: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -81,6 +86,7 @@ object MixedGen {
     case 8         => f"memo_$i%04d.docx"
     case 9         => f"post_$i%04d.md"
     case 10        => f"book_$i%04d.epub"
+    case 11        => f"grid_$i%04d.xlsx"
   }
 
   // ---------- shared text ----------
@@ -370,7 +376,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 11: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 12: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -383,6 +389,7 @@ object MixedGen {
     case 8 => makeDocx(i)
     case 9 => makeMd(i).getBytes("UTF-8")
     case 10 => EpubGen.fileBytes(i)
+    case 11 => XlsxGen.fileBytes(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -396,7 +403,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 11: @unchecked) match {
+    (i % 12: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -463,6 +470,12 @@ object MixedGen {
         // image name, matching the path-tail reduction ex_mixed applies)
         EpubGen.expectedDoc(i).map(r =>
           GtRow(f, r.kind, r.text, r.media_ref, r.ord))
+      case 11 =>
+        // XLSX: one used-range TSV text span per sheet, workbook order —
+        // XlsxGen owns the ground truth
+        XlsxGen.expectedSheets(i).zipWithIndex.map {
+          case ((_, tsv), k) => GtRow(f, "text", tsv, null, k)
+        }
     }
   }
 }
