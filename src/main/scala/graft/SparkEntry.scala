@@ -476,6 +476,21 @@ object SparkEntry {
         .where(col("lm_score").isNotNull) // token-less docs unscoreable
         .orderBy("doc_id")
     }),
+    "q_sentences" -> ((s, dir) => {
+      // sentence segmentation: one codegen'd regexp_extract_all + a
+      // posexplode — sent_id numbers the raw match (1-based) so the
+      // blank-drop filter can't shift ids between engine and twin
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          posexplode(TextOps.sentences(col("text")))
+            .as(Seq("p", "sentence0")))
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("sent_id"),
+          trim(col("sentence0")).as("sentence"))
+        .where(col("sentence") =!= "")
+        .withColumn("n_words",
+          size(split(col("sentence"), " ")).cast("long"))
+        .orderBy("doc_id", "sent_id")
+    }),
     "q_dehyphenate" -> ((s, dir) => {
       // hyphenation repair: a hyphen + line break whose continuation
       // starts lowercase is a typesetting wrap artifact — merged; the
@@ -1534,6 +1549,18 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_xlsx/*.parquet'",
     "q_lm_buckets" ->
       s"SELECT * FROM '$ExpectedToken/q_lm_buckets/*.parquet'",
+    "q_sentences" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$') AS ss
+           FROM documents),
+         e AS (
+           SELECT doc_id, ss,
+                  unnest(generate_series(1, len(ss))) AS sent_id
+           FROM s)
+         SELECT doc_id, sent_id, trim(ss[sent_id]) AS sentence,
+                len(string_split(trim(ss[sent_id]), ' ')) AS n_words
+         FROM e WHERE trim(ss[sent_id]) <> '' ORDER BY doc_id, sent_id""",
     "q_dehyphenate" ->
       """SELECT doc_id,
            regexp_replace(

@@ -125,6 +125,18 @@ object TextOps {
   def dehyphenate(text: Column): Column =
     regexp_replace(text, "-\\r?\\n([a-z])", "$1")
 
+  /** Sentence segmentation for training-data pipelines (sentence-level
+    * dedup / quality scoring / pretraining unit splitting): a sentence
+    * is a maximal run of non-terminator chars plus its closing
+    * `[.!?]+` run, or the unterminated tail. Deliberately simple — no
+    * abbreviation lexicon (declared; "Mr. Smith" splits), which keeps
+    * the rule a single leftmost-first regex that RE2 and Java execute
+    * identically (verbatim DuckDB twin in `q_sentences`). Codegen'd
+    * `regexp_extract_all`; callers posexplode + trim + drop blanks.
+    */
+  def sentences(text: Column): Column =
+    regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
+
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
 

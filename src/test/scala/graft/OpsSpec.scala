@@ -908,6 +908,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(3) == ("clean text with no pii at all", 0))
   }
 
+  test("sentences: terminator runs, unterminated tail, all-punct, empty") {
+    import spark.implicits._
+    def sents(t: String): Seq[String] =
+      Seq(t).toDF("t")
+        .select(graft.ops.TextOps.sentences(col("t")).as("s"))
+        .collect().head.getSeq[String](0)
+    assert(sents("One. Two!! Three?") == Seq("One.", " Two!!", " Three?"))
+    assert(sents("No terminator here") == Seq("No terminator here"))
+    assert(sents("Tail. rest") == Seq("Tail.", " rest"))
+    assert(sents("...") == Seq.empty) // nothing but terminators
+    assert(sents("") == Seq.empty)
+    // newline is an ordinary char for the class (not a terminator)
+    assert(sents("a\nb. c") == Seq("a\nb.", " c"))
+  }
+
   test("dehyphenate: lowercase continuations merge, upper/digit keep hyphen+break") {
     import spark.implicits._
     val rows = Seq(
