@@ -419,6 +419,25 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("tsv"))
         .orderBy("doc_id")
     }),
+    "ex_pptx" -> ((s, dir) => {
+      // genuine PPTX ingestion, driver-visible: presentation.xml slide
+      // order → per-slide paragraph text (runs concatenated, a:br
+      // breaks) + picture media at tag position with in-archive refs
+      // (../ Targets normalized), absent slide parts skipped, through
+      // the production binaryFile scan → RawFiles classification →
+      // Extractor. media_ref reduced to its path-independent tail as in
+      // ex_epub. Oracle: the GENERATOR's ground truth (PptxGen).
+      import s.implicits._
+      val tmp = scratchDir("graft-pptx")
+      graft.gen.PptxGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "q_table_tsv_xlsx" -> ((s, dir) => {
       // the spreadsheet quarter of the table family: genuine .xlsx
       // workbooks through the production binaryFile scan → RawFiles
@@ -1425,6 +1444,14 @@ object SparkEntry {
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),
+    "ex_pptx" -> ((s, dir) => {
+      // generator ground truth — what PptxGen wrote (slide-ordered
+      // paragraphs + tag-position pictures), independent of every parser
+      import s.implicits._
+      graft.gen.PptxGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
     "q_table_tsv_xlsx" -> ((s, dir) => {
       // generator ground truth: the per-sheet used-range TSVs XlsxGen
       // wrote, in workbook order — independent of every parser
@@ -1547,6 +1574,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_xlsx/*.parquet'",
+    "ex_pptx" ->
+      s"SELECT * FROM '$ExpectedToken/ex_pptx/*.parquet'",
     "q_lm_buckets" ->
       s"SELECT * FROM '$ExpectedToken/q_lm_buckets/*.parquet'",
     "q_sentences" ->

@@ -171,7 +171,7 @@ object DocxExtractor {
   // ---------- tag machinery ----------
 
   /** (name, isClosing, isSelfClosing) of the tag spanning [lt, gt]. */
-  private def tagOf(doc: String, lt: Int, gt: Int)
+  private[extract] def tagOf(doc: String, lt: Int, gt: Int)
       : (String, Boolean, Boolean) = {
     var s = lt + 1
     val closing = s < gt && doc.charAt(s) == '/'

@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   *   .xlsx → decoded at ingest by [[graft.extract.XlsxExtractor]] into
   *   one "text" span per non-empty worksheet holding its used-range TSV
   *   (the engine's table vocabulary), in workbook order;
+  *   .pptx → decoded at ingest by [[graft.extract.PptxExtractor]] into
+  *   slide-ordered paragraph "text" spans + media spans (in-archive
+  *   refs);
   *   image/audio/video extensions → one media span passing the file
   *   path through as media_ref (bytes stay in the store — the north
   *   rule's media-by-reference semantics); anything else is dropped,
@@ -41,7 +44,7 @@ object RawFiles {
     "pdf" -> "pdf", "html" -> "html", "htm" -> "html",
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
     "md" -> "md", "markdown" -> "md", "epub" -> "epub",
-    "xlsx" -> "xlsx")
+    "xlsx" -> "xlsx", "pptx" -> "pptx")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -103,6 +106,7 @@ object RawFiles {
       else if (graft.extract.DocxExtractor.isDocx(bytes)) "docx"
       else if (graft.extract.EpubExtractor.isEpub(bytes)) "epub"
       else if (graft.extract.XlsxExtractor.isXlsx(bytes)) "xlsx"
+      else if (graft.extract.PptxExtractor.isPptx(bytes)) "pptx"
       else kind
     docSpansDispatch(kindEff, path, bytes)
   }
@@ -148,6 +152,19 @@ object RawFiles {
       graft.extract.XlsxExtractor.sheets(bytes)
         .collect { case (_, tsv) if tsv.exists(!_.isWhitespace) => tsv }
         .zipWithIndex.map { case (tsv, k) => Span("text", tsv, null, k) }
+    } else if (kind == "pptx" && graft.extract.PptxExtractor.isPptx(bytes)) {
+      // PPTX decodes at the ingest boundary like DOCX: slide paragraphs
+      // as verbatim "text" spans (presentation order), pictures as media
+      // spans whose ref tail is the IN-ARCHIVE path (payloads via
+      // [[pptxMediaPayload]]); external http(s)/data Targets verbatim.
+      graft.extract.PptxExtractor.items(bytes).zipWithIndex.map {
+        case (graft.extract.PptxExtractor.Text(t), k) =>
+          Span("text", t, null, k)
+        case (graft.extract.PptxExtractor.Media(mk, ref), k) =>
+          val full = if (ref.matches("(?i)^(https?|data):.*")) ref
+                     else s"$path#$ref"
+          Span(mk, null, full, k)
+      }
     } else if (kind == "md") {
       // Markdown decodes at the ingest boundary like DOCX — text blocks
       // as "text" spans, image/media references as media spans with the
@@ -161,7 +178,8 @@ object RawFiles {
             Span(mk, null, ref, k)
         }
     } else Vector(Span(
-      if (kind == "docx" || kind == "epub" || kind == "xlsx") "text"
+      if (kind == "docx" || kind == "epub" || kind == "xlsx" ||
+          kind == "pptx") "text"
       else kind,
       decodeTextPayload(bytes), null, 0))
 
@@ -192,6 +210,17 @@ object RawFiles {
     * contract ([[pdfImagePayload]] / [[docxMediaPayload]] are the
     * others).
     */
+  /** Byte-fetch for a PPTX media span minted by [[docSpans]]: the ref
+    * tail after `#` is the in-archive part path.
+    */
+  def pptxMediaPayload(pptxBytes: Array[Byte],
+                       mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf('#')
+    if (h < 0) None
+    else graft.extract.PptxExtractor.mediaPayload(
+      pptxBytes, mediaRef.substring(h + 1))
+  }
+
   def epubMediaPayload(epubBytes: Array[Byte],
                        mediaRef: String): Option[Array[Byte]] = {
     val h = mediaRef.lastIndexOf('#')
