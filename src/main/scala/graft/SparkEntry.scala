@@ -510,6 +510,20 @@ object SparkEntry {
           size(split(col("sentence"), " ")).cast("long"))
         .orderBy("doc_id", "sent_id")
     }),
+    "q_sentence_dedup" -> ((s, dir) => {
+      // cross-document sentence dedup: a boilerplate sentence is
+      // prepended to EVERY doc (composed deterministically so the SQL
+      // twin sees the identical corpus, the q_dehyphenate pattern) —
+      // only the globally-first occurrence survives; the ranking
+      // exchange carries (id, sent_id, hash), never text
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("Shared boilerplate intro. "),
+            substring(col("text"), 1, 80)).as("text"))
+      Dedup.sentenceDedup(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("clean_text"), col("n_cut"))
+        .orderBy("doc_id")
+    }),
     "q_dehyphenate" -> ((s, dir) => {
       // hyphenation repair: a hyphen + line break whose continuation
       // starts lowercase is a typesetting wrap artifact — merged; the
@@ -1590,6 +1604,33 @@ object SparkEntry {
          SELECT doc_id, sent_id, trim(ss[sent_id]) AS sentence,
                 len(string_split(trim(ss[sent_id]), ' ')) AS n_words
          FROM e WHERE trim(ss[sent_id]) <> '' ORDER BY doc_id, sent_id""",
+    "q_sentence_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  'Shared boilerplate intro. ' || substr(text, 1, 80)
+                    AS text
+           FROM documents),
+         s0 AS (
+           SELECT doc_id,
+                  regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$') AS ss
+           FROM d),
+         s AS (
+           SELECT doc_id, ss,
+                  unnest(generate_series(1, len(ss))) AS sent_id
+           FROM s0),
+         st AS (
+           SELECT doc_id, sent_id, trim(ss[sent_id]) AS sentence
+           FROM s WHERE trim(ss[sent_id]) <> ''),
+         r AS (
+           SELECT doc_id, sent_id, sentence,
+                  row_number() OVER (PARTITION BY sentence
+                                     ORDER BY doc_id, sent_id) AS rn
+           FROM st)
+         SELECT doc_id,
+                coalesce(string_agg(sentence, ' ' ORDER BY sent_id)
+                           FILTER (WHERE rn = 1), '') AS clean_text,
+                count(*) FILTER (WHERE rn > 1) AS n_cut
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     "q_dehyphenate" ->
       """SELECT doc_id,
            regexp_replace(

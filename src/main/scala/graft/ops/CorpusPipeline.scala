@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * actually runs over raw text shards, built entirely from the oracled
   * operators in this package:
   *
-  *   0. normalization         (TextOps.normalizeWs — opt-in, lossless)
+  *   0. dehyphenation + normalization (TextOps.dehyphenate /
+  *                             TextOps.normalizeWs — opt-in, lossless)
   *   0½. domain blocklist     (drop docs citing a blocked domain —
   *                             opt-in, the C4-style provenance gate)
   *   1. PII scrubbing         (TextOps.redactPii)
@@ -25,6 +26,8 @@ import org.apache.spark.sql.functions._
   *                             → drop; the GPT-3-appendix step — optional,
   *                             runs when an eval set is supplied)
   *   7. duplicated-window cut (Dedup.cutDuplicatedWindows, optional)
+  *   7½. sentence dedup       (Dedup.sentenceDedup — opt-in, corpus-wide
+  *                             first-occurrence boilerplate removal)
   *
   * Returns the cleaned (id, text) table plus a per-stage retention report
   * — every stage is one or two shuffles, nothing collects the corpus, and
@@ -54,6 +57,14 @@ object CorpusPipeline {
     // pass 0: whitespace/control normalization (TextOps.normalizeWs) —
     // opt-in, applied before PII scrubbing; drops nothing
     normalize: Boolean = false,
+    // pass 0 (opt-in, before normalizeWs — the line breaks it needs are
+    // collapsed by normalization): typesetting hyphen-wrap repair
+    // (TextOps.dehyphenate); drops nothing
+    dehyphenate: Boolean = false,
+    // stage 7½ (opt-in): corpus-wide sentence dedup — every sentence
+    // keeps only its globally-first occurrence (Dedup.sentenceDedup,
+    // the CCNet paragraph-hash pattern); docs cut to empty drop
+    sentenceDedup: Boolean = false,
     // stage 0½: drop any doc whose text cites a blocked domain (C4's
     // badwords/blocklist gate, applied to provenance instead of
     // content). Empty = stage skipped; map-side higher-order filter,
@@ -87,11 +98,16 @@ object CorpusPipeline {
     val input = df.select(col(idCol), col(textCol))
     counts += StageCount("input", input.count())
 
-    // pass 0 (opt-in, lossless): control/whitespace normalization makes
+    // pass 0 (opt-in, lossless): hyphen-wrap repair first (it needs the
+    // raw line breaks), then control/whitespace normalization — makes
     // every downstream regex and token boundary well-behaved
+    val dehyphenated =
+      if (!cfg.dehyphenate) input
+      else input.withColumn(textCol, TextOps.dehyphenate(col(textCol)))
     val normalized =
-      if (!cfg.normalize) input
-      else input.withColumn(textCol, TextOps.normalizeWs(col(textCol)))
+      if (!cfg.normalize) dehyphenated
+      else dehyphenated
+        .withColumn(textCol, TextOps.normalizeWs(col(textCol)))
 
     // stage 0½ (opt-in): provenance blocklist BEFORE the redaction
     // checkpoint — dropped docs never pay the PII regex chain, and the
@@ -176,12 +192,22 @@ object CorpusPipeline {
     // after cutting, drop docs whose remaining text is empty (a fully
     // duplicated doc collapses to "") — they carry no training signal,
     // and dropping them makes this stage's retention count meaningful
-    val out =
+    val cut =
       if (cfg.cutWindowTokens <= 0) decontaminated
       else count("window_cut",
         Dedup.cutDuplicatedWindows(decontaminated, idCol, textCol,
             cfg.cutWindowTokens)
           .select(col("id").as(idCol), col("text_clean").as(textCol))
+          .where(length(col(textCol)) > 0))
+
+    // stage 7½ (opt-in): boilerplate-sentence removal — the duplicate-
+    // detection exchange carries (id, sent_id, hash) only; docs whose
+    // every sentence was a later copy collapse to "" and drop
+    val out =
+      if (!cfg.sentenceDedup) cut
+      else count("sentence_dedup",
+        Dedup.sentenceDedup(cut, idCol, textCol)
+          .select(col("id").as(idCol), col("clean_text").as(textCol))
           .where(length(col(textCol)) > 0))
 
     (out, counts.result())

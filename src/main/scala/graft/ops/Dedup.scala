@@ -154,6 +154,47 @@ object Dedup {
           .as("n_tokens_removed"))
   }
 
+  /** Corpus-level SENTENCE dedup (the CCNet paragraph-hash pattern at
+    * sentence granularity): every distinct sentence keeps only its
+    * FIRST occurrence corpus-wide (ordered by (id, sent_id)); later
+    * copies are cut and each doc's text is rebuilt from its kept
+    * sentences — the boilerplate-sentence killer (nav strings, cookie
+    * banners, licence footers) that doc-level dedup can't touch.
+    *
+    * Scale shape: occurrence ranking windows over xxhash64(sentence) —
+    * that exchange carries (id, sent_id, hash) only, never text; the
+    * cut set joins back on (id, sent_id) and the one text shuffle is
+    * the final doc-keyed rebuild (same class as
+    * [[cutDuplicatedWindows]]). Sentences via [[TextOps.sentences]]
+    * (trimmed, blanks dropped, ids numbered before the blank filter);
+    * the rebuild joins with single spaces (sentence-normalized output,
+    * declared). Returns (id, clean_text, n_cut); sentence-less docs
+    * drop (nothing to keep or cut).
+    */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = df.select(col(idCol).as("id"),
+        posexplode(TextOps.sentences(col(textCol))))
+      .select(col("id"), (col("pos") + 1).cast("long").as("sent_id"),
+        trim(col("col")).as("sentence"))
+      .where(col("sentence") =!= "")
+    val cuts = sents
+      .select(col("id"), col("sent_id"), xxhash64(col("sentence")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy(col("id"), col("sent_id"))))
+      .where(col("rn") > 1)
+      .select(col("id"), col("sent_id"), lit(1).as("cut"))
+    sents.join(cuts, Seq("id", "sent_id"), "left")
+      .groupBy("id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(when(col("cut").isNull,
+              struct(col("sent_id"), col("sentence"))))),
+            s => s.getField("sentence"))).as("clean_text"),
+        sum(when(col("cut") === 1, 1L).otherwise(0L)).as("n_cut"))
+  }
+
   /** Benchmark decontamination report (the GPT-3-appendix shape): per
     * corpus doc, how many of its w-token windows appear anywhere in the
     * benchmark/eval set. Windows join on 64-bit hashes; the benchmark's

@@ -923,6 +923,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sents("a\nb. c") == Seq("a\nb.", " c"))
   }
 
+  test("sentenceDedup: first occurrence wins corpus-wide, rebuild ordered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Cookie banner here. Unique alpha content."),
+      (2L, "Cookie banner here. Unique beta content. Cookie banner here."),
+      (3L, "Unique beta content."), // dup of doc 2's sentence
+      (4L, "Totally original throughout.")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.sentenceDedup(docs, "doc_id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got(0) ==
+      (1L, "Cookie banner here. Unique alpha content.", 0L))
+    // doc 2 loses BOTH banner copies (rank 2 and 3 of that sentence)
+    assert(got(1) == (2L, "Unique beta content.", 2L))
+    // doc 3's only sentence is a later copy of doc 2's — all cut
+    assert(got(2) == (3L, "", 1L))
+    assert(got(3) == (4L, "Totally original throughout.", 0L))
+  }
+
   test("dehyphenate: lowercase continuations merge, upper/digit keep hyphen+break") {
     import spark.implicits._
     val rows = Seq(
@@ -1104,6 +1123,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == (0L until 10L).toSet,
       s"kept $kept; stages ${counts.mkString(", ")}")
     assert(counts.find(_.stage == "lang_filter").get.docs == 10)
+  }
+
+  test("pipeline dehyphenate + sentence-dedup: wrap repaired, boilerplate kept once") {
+    import spark.implicits._
+    val pool = gen.CorpusGen.Words
+    def body(i: Int) = (0 until 40).map(k =>
+      pool((i * 11 + k * 5) % pool.length) + i + k).mkString(" ")
+    val docs = (0 until 6).map { i =>
+      (i.toLong, s"Subscribe to our news-\nletter today. " +
+        s"Original sentence ${body(i)} number $i.")
+    }.toDF("doc_id", "text")
+    val (clean, counts) = CorpusPipeline.clean(docs, "doc_id", "text",
+      CorpusPipeline.Config(minQuality = 0.0,
+        dehyphenate = true, sentenceDedup = true))
+    val rows = clean.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(counts.map(_.stage).contains("sentence_dedup"))
+    assert(rows.size == 6)
+    // the typesetting wrap is repaired before anything else sees it
+    assert(rows.values.forall(!_.contains("news-")))
+    // the shared banner survives exactly once — in the globally-first doc
+    assert(rows.values.count(
+      _.contains("Subscribe to our newsletter today.")) == 1)
+    assert(rows(0L).startsWith("Subscribe to our newsletter today."))
+    (1 until 6).foreach(i =>
+      assert(rows(i.toLong).contains(s"number $i"), s"doc $i body lost"))
   }
 
   test("multimodal decode stage: deterministic, schema intact, frames explode") {
