@@ -407,7 +407,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-mdtsv")
       (0 until 24).foreach { k =>
-        val i = 12 * k + 9
+        val i = 13 * k + 9
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
           graft.gen.MixedGen.fileBytes(i)): Unit
@@ -437,6 +437,27 @@ object SparkEntry {
           element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
+    }),
+    "q_table_tsv_pptx" -> ((s, dir) => {
+      // DrawingML slide tables land in the same TSV vocabulary as the
+      // positional-PDF / markdown / HTML / XLSX table family: the pptx
+      // front end emits each a:tbl as ONE tab/newline-joined text
+      // block — recovered here from genuine .pptx decks through the
+      // production ingest + extraction path. Oracle: generator truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-pptxtsv")
+      (0 until 24).foreach { k =>
+        val i = 3 * k // every third deck carries a table slide
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, graft.gen.PptxGen.fileName(i)),
+          graft.gen.PptxGen.fileBytes(i)): Unit
+      }
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .where(col("text").contains("\t"))
+        .select(col("doc_id"), col("text").as("tsv"))
+        .orderBy("doc_id")
     }),
     "q_table_tsv_xlsx" -> ((s, dir) => {
       // the spreadsheet quarter of the table family: genuine .xlsx
@@ -1454,7 +1475,7 @@ object SparkEntry {
       // generator ground truth: the pipe-table TSV each md doc carries
       import s.implicits._
       (0 until 24).map { k =>
-        val i = 12 * k + 9
+        val i = 13 * k + 9
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),
@@ -1465,6 +1486,14 @@ object SparkEntry {
       graft.gen.PptxGen.expected(24)
         .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
+    "q_table_tsv_pptx" -> ((s, dir) => {
+      // generator ground truth: the a:tbl TSV each table deck carries
+      import s.implicits._
+      (0 until 24).map { k =>
+        val i = 3 * k
+        (graft.gen.PptxGen.fileName(i), graft.gen.PptxGen.tableTsv(i))
+      }.toDF("doc_id", "tsv")
     }),
     "q_table_tsv_xlsx" -> ((s, dir) => {
       // generator ground truth: the per-sheet used-range TSVs XlsxGen
@@ -1584,6 +1613,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_pdf_formfields/*.parquet'",
     "q_table_tsv_md" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_md/*.parquet'",
+    "q_table_tsv_pptx" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_tsv_pptx/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->

@@ -47,6 +47,23 @@ import scala.collection.mutable.ArrayBuffer
   *    package-absolute when `/`-prefixed; http(s)/data Targets pass
   *    through verbatim (linked, not embedded). kind by Target extension
   *    (the [[DocxExtractor]] table).
+  *  - `<a:tbl>` (a DrawingML table inside a `<p:graphicFrame>`) reads
+  *    as ONE [[Text]] item in the engine's table vocabulary — cells
+  *    tab-joined, rows newline-joined — emitted at `</a:tbl>` position,
+  *    matching the XLSX sheet / markdown pipe / HTML `<table>` TSV
+  *    forms. Inside a table the paragraph machine is suppressed: cell
+  *    text accumulates from `<a:t>` runs (entity-decoded), each
+  *    `<a:p>` boundary and `<a:br/>` inside a cell reads as one space
+  *    (the [[HtmlExtractor.tables]] in-cell rule — a newline would
+  *    break the TSV row), and cell text normalizes at close
+  *    (whitespace collapse + trim; empty cells keep grid shape).
+  *    `<a:tr>` opens a row (implicitly closing an open one); `<a:tc>`
+  *    opens a cell (a cell outside any row opens an implicit row). A
+  *    row is kept iff it has ≥1 cell; the table emits iff ≥1 row has a
+  *    nonempty cell. A stray nested `<a:tbl>` (invalid PML — `a:tc`
+  *    cannot hold a graphicFrame) merges into the open collector via a
+  *    depth counter, never a crash. `<a:blip>` inside a cell still
+  *    emits at tag position, i.e. BEFORE the table's Text item.
   *
   * Media payload recovery: [[mediaPayload]] fetches the in-archive path
   * minted above — the PPTX quarter of the media-by-reference contract.
@@ -164,6 +181,17 @@ object PptxExtractor {
     out.toVector
   }
 
+  /** Whitespace collapse + trim — the shared cell-normal form. */
+  private def normalizeCell(s: String): String = {
+    val sb = new StringBuilder
+    var ws = false
+    s.foreach { c =>
+      if (c.isWhitespace) ws = true
+      else { if (ws && sb.nonEmpty) sb.append(' '); ws = false; sb.append(c) }
+    }
+    sb.toString
+  }
+
   private def slideItems(doc: String, dir: String,
                          rels: Map[String, String],
                          out: ArrayBuffer[Item]): Unit = {
@@ -171,10 +199,34 @@ object PptxExtractor {
     var inPara = false
     var inT = false
 
+    // table collector (tblDepth > 0 suppresses the paragraph machine)
+    var tblDepth = 0
+    val tblRows = ArrayBuffer.empty[Vector[String]]
+    val rowCells = ArrayBuffer.empty[String]
+    val cell = new StringBuilder
+    var inRow = false
+    var inCell = false
+
     def flush(): Unit = {
       if (inPara && para.exists(!_.isWhitespace))
         out += Text(para.toString)
       para.clear(); inPara = false; inT = false
+    }
+
+    def closeCell(): Unit = if (inCell) {
+      rowCells += normalizeCell(cell.toString)
+      cell.setLength(0); inCell = false
+    }
+    def closeRow(): Unit = {
+      closeCell()
+      if (inRow && rowCells.nonEmpty) tblRows += rowCells.toVector
+      rowCells.clear(); inRow = false
+    }
+    def closeTable(): Unit = {
+      closeRow()
+      if (tblRows.exists(_.exists(_.nonEmpty)))
+        out += Text(tblRows.map(_.mkString("\t")).mkString("\n"))
+      tblRows.clear()
     }
 
     var i = 0
@@ -182,21 +234,48 @@ object PptxExtractor {
       val lt = doc.indexOf('<', i)
       if (lt < 0) { i = doc.length }
       else {
-        if (inT && lt > i)
-          para.append(DocxExtractor.decodeEntities(doc.substring(i, lt)))
+        if (inT && lt > i) {
+          val t = DocxExtractor.decodeEntities(doc.substring(i, lt))
+          if (tblDepth > 0) { if (inCell) cell.append(t): Unit }
+          else para.append(t): Unit
+        }
         val gt = doc.indexOf('>', lt)
         if (gt < 0) { i = doc.length }
         else {
           val (name, closing, selfClosing) =
             DocxExtractor.tagOf(doc, lt, gt)
           name match {
+            case "a:tbl" =>
+              if (closing) {
+                if (tblDepth > 0) { tblDepth -= 1; if (tblDepth == 0) closeTable() }
+              } else if (!selfClosing) {
+                if (tblDepth == 0) flush()
+                tblDepth += 1
+              }
+            case "a:tr" if tblDepth > 0 =>
+              if (closing) closeRow()
+              else if (!selfClosing) { closeRow(); inRow = true }
+            case "a:tc" if tblDepth > 0 =>
+              if (closing) closeCell()
+              else if (!selfClosing) {
+                closeCell()
+                if (!inRow) inRow = true // cell outside a row: implicit row
+                inCell = true
+              }
             case "a:p" =>
-              if (closing) flush()
+              if (tblDepth > 0) {
+                // a paragraph boundary inside a cell reads as one space
+                if (inCell && !closing && cell.nonEmpty) cell.append(' '): Unit
+                inT = false
+              } else if (closing) flush()
               else if (!selfClosing) { flush(); inPara = true }
             case "a:t" =>
               if (closing || selfClosing) inT = false
+              else if (tblDepth > 0) { if (inCell) inT = true }
               else if (inPara) inT = true
-            case "a:br" if inPara && !closing => para.append('\n')
+            case "a:br" if !closing =>
+              if (tblDepth > 0) { if (inCell) cell.append(' '): Unit }
+              else if (inPara) para.append('\n'): Unit
             case "a:blip" if !closing =>
               DocxExtractor.attrOf(doc, lt, gt, "r:embed")
                 .flatMap(rels.get).foreach { t =>
@@ -212,6 +291,7 @@ object PptxExtractor {
         }
       }
     }
+    if (tblDepth > 0) closeTable()
     flush()
   }
 

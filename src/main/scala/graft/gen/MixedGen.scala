@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 12`:
+  * File kinds by `i % 13`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -60,7 +60,12 @@ package graft.gen
   *                        ([[XlsxGen.fileBytes]]): shared/rich/inline
   *                        strings, holes, gap rows, ghost sheets —
   *                        each sheet one used-range TSV text span
-  *                        ([[graft.extract.XlsxExtractor]]).
+  *                        ([[graft.extract.XlsxExtractor]]);
+  *   12 → `deck_NNNN.pptx` genuine PresentationML deck
+  *                        ([[PptxGen.fileBytes]]): multi-run titles,
+  *                        a:br breaks, tag-position pictures with
+  *                        `../media/` Targets, ghost slides
+  *                        ([[graft.extract.PptxExtractor]]).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -76,7 +81,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 12: @unchecked) match {
+  def fileName(i: Int): String = (i % 13: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -87,6 +92,7 @@ object MixedGen {
     case 9         => f"post_$i%04d.md"
     case 10        => f"book_$i%04d.epub"
     case 11        => f"grid_$i%04d.xlsx"
+    case 12        => f"deck_$i%04d.pptx"
   }
 
   // ---------- shared text ----------
@@ -301,7 +307,7 @@ object MixedGen {
       s"word/${docxImage(i)}" -> makePng(i))
   }
 
-  private[gen] def zipStored(entries: (String, Array[Byte])*): Array[Byte] = {
+  private[graft] def zipStored(entries: (String, Array[Byte])*): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)
     entries.foreach { case (name, bytes) =>
@@ -376,7 +382,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 12: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 13: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -390,6 +396,7 @@ object MixedGen {
     case 9 => makeMd(i).getBytes("UTF-8")
     case 10 => EpubGen.fileBytes(i)
     case 11 => XlsxGen.fileBytes(i)
+    case 12 => PptxGen.fileBytes(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -403,7 +410,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 12: @unchecked) match {
+    (i % 13: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -476,6 +483,12 @@ object MixedGen {
         XlsxGen.expectedSheets(i).zipWithIndex.map {
           case ((_, tsv), k) => GtRow(f, "text", tsv, null, k)
         }
+      case 12 =>
+        // PPTX: slide-ordered paragraphs + tag-position pictures —
+        // PptxGen owns the ground truth (media_ref already the bare
+        // picture name, matching the path-tail reduction)
+        PptxGen.expectedDoc(i).map(r =>
+          GtRow(f, r.kind, r.text, r.media_ref, r.ord))
     }
   }
 }

@@ -92,10 +92,45 @@ class PptxSpec extends AnyFunSuite {
             c = c.getNextSibling
           }
         }
+        // table cell: every a:t concatenates, a:br and paragraph
+        // boundaries read as spaces, then an independent normal form
+        // (split on whitespace, single-space join)
+        def cellText(tc: Element): String = {
+          val acc = new StringBuilder
+          def w(n: Node): Unit = {
+            var c = n.getFirstChild
+            while (c != null) {
+              c match {
+                case e: Element => e.getLocalName match {
+                  case "t"    => acc.append(e.getTextContent)
+                  case "br"   => acc.append(' ')
+                  case "p"    => acc.append(' '); w(e)
+                  case "blip" => emitBlip(e); w(e)
+                  case _      => w(e)
+                }
+                case _ => ()
+              }
+              c = c.getNextSibling
+            }
+          }
+          w(tc)
+          acc.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        }
         def walk(n: Node): Unit = {
           var c = n.getFirstChild
           while (c != null) {
             c match {
+              case e: Element if e.getLocalName == "tbl" =>
+                val trN = e.getElementsByTagNameNS("*", "tr")
+                val rows = (0 until trN.getLength)
+                  .map(trN.item(_).asInstanceOf[Element]).map { tr =>
+                    val tcN = tr.getElementsByTagNameNS("*", "tc")
+                    (0 until tcN.getLength)
+                      .map(tcN.item(_).asInstanceOf[Element])
+                      .map(cellText).toVector
+                  }.filter(_.nonEmpty)
+                if (rows.exists(_.exists(_.nonEmpty)))
+                  out += Text(rows.map(_.mkString("\t")).mkString("\n"))
               case e: Element if e.getLocalName == "p" =>
                 val acc = new StringBuilder
                 walkPara(e, acc)
@@ -138,20 +173,75 @@ class PptxSpec extends AnyFunSuite {
   }
 
   test("media at tag position: blip inside the caption's open paragraph") {
-    val inPara = PptxExtractor.items(graft.gen.PptxGen.fileBytes(0))
+    // decks 4 and 2: pic slide is last (no table slide — i % 3 != 0)
+    val inPara = PptxExtractor.items(graft.gen.PptxGen.fileBytes(4))
     val outPara = PptxExtractor.items(graft.gen.PptxGen.fileBytes(2))
     def tail(items: Vector[Item]) = items.takeRight(2)
     // both shapes end (media, caption-text) — emission order identical
     assert(tail(inPara).head.isInstanceOf[Media])
     assert(tail(outPara).head.isInstanceOf[Media])
-    assert(tail(inPara).last == Text("Figure caption for deck 0"))
+    assert(tail(inPara).last == Text("Figure caption for deck 4"))
     assert(tail(outPara).last == Text("Figure caption for deck 2"))
     // ../media Target normalized to the in-archive path
-    assert(tail(inPara).head == Media("image", "ppt/media/pic_0.png"))
+    assert(tail(inPara).head == Media("image", "ppt/media/pic_4.png"))
     // payload recoverable through the by-reference contract
-    assert(PptxExtractor.mediaPayload(graft.gen.PptxGen.fileBytes(0),
-      "ppt/media/pic_0.png").get.take(4).map(_ & 0xff).toSeq ==
+    assert(PptxExtractor.mediaPayload(graft.gen.PptxGen.fileBytes(4),
+      "ppt/media/pic_4.png").get.take(4).map(_ & 0xff).toSeq ==
       Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+  }
+
+  // one-slide deck around a raw spTree body, for table edge pins
+  private def miniDeck(body: String): Array[Byte] =
+    graft.gen.MixedGen.zipStored(
+      "ppt/presentation.xml" ->
+        ("""<p:presentation xmlns:p="p" xmlns:r="r"><p:sldIdLst>""" +
+          """<p:sldId id="256" r:id="rId2"/>""" +
+          "</p:sldIdLst></p:presentation>").getBytes("UTF-8"),
+      "ppt/_rels/presentation.xml.rels" ->
+        ("""<Relationships><Relationship Id="rId2" Type="s" """ +
+          """Target="slides/slide1.xml"/></Relationships>""").getBytes("UTF-8"),
+      "ppt/slides/slide1.xml" ->
+        (s"""<p:sld xmlns:p="p" xmlns:a="a"><p:cSld><p:spTree>$body""" +
+          "</p:spTree></p:cSld></p:sld>").getBytes("UTF-8"))
+
+  test("a:tbl reads as ONE TSV text block, fixtures pin the vocabulary") {
+    // deck 0: hasTbl + ragged final row
+    val items = PptxExtractor.items(graft.gen.PptxGen.fileBytes(0))
+    val tsv = graft.gen.PptxGen.tableTsv(0)
+    assert(tsv ==
+      "Metric\tQ0 2026\tDelta & note\ndocs 0\t\tup m0 pts\ntokens 0")
+    assert(items.contains(Text(tsv)))
+    // the table precedes its caption paragraph, both on the last slide
+    assert(items.takeRight(2) ==
+      Vector(Text(tsv), Text("Table notes for deck 0")))
+    // deck 3: table, not ragged — two rows only
+    val t3 = graft.gen.PptxGen.tableTsv(3)
+    assert(t3.count(_ == '\n') == 1)
+    assert(PptxExtractor.items(graft.gen.PptxGen.fileBytes(3)).contains(Text(t3)))
+    // deck 1: no table — no tab anywhere
+    assert(PptxExtractor.items(graft.gen.PptxGen.fileBytes(1))
+      .collect { case Text(t) => t }.forall(!_.contains('\t')))
+  }
+
+  test("table edges: implicit row, all-empty drop, stray nest, unclosed") {
+    def texts(body: String): Vector[String] =
+      PptxExtractor.items(miniDeck(body)).collect { case Text(t) => t }
+    def tc(s: String) = s"<a:tc><a:txBody><a:p><a:r><a:t>$s</a:t></a:r></a:p></a:txBody></a:tc>"
+    // a cell outside any row opens an implicit row
+    assert(texts(s"<a:tbl>${tc("x")}<a:tr>${tc("y")}</a:tr></a:tbl>") ==
+      Vector("x\ny"))
+    // a table whose every cell is empty emits nothing
+    assert(texts("<a:tbl><a:tr><a:tc><a:txBody><a:p/></a:txBody></a:tc>" +
+      "</a:tr></a:tbl>") == Vector.empty)
+    // a stray nested a:tbl merges into the open collector (no crash)
+    assert(texts(s"<a:tbl><a:tr>${tc("a")}<a:tbl/><a:tr>${tc("b")}</a:tr>" +
+      "</a:tr></a:tbl>") == Vector("a\nb"))
+    // unclosed table flushes at end-of-part; paragraph machine resumes
+    // after a closed one
+    assert(texts(s"<a:tbl><a:tr>${tc("q")}</a:tr></a:tbl>" +
+      "<p:sp><p:txBody><a:p><a:r><a:t>after</a:t></a:r></a:p></p:txBody></p:sp>") ==
+      Vector("q", "after"))
+    assert(texts(s"<a:tbl><a:tr>${tc("open")}") == Vector("open"))
   }
 
   test("classification is mutually exclusive across the OPC formats") {
