@@ -407,7 +407,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-mdtsv")
       (0 until 24).foreach { k =>
-        val i = 13 * k + 9
+        val i = 14 * k + 9
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
           graft.gen.MixedGen.fileBytes(i)): Unit
@@ -430,6 +430,25 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-pptx")
       graft.gen.PptxGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_rtf" -> ((s, dir) => {
+      // genuine RTF ingestion, driver-visible: group-machine parse →
+      // paragraph text (codepage escapes, \u fallbacks, keyword chars),
+      // \cell/\row tables as TSV blocks, shppict pictures emitting
+      // exactly once with recoverable payloads — through the production
+      // binaryFile scan → RawFiles classification → Extractor.
+      // media_ref reduced to its path-independent tail as in ex_mixed.
+      // Oracle: the GENERATOR's ground truth (RtfGen).
+      import s.implicits._
+      val tmp = scratchDir("graft-rtf")
+      graft.gen.RtfGen.write(tmp, 24)
       graft.sources.RawFiles.read(s, tmp)
         .flatMap(d => Extractor.extractRows(d))
         .toDF()
@@ -1475,7 +1494,7 @@ object SparkEntry {
       // generator ground truth: the pipe-table TSV each md doc carries
       import s.implicits._
       (0 until 24).map { k =>
-        val i = 13 * k + 9
+        val i = 14 * k + 9
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),
@@ -1494,6 +1513,14 @@ object SparkEntry {
         val i = 3 * k
         (graft.gen.PptxGen.fileName(i), graft.gen.PptxGen.tableTsv(i))
       }.toDF("doc_id", "tsv")
+    }),
+    "ex_rtf" -> ((s, dir) => {
+      // generator ground truth — what RtfGen wrote (paragraphs, table
+      // TSVs, pict refs), independent of every parser
+      import s.implicits._
+      graft.gen.RtfGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
     "q_table_tsv_xlsx" -> ((s, dir) => {
       // generator ground truth: the per-sheet used-range TSVs XlsxGen
@@ -1615,6 +1642,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_md/*.parquet'",
     "q_table_tsv_pptx" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_pptx/*.parquet'",
+    "ex_rtf" ->
+      s"SELECT * FROM '$ExpectedToken/ex_rtf/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->

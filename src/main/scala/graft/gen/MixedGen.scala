@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 13`:
+  * File kinds by `i % 14`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -65,7 +65,12 @@ package graft.gen
   *                        ([[PptxGen.fileBytes]]): multi-run titles,
   *                        a:br breaks, tag-position pictures with
   *                        `../media/` Targets, ghost slides
-  *                        ([[graft.extract.PptxExtractor]]).
+  *                        ([[graft.extract.PptxExtractor]]);
+  *   13 → `memo_NNNN.rtf` genuine RTF memo ([[RtfGen.fileBytes]]):
+  *                        skipped header destinations, codepage
+  *                        escapes, \u fallbacks, shppict/nonshppict
+  *                        picture pairs, \cell/\row tables
+  *                        ([[graft.extract.RtfExtractor]]).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -81,7 +86,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 13: @unchecked) match {
+  def fileName(i: Int): String = (i % 14: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -93,6 +98,7 @@ object MixedGen {
     case 10        => f"book_$i%04d.epub"
     case 11        => f"grid_$i%04d.xlsx"
     case 12        => f"deck_$i%04d.pptx"
+    case 13        => f"memo_$i%04d.rtf"
   }
 
   // ---------- shared text ----------
@@ -382,7 +388,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 13: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 14: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -397,6 +403,7 @@ object MixedGen {
     case 10 => EpubGen.fileBytes(i)
     case 11 => XlsxGen.fileBytes(i)
     case 12 => PptxGen.fileBytes(i)
+    case 13 => RtfGen.fileBytes(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -410,7 +417,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 13: @unchecked) match {
+    (i % 14: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -488,6 +495,12 @@ object MixedGen {
         // PptxGen owns the ground truth (media_ref already the bare
         // picture name, matching the path-tail reduction)
         PptxGen.expectedDoc(i).map(r =>
+          GtRow(f, r.kind, r.text, r.media_ref, r.ord))
+      case 13 =>
+        // RTF: paragraphs + TSV tables + pictures — RtfGen owns the
+        // ground truth (media_ref already `<file>#pict_N.<ext>`, the
+        // PDF-convention path-tail reduction)
+        RtfGen.expectedDoc(i).map(r =>
           GtRow(f, r.kind, r.text, r.media_ref, r.ord))
     }
   }

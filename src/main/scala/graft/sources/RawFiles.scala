@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   *   .pptx → decoded at ingest by [[graft.extract.PptxExtractor]] into
   *   slide-ordered paragraph "text" spans + media spans (in-archive
   *   refs);
+  *   .rtf → decoded at ingest by [[graft.extract.RtfExtractor]] into
+  *   paragraph "text" spans, TSV table blocks, and picture media spans;
   *   image/audio/video extensions → one media span passing the file
   *   path through as media_ref (bytes stay in the store — the north
   *   rule's media-by-reference semantics); anything else is dropped,
@@ -44,7 +46,7 @@ object RawFiles {
     "pdf" -> "pdf", "html" -> "html", "htm" -> "html",
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
     "md" -> "md", "markdown" -> "md", "epub" -> "epub",
-    "xlsx" -> "xlsx", "pptx" -> "pptx")
+    "xlsx" -> "xlsx", "pptx" -> "pptx", "rtf" -> "rtf")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -107,6 +109,7 @@ object RawFiles {
       else if (graft.extract.EpubExtractor.isEpub(bytes)) "epub"
       else if (graft.extract.XlsxExtractor.isXlsx(bytes)) "xlsx"
       else if (graft.extract.PptxExtractor.isPptx(bytes)) "pptx"
+      else if (graft.extract.RtfExtractor.isRtf(bytes)) "rtf"
       else kind
     docSpansDispatch(kindEff, path, bytes)
   }
@@ -165,6 +168,18 @@ object RawFiles {
                      else s"$path#$ref"
           Span(mk, null, full, k)
       }
+    } else if (kind == "rtf" && graft.extract.RtfExtractor.isRtf(bytes)) {
+      // RTF decodes at the ingest boundary like DOCX: paragraphs as
+      // verbatim "text" spans, tables as TSV text blocks (the engine's
+      // table vocabulary), embedded pictures as media spans whose ref
+      // tail is the minted per-doc pict id (payloads recoverable via
+      // [[rtfMediaPayload]]).
+      graft.extract.RtfExtractor.items(bytes).zipWithIndex.map {
+        case (graft.extract.RtfExtractor.Text(t), k) =>
+          Span("text", t, null, k)
+        case (graft.extract.RtfExtractor.Media(mk, ref), k) =>
+          Span(mk, null, s"$path#$ref", k)
+      }
     } else if (kind == "md") {
       // Markdown decodes at the ingest boundary like DOCX — text blocks
       // as "text" spans, image/media references as media spans with the
@@ -179,7 +194,7 @@ object RawFiles {
         }
     } else Vector(Span(
       if (kind == "docx" || kind == "epub" || kind == "xlsx" ||
-          kind == "pptx") "text"
+          kind == "pptx" || kind == "rtf") "text"
       else kind,
       decodeTextPayload(bytes), null, 0))
 
@@ -219,6 +234,18 @@ object RawFiles {
     if (h < 0) None
     else graft.extract.PptxExtractor.mediaPayload(
       pptxBytes, mediaRef.substring(h + 1))
+  }
+
+  /** Byte-fetch for an RTF media span minted by [[docSpans]]: the ref
+    * tail after `#` is the per-doc pict id, resolved by re-parsing the
+    * ORIGINAL rtf bytes.
+    */
+  def rtfMediaPayload(rtfBytes: Array[Byte],
+                      mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf('#')
+    if (h < 0) None
+    else graft.extract.RtfExtractor.mediaPayload(
+      rtfBytes, mediaRef.substring(h + 1))
   }
 
   def epubMediaPayload(epubBytes: Array[Byte],
