@@ -457,6 +457,64 @@ object SparkEntry {
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
+    "ex_warc" -> ((s, dir) => {
+      // genuine web-archive ingestion, driver-visible: each crawl
+      // segment FANS OUT to one document per retained record
+      // (`<file>#r<idx>:<target-uri>`), payloads routed by MIME through
+      // the existing front ends — html records through the boilerpipe
+      // gate with interleaved media, pdf records through RealPdf,
+      // chunked HTTP bodies de-chunked, WET conversion records as text,
+      // image resources as media by reference; non-2xx and
+      // warcinfo/request/metadata records drop; odd segments are
+      // .warc.gz (per-record gzip members). Oracle: WarcGen ground
+      // truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-warc")
+      graft.gen.WarcGen.write(tmp, 21)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_archive" -> ((s, dir) => {
+      // genuine archive-dump ingestion, driver-visible: each .zip /
+      // .tar / .tar.gz FANS OUT to one document per member file
+      // (`<file>#<member>`), members routed by their own suffix
+      // through the existing front ends — html through the boilerpipe
+      // gate with interleaved media, pdf through RealPdf, text
+      // verbatim, png as media by reference; unsupported suffixes and
+      // NESTED archives drop. Oracle: ArchiveGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-archive")
+      graft.gen.ArchiveGen.write(tmp, 18)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_jsonl" -> ((s, dir) => {
+      // corpus-shard re-ingestion, driver-visible: each .jsonl /
+      // .ndjson / .jsonl.gz shard FANS OUT to one document per
+      // retained JSON line (`<file>#L<lineNo>:<id>`) — text under the
+      // Dolma/HF/CCNet key conventions (text|content|raw_content), ids
+      // from id|url|doc_id, malformed/blank/text-less lines dropped,
+      // BOM and CRLF tolerated. Oracle: JsonlGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-jsonl")
+      graft.gen.JsonlGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "q_table_tsv_pptx" -> ((s, dir) => {
       // DrawingML slide tables land in the same TSV vocabulary as the
       // positional-PDF / markdown / HTML / XLSX table family: the pptx
@@ -1522,6 +1580,33 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
+    "ex_warc" -> ((s, dir) => {
+      // generator ground truth — what WarcGen wrote into each segment
+      // (kept html blocks, pdf page text, de-chunked/WET text, media
+      // refs), independent of every parser
+      import s.implicits._
+      graft.gen.WarcGen.expected(21)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
+    "ex_archive" -> ((s, dir) => {
+      // generator ground truth — what ArchiveGen packed into each
+      // archive (kept html blocks, pdf page text, note/deep text,
+      // media refs), independent of every parser
+      import s.implicits._
+      graft.gen.ArchiveGen.expected(18)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
+    "ex_jsonl" -> ((s, dir) => {
+      // generator ground truth — the retained lines JsonlGen wrote
+      // with their physical line numbers and id conventions,
+      // independent of the parser
+      import s.implicits._
+      graft.gen.JsonlGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.ord))
+        .toDF("doc_id", "kind", "text", "ord")
+    }),
     "q_table_tsv_xlsx" -> ((s, dir) => {
       // generator ground truth: the per-sheet used-range TSVs XlsxGen
       // wrote, in workbook order — independent of every parser
@@ -1644,6 +1729,12 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_pptx/*.parquet'",
     "ex_rtf" ->
       s"SELECT * FROM '$ExpectedToken/ex_rtf/*.parquet'",
+    "ex_warc" ->
+      s"SELECT * FROM '$ExpectedToken/ex_warc/*.parquet'",
+    "ex_archive" ->
+      s"SELECT * FROM '$ExpectedToken/ex_archive/*.parquet'",
+    "ex_jsonl" ->
+      s"SELECT * FROM '$ExpectedToken/ex_jsonl/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->

@@ -1,0 +1,85 @@
+package graft.gen
+
+/** Deterministic JSONL corpus-shard fixtures + generator ground truth
+  * — the fixture behind `ex_jsonl`: shards exercising every line shape
+  * [[graft.extract.JsonlExtractor]] must handle. Per shard, in line
+  * order: a Dolma-style `text`+`id` record, a `content`+`url` record,
+  * a malformed JSON line (dropped), a CCNet-style `raw_content` record
+  * with a NUMERIC `doc_id` (rendered as text), an object without any
+  * text key (dropped), a blank line (dropped), an empty-text record
+  * (dropped), and an id-less record with JSON escapes + non-ASCII in
+  * the text. `i%3`: 0 → `.jsonl` with a UTF-8 BOM, 1 → `.ndjson` with
+  * CRLF line ends, 2 → `.jsonl.gz`.
+  */
+object JsonlGen {
+
+  final case class GtRow(doc_id: String, kind: String, text: String,
+                         ord: Int)
+
+  def fileName(i: Int): String = (i % 3) match {
+    case 0 => f"shard_$i%04d.jsonl"
+    case 1 => f"shard_$i%04d.ndjson"
+    case _ => f"shard_$i%04d.jsonl.gz"
+  }
+
+  private def t0(i: Int) =
+    s"Shard $i lead record mentions m${(i * 47) % 883} twice: " +
+      s"m${(i * 47) % 883}."
+  private def t1(i: Int) =
+    s"Crawled content row of shard $i carries m${(i * 53) % 883}."
+  private def t3(i: Int) =
+    s"CCNet-style raw content $i with m${(i * 59) % 883} inside."
+  private def t7(i: Int) =
+    s"Escaped \"quote\" and café record of shard $i, " +
+      s"m${(i * 61) % 883} closing."
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  private def lines(i: Int): Seq[String] = Seq(
+    s"""{"id": "doc-$i-0", "text": "${esc(t0(i))}", "lang": "en"}""",
+    s"""{"url": "https://example.org/$i/a", "content": "${esc(t1(i))}"}""",
+    s"""{"id": "broken-$i", "text": "unterminated""",
+    s"""{"raw_content": "${esc(t3(i))}", "doc_id": ${9000 + i}}""",
+    s"""{"meta": {"text": "nested does not count"}, "note": "n$i"}""",
+    "",
+    s"""{"id": "empty-$i", "text": ""}""",
+    s"""{"text": "${esc(t7(i))}"}""")
+
+  def fileBytes(i: Int): Array[Byte] = {
+    val sep = if (i % 3 == 1) "\r\n" else "\n"
+    val body = lines(i).mkString("", sep, sep)
+    val prefixed = if (i % 3 == 0) "\uFEFF" + body else body
+    val raw = prefixed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (i % 3 == 2) {
+      val bos = new java.io.ByteArrayOutputStream(raw.length)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    } else raw
+  }
+
+  def write(dir: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, fileName(i)), fileBytes(i)): Unit
+    }
+
+  /** Ground truth after ingest fan-out: retained lines 0,1,3,7 with
+    * their physical line numbers and id conventions.
+    */
+  def expectedDoc(i: Int): Seq[GtRow] = {
+    val f = fileName(i)
+    Seq(
+      GtRow(s"$f#L0:doc-$i-0", "text", t0(i), 0),
+      GtRow(s"$f#L1:https://example.org/$i/a", "text", t1(i), 0),
+      GtRow(s"$f#L3:${9000 + i}", "text", t3(i), 0),
+      GtRow(s"$f#L7:", "text", t7(i), 0))
+  }
+
+  def expected(n: Int): Seq[GtRow] = (0 until n).flatMap(expectedDoc)
+}

@@ -114,7 +114,7 @@ object MixedGen {
   private def nPage(i: Int): Int = 6 + i % 5  // page text lines
   private def nForm(i: Int): Int = 3 + i % 3  // form continuation lines
 
-  private def joined(ls: Seq[String]): String = ls.map(_ + "\n").mkString
+  private[gen] def joined(ls: Seq[String]): String = ls.map(_ + "\n").mkString
 
   // ---------- PDF writers ----------
 
@@ -208,7 +208,7 @@ object MixedGen {
     * that the extractor must decode — the ground truth here carries
     * the decoded form.
     */
-  private def htmlKept(i: Int): Seq[String] = Seq(
+  private[gen] def htmlKept(i: Int): Seq[String] = Seq(
     s"Mixed fixture document $i reference title block",
     s"First content paragraph of document $i: " +
       lines(i, "Body", 1).head,
@@ -221,11 +221,11 @@ object MixedGen {
     * paragraph, a video `<source>`, then a trailing audio. The nav
     * logo (boilerplate) and the script-interior img never emit.
     */
-  private def htmlFig(i: Int): String = s"fig_$i.png?w=320&h=240"
-  private def htmlClip(i: Int): String = s"clip_$i.mp4"
-  private def htmlPod(i: Int): String = s"pod_$i.mp3"
+  private[gen] def htmlFig(i: Int): String = s"fig_$i.png?w=320&h=240"
+  private[gen] def htmlClip(i: Int): String = s"clip_$i.mp4"
+  private[gen] def htmlPod(i: Int): String = s"pod_$i.mp3"
 
-  private def makeHtml(i: Int): String = {
+  private[gen] def makeHtml(i: Int): String = {
     val k = htmlKept(i)
     val rawSecond = s"Second content paragraph of document $i visits " +
       s"the caf&#233; m${(i * 17) % 883} m${(i * 19) % 883} " +

@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
   *   refs);
   *   .rtf → decoded at ingest by [[graft.extract.RtfExtractor]] into
   *   paragraph "text" spans, TSV table blocks, and picture media spans;
+  *   .warc/.warc.gz → EXPANDED at ingest by
+  *   [[graft.extract.WarcExtractor]]: each retained crawl record
+  *   becomes ITS OWN InputDoc (`<relpath>#r<idx>:<target-uri>`), its
+  *   payload routed by MIME through this very dispatch (an html record
+  *   is an html doc, a pdf record a pdf doc, an image record a media
+  *   doc by reference) — crawl archives are directories-of-documents
+  *   in one file;
+  *   .zip/.tar/.tar.gz/.tgz → EXPANDED at ingest by
+  *   [[graft.extract.ArchiveExtractor]]: one InputDoc per member file
+  *   (`<relpath>#<member>`), each routed by its own suffix (nested
+  *   archives drop — one fan-out level);
+  *   .jsonl/.ndjson → one InputDoc per retained JSON line
+  *   ([[graft.extract.JsonlExtractor]] —
+  *   `<relpath>#L<lineNo>:<record-id>`), the corpus-shard
+  *   re-ingestion path;
+  *   other `.gz` → inflated and routed by the inner extension
+  *   (`page.html.gz` is an html doc);
   *   image/audio/video extensions → one media span passing the file
   *   path through as media_ref (bytes stay in the store — the north
   *   rule's media-by-reference semantics); anything else is dropped,
@@ -46,7 +63,9 @@ object RawFiles {
     "pdf" -> "pdf", "html" -> "html", "htm" -> "html",
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
     "md" -> "md", "markdown" -> "md", "epub" -> "epub",
-    "xlsx" -> "xlsx", "pptx" -> "pptx", "rtf" -> "rtf")
+    "xlsx" -> "xlsx", "pptx" -> "pptx", "rtf" -> "rtf",
+    "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
+    "jsonl" -> "jsonl", "ndjson" -> "jsonl")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -93,6 +112,167 @@ object RawFiles {
     * by the batch directory reader and the streaming source, so the
     * two ingestion paths cannot drift.
     */
+  /** File-level decode with WARC fan-out: a `.warc`/`.warc.gz` file
+    * (by suffix OR content magic — a crawler's misnamed `.txt` WARC
+    * still routes) expands into one InputDoc PER retained record; every
+    * other kind stays one file = one InputDoc via [[docSpans]]. The one
+    * definition shared by the batch scan and the streaming source.
+    */
+  private[graft] def docsOf(kind: String, path: String, bytes: Array[Byte],
+                            root: String): Seq[InputDoc] =
+    if (kind == "warc" || graft.extract.WarcExtractor.isWarc(bytes) ||
+        graft.extract.WarcExtractor.isWarcGz(bytes))
+      warcDocs(path, relativize(path, root), bytes)
+    else if (kind == "zip" || kind == "tar" ||
+             graft.extract.ArchiveExtractor.isPlainZip(bytes) ||
+             graft.extract.ArchiveExtractor.isTarGz(bytes) ||
+             graft.extract.ArchiveExtractor.isTar(bytes))
+      archiveDocs(path, relativize(path, root), bytes)
+    else if (kind == "jsonl") jsonlDocs(relativize(path, root), bytes)
+    else if (kind == "gz") gzDoc(path, bytes, root)
+    else Seq(InputDoc(relativize(path, root), docSpans(kind, path, bytes)))
+
+  /** One InputDoc per retained jsonl line
+    * (`<relpath>#L<lineNo>:<record-id>`) — the shard re-ingestion path;
+    * line semantics in [[graft.extract.JsonlExtractor]].
+    */
+  private def jsonlDocs(rel: String, bytes: Array[Byte]): Seq[InputDoc] =
+    graft.extract.JsonlExtractor.records(bytes).map { r =>
+      InputDoc(s"$rel#L${r.lineNo}:${r.id}",
+        Vector(Span("text", r.text, null, 0)))
+    }
+
+  /** Generic single-file gzip: `<name>.<ext>.gz` inflates and routes by
+    * the INNER extension (`page.html.gz` is an html doc, `shard.jsonl
+    * .gz` a jsonl shard) — web corpora gzip text at rest. The doc id
+    * keeps the on-disk `.gz` name. Inner extensions outside the text
+    * family (or a corrupt stream) drop. `.warc.gz`/`.tar.gz` never
+    * reach here (matched to their own kinds first).
+    */
+  private def gzDoc(path: String, bytes: Array[Byte],
+                    root: String): Seq[InputDoc] = {
+    val inner = path.substring(0, path.length - 3)
+    val lp = inner.toLowerCase
+    val dot = lp.lastIndexOf('.')
+    val e = if (dot < 0) "" else lp.substring(dot + 1)
+    TextExt.get(e) match {
+      case Some(k) =>
+        val inflated = graft.extract.WarcExtractor.gunzipAll(bytes)
+        if (inflated.isEmpty) Nil else docsOf(k, path, inflated, root)
+      case None => Nil
+    }
+  }
+
+  /** One InputDoc per archive MEMBER file (`<relpath>#<member>`),
+    * each routed by its own extension through the same suffix dispatch
+    * as a directory scan: text kinds decode via [[docSpans]] against
+    * the pseudo-path `<path>#<member>` (so a member pdf's embedded
+    * images mint `<path>#<member>#img<seq>:obj<N>` refs — fetch the
+    * member payload via [[archiveEntryPayload]] first), media suffixes
+    * become one by-reference span (bytes stay in the archive),
+    * unsupported suffixes drop, and NESTED archives (zip/tar/tgz/warc
+    * members) drop — one level of fan-out, documented in
+    * [[graft.extract.ArchiveExtractor]].
+    */
+  private def archiveDocs(path: String, rel: String,
+                          bytes: Array[Byte]): Seq[InputDoc] =
+    graft.extract.ArchiveExtractor.entries(bytes).flatMap { en =>
+      val lp = en.name.toLowerCase
+      val dot = lp.lastIndexOf('.')
+      val e = if (dot < 0) "" else lp.substring(dot + 1)
+      val nested = e == "zip" || e == "tar" || e == "tgz" ||
+        e == "warc" || lp.endsWith(".tar.gz") || lp.endsWith(".warc.gz")
+      val docId = s"$rel#${en.name}"
+      val pseudo = s"$path#${en.name}"
+      if (nested) None
+      else TextExt.get(e) match {
+        case Some(k) =>
+          val spans = docSpans(k, pseudo, en.body)
+          if (spans.isEmpty) None else Some(InputDoc(docId, spans))
+        case None => MediaExt.get(e).map(k =>
+          InputDoc(docId, Vector(Span(k, null, pseudo, 0))))
+      }
+    }
+
+  /** Byte-fetch for an archive media-member span minted by
+    * [[archiveDocs]]: the `#<member>` tail names the member file.
+    */
+  def archiveEntryPayload(archiveBytes: Array[Byte],
+                          mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.indexOf('#')
+    if (h < 0) None
+    else graft.extract.ArchiveExtractor.entryPayload(
+      archiveBytes, mediaRef.substring(h + 1))
+  }
+
+  /** One InputDoc per retained WARC record. Payload routing:
+    * image/audio/video mimes become a single by-reference media span
+    * (`<path>#r<idx>` — bytes stay in the archive, recoverable via
+    * [[warcRecordPayload]]); document mimes route through [[docSpans]]
+    * with the pseudo-path `<path>#r<idx>` (so a pdf record's embedded
+    * images mint `<path>#r<idx>#img<seq>:obj<N>` refs — fetch the
+    * record payload first, then [[pdfImagePayload]] against it);
+    * unrecognized binary mimes drop UNLESS a content magic claims them
+    * (a pdf served as application/octet-stream still extracts). A
+    * record payload that is itself WARC reads as text — no recursion.
+    */
+  private def warcDocs(path: String, rel: String,
+                       bytes: Array[Byte]): Seq[InputDoc] =
+    graft.extract.WarcExtractor.records(bytes).zipWithIndex.flatMap {
+      case (rec, idx) =>
+        val docId = s"$rel#r$idx:${rec.targetUri}"
+        val pseudo = s"$path#r$idx"
+        val mediaKind = Seq("image", "audio", "video")
+          .find(k => rec.mime.startsWith(k + "/"))
+        mediaKind match {
+          case Some(mk) =>
+            Some(InputDoc(docId, Vector(Span(mk, null, pseudo, 0))))
+          case None =>
+            warcPayloadKind(rec.mime, rec.body).flatMap { k =>
+              val spans = docSpans(k, pseudo, rec.body)
+              if (spans.isEmpty) None else Some(InputDoc(docId, spans))
+            }
+        }
+    }
+
+  /** MIME → ingest kind for a WARC record payload. Document mimes map
+    * to their front ends; `text/`-prefixed and ABSENT mimes read as text
+    * (WET conversion records routinely omit parameters) — [[docSpans]]
+    * content magic still reroutes binary payloads it recognizes;
+    * anything else maps to text iff a content magic claims it, else
+    * the record drops (the reference's suffix-filter posture).
+    */
+  private def warcPayloadKind(mime: String,
+                              body: Array[Byte]): Option[String] = {
+    def magic: Boolean =
+      graft.extract.RealPdf.isPdf(body) ||
+      graft.extract.DocxExtractor.isDocx(body) ||
+      graft.extract.EpubExtractor.isEpub(body) ||
+      graft.extract.XlsxExtractor.isXlsx(body) ||
+      graft.extract.PptxExtractor.isPptx(body) ||
+      graft.extract.RtfExtractor.isRtf(body)
+    if (mime.contains("html")) Some("html")
+    else if (mime.contains("pdf")) Some("pdf")
+    else if (mime.contains("markdown")) Some("md")
+    else if (mime.contains("rtf")) Some("rtf")
+    else if (mime.contains("wordprocessingml")) Some("docx")
+    else if (mime.contains("spreadsheetml")) Some("xlsx")
+    else if (mime.contains("presentationml")) Some("pptx")
+    else if (mime.contains("epub")) Some("epub")
+    else if (mime.startsWith("text/") || mime.isEmpty) Some("text")
+    else if (magic) Some("text") // docSpans reroutes by the magic
+    else None
+  }
+
+  /** Byte-fetch for a WARC media-record span minted by [[warcDocs]]:
+    * the `#r<idx>` tail indexes the retained-record vector.
+    */
+  def warcRecordPayload(warcBytes: Array[Byte],
+                        mediaRef: String): Option[Array[Byte]] =
+    "#r(\\d+)$".r.findFirstMatchIn(mediaRef).flatMap(m =>
+      graft.extract.WarcExtractor.recordPayload(
+        warcBytes, m.group(1).toInt))
+
   private[graft] def docSpans(kind: String, path: String,
                               bytes: Array[Byte]): Vector[Span] = {
     // CONTENT MAGIC overrides extension within the text-kind family:
@@ -295,23 +475,26 @@ object RawFiles {
     }
   }
 
-  /** Classify + decode ONE file into an InputDoc: text kinds decode
-    * their payload, media kinds pass by reference (bytes unused), and
-    * unsupported suffixes return None (the reference's suffix filter).
-    * Row-level twin of the column-level classification in [[read]];
-    * used by [[graft.streaming.StreamingIngest.startRawDir]].
+  /** Classify + decode ONE file into its InputDocs: text kinds decode
+    * their payload (WARC files FAN OUT to one doc per record), media
+    * kinds pass by reference (bytes unused), and unsupported suffixes
+    * return empty (the reference's suffix filter). Row-level twin of
+    * the column-level classification in [[read]]; used by
+    * [[graft.streaming.StreamingIngest.startRawDir]].
     */
   def decodeAny(path: String, content: Array[Byte],
-                root: String): Option[InputDoc] = {
-    val dot = path.lastIndexOf('.')
-    val e = if (dot < 0) path.toLowerCase
-            else path.substring(dot + 1).toLowerCase
-    TextExt.get(e) match {
-      case Some(kind) =>
-        Some(InputDoc(relativize(path, root), docSpans(kind, path, content)))
+                root: String): Seq[InputDoc] = {
+    val lp = path.toLowerCase
+    val dot = lp.lastIndexOf('.')
+    val e = if (dot < 0) lp else lp.substring(dot + 1)
+    if (lp.endsWith(".warc.gz")) docsOf("warc", path, content, root)
+    else if (lp.endsWith(".tar.gz")) docsOf("tar", path, content, root)
+    else if (e == "gz") docsOf("gz", path, content, root)
+    else TextExt.get(e) match {
+      case Some(kind) => docsOf(kind, path, content, root)
       case None => MediaExt.get(e).map(kind =>
         InputDoc(relativize(path, root),
-          Vector(Span(kind, null, path, 0))))
+          Vector(Span(kind, null, path, 0)))).toSeq
     }
   }
 
@@ -328,13 +511,17 @@ object RawFiles {
     val scan = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(dir)
 
+    val textKind =
+      when(lower(col("path")).endsWith(".warc.gz"), lit("warc"))
+        .when(lower(col("path")).endsWith(".tar.gz"), lit("tar"))
+        .when(lower(col("path")).endsWith(".gz"), lit("gz"))
+        .otherwise(kindOf(TextExt)) // double suffix: `ext` sees "gz"
     val textDocs = scan
-      .select(col("path"), kindOf(TextExt).as("kind"), col("content"))
+      .select(col("path"), textKind.as("kind"), col("content"))
       .where(col("kind").isNotNull)
-      .map { r =>
-        InputDoc(relativize(r.getString(0), root),
-          docSpans(r.getString(1), r.getString(0),
-            r.getAs[Array[Byte]]("content")))
+      .flatMap { r =>
+        docsOf(r.getString(1), r.getString(0),
+          r.getAs[Array[Byte]]("content"), root)
       }
 
     val mediaDocs = scan

@@ -1,0 +1,99 @@
+package graft
+
+import graft.extract.JsonlExtractor
+import graft.gen.JsonlGen
+import graft.sources.RawFiles
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** JSONL front end: line retention semantics (key conventions, id
+  * rendering, malformed-line drops, BOM/CRLF tolerance) plus the
+  * shard fan-out contract and the generic `.gz` inner-extension
+  * routing.
+  */
+class JsonlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("line semantics: key priority, numeric ids, escapes, drops") {
+    assert(JsonlExtractor.parseLine(
+      """{"text": "a", "content": "b", "id": "x"}""") ==
+      Some(("x", "a"))) // text beats content
+    assert(JsonlExtractor.parseLine(
+      """{"content": "b", "url": "u", "doc_id": 7}""") ==
+      Some(("u", "b"))) // url beats doc_id
+    assert(JsonlExtractor.parseLine(
+      """{"raw_content": "c", "doc_id": 42}""") == Some(("42", "c")))
+    assert(JsonlExtractor.parseLine(
+      """{"text": "café \"q\" \\"}""") ==
+      Some(("", "café \"q\" \\")))
+    assert(JsonlExtractor.parseLine("""{"text": ""}""").isEmpty)
+    assert(JsonlExtractor.parseLine("""{"text": 5}""").isEmpty)
+    assert(JsonlExtractor.parseLine("""["text"]""").isEmpty)
+    assert(JsonlExtractor.parseLine("not json").isEmpty)
+    assert(JsonlExtractor.parseLine(
+      """{"meta": {"text": "nested"}}""").isEmpty)
+  }
+
+  test("records: BOM strip, CRLF line ends, physical line numbers stable across malformed lines") {
+    val recs0 = JsonlExtractor.records(JsonlGen.fileBytes(0)) // BOM+.jsonl
+    val recs1 = JsonlExtractor.records(JsonlGen.fileBytes(1)) // CRLF
+    assert(recs0.map(_.lineNo) == Vector(0, 1, 3, 7))
+    assert(recs1.map(_.lineNo) == Vector(0, 1, 3, 7))
+    assert(recs0.head.id == "doc-0-0" && recs1(2).id == "9001")
+    assert(recs1(3).id == "")
+  }
+
+  test("ingest fan-out: shards (.jsonl/.ndjson/.jsonl.gz) and generic .gz route identically in batch and streaming") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-jsonlspec")
+    JsonlGen.write(dir.toString, 6)
+    // generic gz: an html page gzipped at rest is still an html doc
+    val html = ("<html><body><p>a gzipped page body long enough to " +
+      "survive the boilerplate gate</p></body></html>").getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(html); gz.close()
+    Files.write(dir.resolve("page.html.gz"), bos.toByteArray)
+    // a corrupt gz and an unknown inner extension both drop
+    Files.write(dir.resolve("broken.jsonl.gz"), Array[Byte](0x1f, -117, 9))
+    Files.write(dir.resolve("data.bin.gz"), bos.toByteArray)
+
+    val batch = RawFiles.read(spark, dir.toString).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    val paths = (0 until 6).map(i => dir.resolve(JsonlGen.fileName(i))) ++
+      Seq("page.html.gz", "broken.jsonl.gz", "data.bin.gz")
+        .map(dir.resolve)
+    val streamed = paths.flatMap { p =>
+      RawFiles.decodeAny(p.toString, Files.readAllBytes(p),
+        dir.toString + "/")
+    }.map(d => d.doc_id -> d.spans).toMap
+    assert(batch == streamed)
+
+    assert(batch.keys.count(_.startsWith(JsonlGen.fileName(2) + "#")) == 4)
+    assert(batch(s"${JsonlGen.fileName(0)}#L0:doc-0-0").head.text
+      .contains("lead record"))
+    assert(batch.contains("page.html.gz"))
+    assert(batch("page.html.gz").head.kind == "html")
+    assert(!batch.contains("broken.jsonl.gz"))
+    assert(!batch.keys.exists(_.startsWith("data.bin.gz")))
+  }
+
+  test("ex_jsonl query matches the generator ground truth end-to-end") {
+    spark.sparkContext.setLogLevel("WARN")
+    val got = SparkEntry.queries("ex_jsonl")(spark, "unused")
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.expected("ex_jsonl")(spark, "unused")
+      .orderBy("doc_id", "ord").collect().map(_.toSeq).toSeq
+    assert(got.size == want.size, s"${got.size} vs ${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+}
