@@ -407,7 +407,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-mdtsv")
       (0 until 24).foreach { k =>
-        val i = 14 * k + 9
+        val i = 16 * k + 9
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
           graft.gen.MixedGen.fileBytes(i)): Unit
@@ -513,6 +513,69 @@ object SparkEntry {
         .toDF()
         .select(col("doc_id"), col("kind"), col("text"),
           col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_eml" -> ((s, dir) => {
+      // email ingestion, driver-visible: RFC 5322 / MIME messages
+      // decode at the ingest boundary — RFC 2047 subjects, base64 /
+      // quoted-printable transfer encodings, charset params through
+      // the CharsetSniff chain, multipart/alternative picking the
+      // plain branch, html parts through the boilerpipe gate with
+      // cid: images resolved to their attached parts at tag position,
+      // media parts by reference, and DOCUMENT attachments fanning
+      // out as their own InputDocs through the matching front ends
+      // (.md/.txt here). media_ref reduced to its path-independent
+      // tail as in ex_mixed. Oracle: EmlGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-eml")
+      graft.gen.EmlGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_odt" -> ((s, dir) => {
+      // OpenDocument Text ingestion, driver-visible: ODF packages
+      // decode at the ingest boundary — paragraph/heading spans
+      // (text:s/tab/line-break expansion, entity decode, styled spans
+      // flowing), tables as TSV blocks in the engine's table
+      // vocabulary (number-columns-repeated expanded, ragged rows
+      // padded, multi-paragraph cells space-joined), footnote
+      // apparatus dropped, in-archive images by reference with
+      // recoverable payloads. media_ref reduced to its
+      // path-independent tail as in ex_mixed. Oracle: OdtGen ground
+      // truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-odt")
+      graft.gen.OdtGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_charset" -> ((s, dir) => {
+      // legacy-charset ingestion, driver-visible AT THE INGEST
+      // BOUNDARY: files in windows-1252 / shift_jis / gb18030 / koi8-r
+      // / windows-1251 / big5 / euc-kr / UTF-16-BOM / undeclared
+      // legacy bytes decode through the CharsetSniff WHATWG chain
+      // (BOM > transport > meta prescan > UTF-8 validity >
+      // windows-1252). The dump is span-level (pre-HtmlExtractor) —
+      // the contract under test is byte→Unicode, not boilerplate.
+      // Oracle: CharsetGen ground truth (the exact strings the
+      // generator encoded).
+      import s.implicits._
+      val tmp = scratchDir("graft-charset")
+      graft.gen.CharsetGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => d.spans.map(sp =>
+          (d.doc_id, sp.kind, sp.text, sp.offset)))
+        .toDF("doc_id", "kind", "text", "ord")
         .orderBy("doc_id", "ord")
     }),
     "q_table_tsv_pptx" -> ((s, dir) => {
@@ -1552,7 +1615,7 @@ object SparkEntry {
       // generator ground truth: the pipe-table TSV each md doc carries
       import s.implicits._
       (0 until 24).map { k =>
-        val i = 14 * k + 9
+        val i = 16 * k + 9
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),
@@ -1604,6 +1667,34 @@ object SparkEntry {
       // independent of the parser
       import s.implicits._
       graft.gen.JsonlGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.ord))
+        .toDF("doc_id", "kind", "text", "ord")
+    }),
+    "ex_eml" -> ((s, dir) => {
+      // generator ground truth — subjects, decoded bodies, media part
+      // refs and attachment-doc spans EmlGen assembled by hand
+      // (boundaries, base64/qp, encoded words written by the
+      // generator, never the parser)
+      import s.implicits._
+      graft.gen.EmlGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
+    "ex_odt" -> ((s, dir) => {
+      // generator ground truth — the paragraphs, TSV grids and media
+      // refs OdtGen assembled into each package by hand, independent
+      // of every parser
+      import s.implicits._
+      graft.gen.OdtGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
+    "ex_charset" -> ((s, dir) => {
+      // generator ground truth — the exact Unicode strings CharsetGen
+      // ENCODED into each legacy-charset file, independent of the
+      // sniffing decoder
+      import s.implicits._
+      graft.gen.CharsetGen.expected(24)
         .map(r => (r.doc_id, r.kind, r.text, r.ord))
         .toDF("doc_id", "kind", "text", "ord")
     }),
@@ -1735,6 +1826,12 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_archive/*.parquet'",
     "ex_jsonl" ->
       s"SELECT * FROM '$ExpectedToken/ex_jsonl/*.parquet'",
+    "ex_charset" ->
+      s"SELECT * FROM '$ExpectedToken/ex_charset/*.parquet'",
+    "ex_eml" ->
+      s"SELECT * FROM '$ExpectedToken/ex_eml/*.parquet'",
+    "ex_odt" ->
+      s"SELECT * FROM '$ExpectedToken/ex_odt/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->

@@ -57,7 +57,7 @@ object ArchiveExtractor {
   def isPlainZip(bytes: Array[Byte]): Boolean =
     isZip(bytes) && !DocxExtractor.isDocx(bytes) &&
       !XlsxExtractor.isXlsx(bytes) && !PptxExtractor.isPptx(bytes) &&
-      !EpubExtractor.isEpub(bytes)
+      !EpubExtractor.isEpub(bytes) && !OdtExtractor.isOdt(bytes)
 
   /** `ustar` magic at +257 (POSIX), or a v7-style header: printable
     * NUL-terminated name + valid octal size + plausible checksum field.

@@ -66,10 +66,14 @@ import scala.collection.mutable.ArrayBuffer
 object WarcExtractor {
 
   /** One retained record: WARC type, target URI ("" if absent),
-    * payload mime (lowercased, no parameters, "" if absent), body.
+    * payload mime (lowercased, no parameters, "" if absent), body,
+    * and the transport-declared charset label (the `charset=`
+    * Content-Type parameter, "" if absent) — the second-priority
+    * signal in [[CharsetSniff]]'s WHATWG decode chain.
     */
   final case class Rec(warcType: String, targetUri: String,
-                       mime: String, body: Array[Byte])
+                       mime: String, body: Array[Byte],
+                       charset: String = "")
 
   def isWarc(bytes: Array[Byte]): Boolean =
     bytes.length >= 5 && bytes(0) == 'W' && bytes(1) == 'A' &&
@@ -140,12 +144,12 @@ object WarcExtractor {
               wt match {
                 case "response" =>
                   if (ct.toLowerCase.contains("application/http"))
-                    httpPayload(body).foreach { case (mime, b) =>
-                      out += Rec(wt, uri, mime, b)
+                    httpPayload(body).foreach { case (mime, cs, b) =>
+                      out += Rec(wt, uri, mime, b, cs)
                     }
-                  else out += Rec(wt, uri, mimeOf(ct), body)
+                  else out += Rec(wt, uri, mimeOf(ct), body, charsetOf(ct))
                 case "conversion" | "resource" =>
-                  out += Rec(wt, uri, mimeOf(ct), body)
+                  out += Rec(wt, uri, mimeOf(ct), body, charsetOf(ct))
                 case _ => () // warcinfo / request / metadata / revisit
               }
             case _ => ok = false
@@ -206,11 +210,22 @@ object WarcExtractor {
      else contentType).trim.toLowerCase
   }
 
+  /** The `charset=` parameter of a Content-Type value, "" if absent.
+    * Quotes stripped; the label is NOT validated here — that is
+    * [[CharsetSniff.label]]'s job at decode time.
+    */
+  private def charsetOf(contentType: String): String =
+    "(?i)charset\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s;\"']+)".r
+      .findFirstMatchIn(contentType)
+      .map(_.group(1).stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'").trim)
+      .getOrElse("")
+
   /** Strip the HTTP response envelope: None iff the status is not 2xx
     * or the envelope is malformed.
     */
   private def httpPayload(body: Array[Byte])
-      : Option[(String, Array[Byte])] = {
+      : Option[(String, String, Array[Byte])] = {
     val hdrEnd = headerEnd(body, 0)
     if (hdrEnd < 0) return None
     val firstNl = idxOf(body, '\n', 0)
@@ -220,7 +235,8 @@ object WarcExtractor {
       .findFirstMatchIn(status).map(_.group(1).toInt)
     if (!code.exists(c => c >= 200 && c < 300)) return None
     val headers = parseHeaders(body, 0, hdrEnd)
-    val mime = mimeOf(headers.getOrElse("content-type", ""))
+    val ct = headers.getOrElse("content-type", "")
+    val mime = mimeOf(ct)
     var payload = java.util.Arrays.copyOfRange(body, hdrEnd, body.length)
     if (headers.get("transfer-encoding")
           .exists(_.toLowerCase.contains("chunked")))
@@ -231,7 +247,7 @@ object WarcExtractor {
           payload = java.util.Arrays.copyOf(payload,
             math.min(cl, payload.length.toLong).toInt)
       }
-    Some((mime, payload))
+    Some((mime, charsetOf(ct), payload))
   }
 
   /** De-chunk a `Transfer-Encoding: chunked` body: hex size line

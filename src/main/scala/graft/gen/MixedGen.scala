@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 14`:
+  * File kinds by `i % 16`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -70,7 +70,18 @@ package graft.gen
   *                        skipped header destinations, codepage
   *                        escapes, \u fallbacks, shppict/nonshppict
   *                        picture pairs, \cell/\row tables
-  *                        ([[graft.extract.RtfExtractor]]).
+  *                        ([[graft.extract.RtfExtractor]]);
+  *   14 → `docNNNNN_vM.odt` genuine OpenDocument Text package
+  *                        ([[OdtGen.fileBytes]]): paragraph/heading
+  *                        spans, TSV tables, footnote drops,
+  *                        in-archive images
+  *                        ([[graft.extract.OdtExtractor]]);
+  *   15 → `msgNNNNN_vM.eml` genuine RFC 5322/MIME message
+  *                        ([[EmlGen.fileBytes]]): encoded-word
+  *                        subjects, qp/base64 bodies, multipart
+  *                        machine, cid images, document attachments
+  *                        fanning out as their own InputDocs
+  *                        ([[graft.extract.EmlExtractor]]).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -86,7 +97,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 14: @unchecked) match {
+  def fileName(i: Int): String = (i % 16: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -99,6 +110,8 @@ object MixedGen {
     case 11        => f"grid_$i%04d.xlsx"
     case 12        => f"deck_$i%04d.pptx"
     case 13        => f"memo_$i%04d.rtf"
+    case 14        => OdtGen.fileName(i)
+    case 15        => EmlGen.fileName(i)
   }
 
   // ---------- shared text ----------
@@ -388,7 +401,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 14: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 16: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -404,6 +417,8 @@ object MixedGen {
     case 11 => XlsxGen.fileBytes(i)
     case 12 => PptxGen.fileBytes(i)
     case 13 => RtfGen.fileBytes(i)
+    case 14 => OdtGen.fileBytes(i)
+    case 15 => EmlGen.fileBytes(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -417,7 +432,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 14: @unchecked) match {
+    (i % 16: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -502,6 +517,17 @@ object MixedGen {
         // PDF-convention path-tail reduction)
         RtfGen.expectedDoc(i).map(r =>
           GtRow(f, r.kind, r.text, r.media_ref, r.ord))
+      case 14 =>
+        // ODT: paragraphs + TSV tables + images — OdtGen owns the
+        // ground truth (media_ref already path-tail reduced)
+        OdtGen.expectedDoc(i).map(r =>
+          GtRow(r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+      case 15 =>
+        // EML: subject + decoded parts + media + ATTACHMENT DOCS (the
+        // fan-out rows carry their own `<file>#a<idx>:<name>` doc_ids)
+        // — EmlGen owns the ground truth
+        EmlGen.expectedDoc(i).map(r =>
+          GtRow(r.doc_id, r.kind, r.text, r.media_ref, r.ord))
     }
   }
 }

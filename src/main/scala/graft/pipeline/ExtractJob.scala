@@ -35,6 +35,14 @@ import scala.jdk.CollectionConverters._
   */
 object ExtractJob {
 
+  /** Incremental-delta broadcast threshold (ids, ~tens of bytes each —
+    * 5M ids ≈ a few hundred MB peak on the driver, inside the default
+    * broadcast comfort zone). Above it the semi-join falls back to a
+    * shuffle, which is never worse than the direct anti-join it
+    * replaced.
+    */
+  private val BroadcastDeltaCap = 5000000L
+
   case class Config(
     outDir: String,
     runId: String = "run",
@@ -336,9 +344,19 @@ object ExtractJob {
     * runs. Each incremental run gets its own run-scoped output subtree
     * (`<outDir>/run=<runId>/...`) with its own manifest, so within-run
     * crash/resume keeps the exactly-once-per-group contract, and
-    * across-run dedup is the anti-join. The distinct() of processed ids
-    * is a broadcast-friendly id-only scan; an Iceberg deployment would
-    * serve it from metadata/bloom indexes instead.
+    * across-run dedup is the anti-join.
+    *
+    * SCALE SHAPE (the 10^12-doc consideration): a direct
+    * `docs ⟕anti processed` sort-merge join would shuffle the ENTIRE
+    * input table — spans payload included — on doc_id, i.e. move the
+    * whole corpus once to discover a (typically small) delta. Instead
+    * the delta is computed id-only (two column-pruned scans, 8-byte-ish
+    * rows through the exchange), then joined BACK as a left-semi whose
+    * delta side BROADCASTS when small (the normal incremental case) —
+    * the payload never shuffles at all. A huge delta (first run on a
+    * grown table) falls back to a shuffle semi-join, which is no worse
+    * than the direct anti-join. The extra id-only pass over the input
+    * is parquet-column-pruned here and metadata-served under Iceberg.
     */
   def runIncremental(spark: SparkSession, docs: Dataset[InputDoc],
                      cfg: Config): RunReport = {
@@ -346,14 +364,7 @@ object ExtractJob {
     val runs = listRuns(cfg.outDir)
     val newDocs =
       if (runs.isEmpty) docs
-      else {
-        val processed = readAllRuns(spark, cfg.outDir)
-          .select("doc_id").distinct()
-        // left_anti: only docs not yet extracted. Note docs with EMPTY
-        // output never appear in the output table and so re-extract —
-        // harmless (they emit nothing) and keeps the scan id-only.
-        docs.join(processed, Seq("doc_id"), "left_anti").as[InputDoc]
-      }
+      else incrementalDelta(spark, docs, cfg.outDir)
     val runDir = s"${cfg.outDir}/run=${cfg.runId}"
     // reused runId guard (ADVICE r01): if any anti-join survivor hashes
     // into a group this run's manifest has ALREADY committed, it would be
@@ -377,6 +388,29 @@ object ExtractJob {
           "run-scoped subtree)")
     }
     run(spark, newDocs, cfg.copy(outDir = runDir))
+  }
+
+  /** The not-yet-extracted subset of `docs`, payload-shuffle-free (the
+    * scale shape documented on [[runIncremental]]): id-only anti-join
+    * for the delta, eager localCheckpoint so the size probe and the
+    * semi-join share one computation, broadcast back when the delta is
+    * small. Docs with EMPTY output never appear in the output table
+    * and so re-extract — harmless (they emit nothing) and keeps the
+    * scan id-only.
+    */
+  private[graft] def incrementalDelta(spark: SparkSession,
+      docs: Dataset[InputDoc], outDir: String): Dataset[InputDoc] = {
+    import spark.implicits._
+    val processed = readAllRuns(spark, outDir)
+      .select("doc_id").distinct()
+    val newIds = docs.select("doc_id").distinct()
+      .join(processed, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val back =
+      if (newIds.count() <= BroadcastDeltaCap)
+        org.apache.spark.sql.functions.broadcast(newIds)
+      else newIds
+    docs.join(back, Seq("doc_id"), "left_semi").as[InputDoc]
   }
 
   private def listRuns(outDir: String): Seq[String] = {

@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   *   refs);
   *   .rtf → decoded at ingest by [[graft.extract.RtfExtractor]] into
   *   paragraph "text" spans, TSV table blocks, and picture media spans;
+  *   .odt → decoded at ingest by [[graft.extract.OdtExtractor]] into
+  *   paragraph/heading "text" spans, TSV table blocks, and image media
+  *   spans (in-archive refs);
+  *   .eml → decoded at ingest by [[graft.extract.EmlExtractor]]:
+  *   subject + MIME body parts as "text" spans (html parts through the
+  *   boilerpipe gate, cid images resolved), media parts by reference,
+  *   and one EXTRA InputDoc per document attachment
+  *   (`<relpath>#a<idx>:<filename>`) routed through its front end;
+  *   .mbox → spool fan-out: one [[EmlExtractor]] expansion per member
+  *   message (`<relpath>#m<idx>`);
   *   .warc/.warc.gz → EXPANDED at ingest by
   *   [[graft.extract.WarcExtractor]]: each retained crawl record
   *   becomes ITS OWN InputDoc (`<relpath>#r<idx>:<target-uri>`), its
@@ -53,6 +63,11 @@ import org.apache.spark.sql.functions._
   *   rule's media-by-reference semantics); anything else is dropped,
   *   like the reference's suffix filter.
   *
+  * Every text decode goes through the [[graft.extract.CharsetSniff]]
+  * WHATWG chain (BOM > transport charset > HTML meta prescan > strict
+  * UTF-8 validity > windows-1252), so legacy-charset crawl content
+  * reads as real text instead of mojibake.
+  *
   * Scale: two binaryFile scans — the text scan reads `content`, the
   * media scan selects only (path, length) so the bytes are column-pruned
   * at the source. Listing parallelizes via the Hadoop InMemoryFileIndex.
@@ -63,9 +78,10 @@ object RawFiles {
     "pdf" -> "pdf", "html" -> "html", "htm" -> "html",
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
     "md" -> "md", "markdown" -> "md", "epub" -> "epub",
-    "xlsx" -> "xlsx", "pptx" -> "pptx", "rtf" -> "rtf",
+    "xlsx" -> "xlsx", "pptx" -> "pptx", "rtf" -> "rtf", "odt" -> "odt",
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
-    "jsonl" -> "jsonl", "ndjson" -> "jsonl")
+    "jsonl" -> "jsonl", "ndjson" -> "jsonl",
+    "eml" -> "eml", "mbox" -> "mbox")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -129,6 +145,11 @@ object RawFiles {
              graft.extract.ArchiveExtractor.isTar(bytes))
       archiveDocs(path, relativize(path, root), bytes)
     else if (kind == "jsonl") jsonlDocs(relativize(path, root), bytes)
+    else if (kind == "mbox" && graft.extract.EmlExtractor.isMbox(bytes))
+      mboxDocs(path, relativize(path, root), bytes)
+    else if (kind == "eml" || ((kind == "text" || kind == "mbox") &&
+             graft.extract.EmlExtractor.isEml(bytes)))
+      emlDocs(path, relativize(path, root), bytes)
     else if (kind == "gz") gzDoc(path, bytes, root)
     else Seq(InputDoc(relativize(path, root), docSpans(kind, path, bytes)))
 
@@ -141,6 +162,65 @@ object RawFiles {
       InputDoc(s"$rel#L${r.lineNo}:${r.id}",
         Vector(Span("text", r.text, null, 0)))
     }
+
+  /** One email message → its InputDocs: the message body (Subject +
+    * text parts + html parts through the boilerpipe gate + inline/
+    * attached media by reference, `p<idx>:<name>` tails resolvable via
+    * [[emlMediaPayload]]) as ONE InputDoc, plus one InputDoc per
+    * DOCUMENT attachment (`<rel>#a<idx>:<filename>`) routed by its
+    * own suffix through the matching front end — an email with an
+    * attached PDF yields the PDF's positioned spans, exactly like a
+    * WARC pdf record or an archive member. Nested containers
+    * (zip/warc/jsonl/eml attachments) drop: one fan-out level.
+    */
+  private def emlDocs(path: String, rel: String,
+                      bytes: Array[Byte]): Seq[InputDoc] = {
+    val msg = graft.extract.EmlExtractor.parse(bytes)
+    val spans = msg.items.zipWithIndex.map {
+      case (graft.extract.EmlExtractor.Text(t), k) =>
+        Span("text", t, null, k)
+      case (graft.extract.EmlExtractor.Media(mk, ref), k) =>
+        val full = if (ref.matches("(?i)^(https?|data|cid):.*")) ref
+                   else s"$path#$ref"
+        Span(mk, null, full, k)
+    }.toVector
+    val main = if (spans.isEmpty) Nil else Seq(InputDoc(rel, spans))
+    val attDocs = msg.attachments.flatMap { a =>
+      val lp = a.filename.toLowerCase
+      val dot = lp.lastIndexOf('.')
+      val e = if (dot < 0) "" else lp.substring(dot + 1)
+      TextExt.get(e).filterNot(k =>
+          k == "warc" || k == "zip" || k == "tar" || k == "jsonl" ||
+          k == "eml" || k == "mbox")
+        .flatMap { k =>
+          val sp = docSpans(k, s"$path#a${a.idx}:${a.filename}", a.body)
+          if (sp.isEmpty) None
+          else Some(InputDoc(s"$rel#a${a.idx}:${a.filename}", sp))
+        }
+    }
+    main ++ attDocs
+  }
+
+  /** mbox spool fan-out: one [[emlDocs]] expansion per member message
+    * (`<rel>#m<idx>`), mboxrd `>From ` escapes unescaped.
+    */
+  private def mboxDocs(path: String, rel: String,
+                       bytes: Array[Byte]): Seq[InputDoc] =
+    graft.extract.EmlExtractor.mboxMessages(bytes).zipWithIndex.flatMap {
+      case (msg, i) => emlDocs(s"$path#m$i", s"$rel#m$i", msg)
+    }
+
+  /** Byte-fetch for an email media span minted by [[emlDocs]]: the
+    * `p<idx>:…` tail indexes the message's deterministic leaf walk;
+    * returns the CTE-DECODED part payload (codec-ready bytes).
+    */
+  def emlMediaPayload(emlBytes: Array[Byte],
+                      mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf("#p")
+    if (h < 0) None
+    else graft.extract.EmlExtractor.mediaPayload(
+      emlBytes, mediaRef.substring(h + 1))
+  }
 
   /** Generic single-file gzip: `<name>.<ext>.gz` inflates and routes by
     * the INNER extension (`page.html.gz` is an html doc, `shard.jsonl
@@ -229,7 +309,7 @@ object RawFiles {
             Some(InputDoc(docId, Vector(Span(mk, null, pseudo, 0))))
           case None =>
             warcPayloadKind(rec.mime, rec.body).flatMap { k =>
-              val spans = docSpans(k, pseudo, rec.body)
+              val spans = docSpans(k, pseudo, rec.body, rec.charset)
               if (spans.isEmpty) None else Some(InputDoc(docId, spans))
             }
         }
@@ -274,7 +354,8 @@ object RawFiles {
         warcBytes, m.group(1).toInt))
 
   private[graft] def docSpans(kind: String, path: String,
-                              bytes: Array[Byte]): Vector[Span] = {
+                              bytes: Array[Byte],
+                              transportCharset: String = ""): Vector[Span] = {
     // CONTENT MAGIC overrides extension within the text-kind family:
     // web corpora routinely misname files (a crawler's `.txt` that is
     // really a PDF, a CMS download endpoint serving DOCX as `.html`).
@@ -290,12 +371,14 @@ object RawFiles {
       else if (graft.extract.XlsxExtractor.isXlsx(bytes)) "xlsx"
       else if (graft.extract.PptxExtractor.isPptx(bytes)) "pptx"
       else if (graft.extract.RtfExtractor.isRtf(bytes)) "rtf"
+      else if (graft.extract.OdtExtractor.isOdt(bytes)) "odt"
       else kind
-    docSpansDispatch(kindEff, path, bytes)
+    docSpansDispatch(kindEff, path, bytes, transportCharset)
   }
 
   private def docSpansDispatch(kind: String, path: String,
-                               bytes: Array[Byte]): Vector[Span] =
+                               bytes: Array[Byte],
+                               transportCharset: String): Vector[Span] =
     if (kind == "pdf" && graft.extract.RealPdf.isPdf(bytes)) {
       val (pages, images) = graft.extract.RealPdf.parseDoc(bytes, 1)
       Span("pdf", graft.extract.RealPdf.toContentStream(pages), null, 0) +:
@@ -360,12 +443,28 @@ object RawFiles {
         case (graft.extract.RtfExtractor.Media(mk, ref), k) =>
           Span(mk, null, s"$path#$ref", k)
       }
+    } else if (kind == "odt" && graft.extract.OdtExtractor.isOdt(bytes)) {
+      // ODT decodes at the ingest boundary like DOCX: paragraph/heading
+      // "text" spans, tables as TSV blocks (the engine's table
+      // vocabulary), images as media spans whose ref tail is the
+      // IN-ARCHIVE path (payloads via [[odtMediaPayload]]); external
+      // http(s)/data hrefs verbatim.
+      graft.extract.OdtExtractor.items(bytes).zipWithIndex.map {
+        case (graft.extract.OdtExtractor.Text(t), k) =>
+          Span("text", t, null, k)
+        case (graft.extract.OdtExtractor.Media(mk, ref), k) =>
+          val full = if (ref.matches("(?i)^(https?|data):.*")) ref
+                     else s"$path#$ref"
+          Span(mk, null, full, k)
+      }
     } else if (kind == "md") {
       // Markdown decodes at the ingest boundary like DOCX — text blocks
       // as "text" spans, image/media references as media spans with the
       // URL passing through VERBATIM (external reference, like an HTML
       // src attribute; there is no archive to resolve against).
-      graft.extract.MdExtractor.items(decodeTextPayload(bytes))
+      graft.extract.MdExtractor.items(
+          graft.extract.CharsetSniff.decode(bytes, html = false,
+            transportCharset))
         .zipWithIndex.map {
           case (graft.extract.MdExtractor.Block(t), k) =>
             Span("text", t, null, k)
@@ -374,30 +473,24 @@ object RawFiles {
         }
     } else Vector(Span(
       if (kind == "docx" || kind == "epub" || kind == "xlsx" ||
-          kind == "pptx" || kind == "rtf") "text"
+          kind == "pptx" || kind == "rtf" || kind == "odt") "text"
       else kind,
-      decodeTextPayload(bytes), null, 0))
+      graft.extract.CharsetSniff.decode(bytes, html = kind == "html",
+        transportCharset), null, 0))
 
-  /** Text-payload decode with BOM sniffing: a UTF-16LE/BE or UTF-8 BOM
-    * routes to its charset (the BOM itself is dropped); everything else
-    * reads as UTF-8. Web corpora carry Windows-exported UTF-16
-    * .txt/.html files that would otherwise decode to NUL-ridden
-    * mojibake — the same at-byte-0-only magic rule the PDF/DOCX
-    * sniffing applies, so honest UTF-8 never misroutes (a BOM mid-file
-    * is content).
+  /** Text-payload decode: the full [[graft.extract.CharsetSniff]]
+    * WHATWG chain with no transport signal and no meta prescan —
+    * BOM at byte 0 (dropped) > strict-UTF-8 validity > windows-1252.
+    * Web corpora carry Windows-exported UTF-16 .txt files and
+    * windows-1252 "plain text" that would otherwise decode to
+    * NUL-ridden or U+FFFD mojibake; honest UTF-8 never misroutes
+    * (a BOM mid-file is content, and the validity scan is the exact
+    * UTF-8 definition, so any valid UTF-8 payload decodes as UTF-8).
+    * HTML payloads do NOT come through here — [[docSpansDispatch]]
+    * decodes them with the meta prescan enabled.
     */
-  private[graft] def decodeTextPayload(bytes: Array[Byte]): String = {
-    import java.nio.charset.StandardCharsets._
-    def b(i: Int): Int = bytes(i) & 0xff
-    if (bytes.length >= 2 && b(0) == 0xFE && b(1) == 0xFF)
-      new String(bytes, 2, bytes.length - 2, UTF_16BE)
-    else if (bytes.length >= 2 && b(0) == 0xFF && b(1) == 0xFE)
-      new String(bytes, 2, bytes.length - 2, UTF_16LE)
-    else if (bytes.length >= 3 && b(0) == 0xEF && b(1) == 0xBB &&
-             b(2) == 0xBF)
-      new String(bytes, 3, bytes.length - 3, UTF_8)
-    else new String(bytes, UTF_8)
-  }
+  private[graft] def decodeTextPayload(bytes: Array[Byte]): String =
+    graft.extract.CharsetSniff.decode(bytes, html = false)
 
   /** Byte-fetch for an EPUB media span minted by [[docSpans]]: the ref
     * tail after `#` is the in-archive path, resolved against the
@@ -434,6 +527,17 @@ object RawFiles {
     if (h < 0) None
     else graft.extract.EpubExtractor.mediaPayload(
       epubBytes, mediaRef.substring(h + 1))
+  }
+
+  /** Byte-fetch for an ODT media span minted by [[docSpans]]: the ref
+    * tail after `#` is the in-archive target (`Pictures/…`).
+    */
+  def odtMediaPayload(odtBytes: Array[Byte],
+                      mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf('#')
+    if (h < 0) None
+    else graft.extract.OdtExtractor.mediaPayload(
+      odtBytes, mediaRef.substring(h + 1))
   }
 
   /** Byte-fetch for a DOCX media span minted by [[docSpans]]: the ref

@@ -340,6 +340,33 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractJob.readAllRuns(spark, out).count() == all.count())
   }
 
+  test("incremental delta plan: payload re-join is a broadcast left-semi, no payload shuffle") {
+    val out = tmpDir("incr-plan")
+    ExtractJob.runIncremental(spark, CorpusGen.dataset(spark, 100, 7L),
+      ExtractJob.Config(out, runId = "p1", groups = 2, partitions = 8))
+    val grown = CorpusGen.dataset(spark, 160, 7L)
+    val delta = ExtractJob.incrementalDelta(spark, grown, out)
+    val plan = delta.queryExecution.executedPlan.toString
+    // the delta ids broadcast back onto the payload scan …
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+    // … and the payload side never hash-shuffles (the id-only anti-join
+    // ran eagerly inside incrementalDelta; this final plan is the only
+    // one that touches spans)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // semantics unchanged: every genuinely new doc survives, and any
+    // re-extracted survivor is an empty-output doc
+    val ids = delta.select("doc_id").collect().map(_.getString(0)).toSet
+    val wave1 = CorpusGen.corpus(7L, 100).map(d => d.doc_id).toSet
+    val all = CorpusGen.corpus(7L, 160)
+    val newIds = all.map(_.doc_id).filterNot(wave1).toSet
+    assert(newIds.subsetOf(ids))
+    val reextracted = ids -- newIds
+    all.filter(d => reextracted.contains(d.doc_id)).foreach { d =>
+      assert(RefOracle.extract(d).outSpans.isEmpty, d.doc_id)
+    }
+  }
+
   private implicit class ChunkN(c: Chunk) {
     def chunk_n: Int = c.chunk_id.substring(c.chunk_id.lastIndexOf('c') + 1).toInt
   }
