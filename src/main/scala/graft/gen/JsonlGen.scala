@@ -8,18 +8,24 @@ package graft.gen
   * with a NUMERIC `doc_id` (rendered as text), an object without any
   * text key (dropped), a blank line (dropped), an empty-text record
   * (dropped), and an id-less record with JSON escapes + non-ASCII in
-  * the text. `i%3`: 0 → `.jsonl` with a UTF-8 BOM, 1 → `.ndjson` with
-  * CRLF line ends, 2 → `.jsonl.gz`.
+  * the text. `i%5`: 0 → `.jsonl` with a UTF-8 BOM, 1 → `.ndjson` with
+  * CRLF line ends, 2 → `.jsonl.gz`, 3 → `.jsonl.zst` (the Dolma shard
+  * codec), 4 → `.jsonl.xz`. Compression is written by
+  * commons-compress output streams — the DECODE side under test is
+  * [[graft.extract.Codecs]]' input framing, exercised against framing
+  * this generator never shares with it.
   */
 object JsonlGen {
 
   final case class GtRow(doc_id: String, kind: String, text: String,
                          ord: Int)
 
-  def fileName(i: Int): String = (i % 3) match {
+  def fileName(i: Int): String = (i % 5) match {
     case 0 => f"shard_$i%04d.jsonl"
     case 1 => f"shard_$i%04d.ndjson"
-    case _ => f"shard_$i%04d.jsonl.gz"
+    case 2 => f"shard_$i%04d.jsonl.gz"
+    case 3 => f"shard_$i%04d.jsonl.zst"
+    case _ => f"shard_$i%04d.jsonl.xz"
   }
 
   private def t0(i: Int) =
@@ -51,16 +57,30 @@ object JsonlGen {
     s"""{"text": "${esc(t7(i))}"}""")
 
   def fileBytes(i: Int): Array[Byte] = {
-    val sep = if (i % 3 == 1) "\r\n" else "\n"
+    val sep = if (i % 5 == 1) "\r\n" else "\n"
     val body = lines(i).mkString("", sep, sep)
-    val prefixed = if (i % 3 == 0) "\uFEFF" + body else body
+    val prefixed = if (i % 5 == 0) "\uFEFF" + body else body
     val raw = prefixed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (i % 3 == 2) {
-      val bos = new java.io.ByteArrayOutputStream(raw.length)
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(raw); gz.close()
-      bos.toByteArray
-    } else raw
+    (i % 5) match {
+      case 2 =>
+        val bos = new java.io.ByteArrayOutputStream(raw.length)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(raw); gz.close()
+        bos.toByteArray
+      case 3 =>
+        val bos = new java.io.ByteArrayOutputStream(raw.length)
+        val z = new org.apache.commons.compress.compressors.zstandard
+          .ZstdCompressorOutputStream(bos)
+        z.write(raw); z.close()
+        bos.toByteArray
+      case 4 =>
+        val bos = new java.io.ByteArrayOutputStream(raw.length)
+        val x = new org.apache.commons.compress.compressors.xz
+          .XZCompressorOutputStream(bos)
+        x.write(raw); x.close()
+        bos.toByteArray
+      case _ => raw
+    }
   }
 
   def write(dir: String, n: Int): Unit =

@@ -56,8 +56,10 @@ import org.apache.spark.sql.functions._
   *   ([[graft.extract.JsonlExtractor]] —
   *   `<relpath>#L<lineNo>:<record-id>`), the corpus-shard
   *   re-ingestion path;
-  *   other `.gz` → inflated and routed by the inner extension
-  *   (`page.html.gz` is an html doc);
+  *   other `.gz` / `.zst` / `.xz` / `.bz2` → inflated
+  *   ([[graft.extract.Codecs]]) and routed by the inner extension
+  *   (`page.html.gz` is an html doc, `shard.jsonl.zst` a Dolma-style
+  *   shard, `seg.warc.zst` a crawl segment);
   *   image/audio/video extensions → one media span passing the file
   *   path through as media_ref (bytes stay in the store — the north
   *   rule's media-by-reference semantics); anything else is dropped,
@@ -150,7 +152,8 @@ object RawFiles {
     else if (kind == "eml" || ((kind == "text" || kind == "mbox") &&
              graft.extract.EmlExtractor.isEml(bytes)))
       emlDocs(path, relativize(path, root), bytes)
-    else if (kind == "gz") gzDoc(path, bytes, root)
+    else if (kind == "gz" || kind == "zst" || kind == "xz" ||
+             kind == "bz2") compressedDoc(path, bytes, root, kind)
     else Seq(InputDoc(relativize(path, root), docSpans(kind, path, bytes)))
 
   /** One InputDoc per retained jsonl line
@@ -222,22 +225,25 @@ object RawFiles {
       emlBytes, mediaRef.substring(h + 1))
   }
 
-  /** Generic single-file gzip: `<name>.<ext>.gz` inflates and routes by
-    * the INNER extension (`page.html.gz` is an html doc, `shard.jsonl
-    * .gz` a jsonl shard) — web corpora gzip text at rest. The doc id
-    * keeps the on-disk `.gz` name. Inner extensions outside the text
-    * family (or a corrupt stream) drop. `.warc.gz`/`.tar.gz` never
-    * reach here (matched to their own kinds first).
+  /** Generic single-file compression: `<name>.<ext>.<algo>` (algo ∈
+    * gz/zst/xz/bz2) inflates via [[graft.extract.Codecs]] and routes by
+    * the INNER extension (`page.html.gz` is an html doc,
+    * `shard.jsonl.zst` a jsonl shard, `seg.warc.zst` a crawl segment) —
+    * web corpora compress text at rest; zstd is the Dolma/RedPajama
+    * shard codec. The doc id keeps the on-disk compressed name. Inner
+    * extensions outside the text family (or a corrupt stream) drop.
+    * `.warc.gz`/`.tar.gz` never reach here (matched to their own kinds
+    * first — WarcExtractor reads per-record gzip members natively).
     */
-  private def gzDoc(path: String, bytes: Array[Byte],
-                    root: String): Seq[InputDoc] = {
-    val inner = path.substring(0, path.length - 3)
+  private def compressedDoc(path: String, bytes: Array[Byte],
+                            root: String, algo: String): Seq[InputDoc] = {
+    val inner = path.substring(0, path.length - (algo.length + 1))
     val lp = inner.toLowerCase
     val dot = lp.lastIndexOf('.')
     val e = if (dot < 0) "" else lp.substring(dot + 1)
     TextExt.get(e) match {
       case Some(k) =>
-        val inflated = graft.extract.WarcExtractor.gunzipAll(bytes)
+        val inflated = graft.extract.Codecs.inflate(algo, bytes)
         if (inflated.isEmpty) Nil else docsOf(k, path, inflated, root)
       case None => Nil
     }
@@ -593,7 +599,8 @@ object RawFiles {
     val e = if (dot < 0) lp else lp.substring(dot + 1)
     if (lp.endsWith(".warc.gz")) docsOf("warc", path, content, root)
     else if (lp.endsWith(".tar.gz")) docsOf("tar", path, content, root)
-    else if (e == "gz") docsOf("gz", path, content, root)
+    else if (e == "gz" || e == "zst" || e == "xz" || e == "bz2")
+      docsOf(e, path, content, root)
     else TextExt.get(e) match {
       case Some(kind) => docsOf(kind, path, content, root)
       case None => MediaExt.get(e).map(kind =>
@@ -619,7 +626,10 @@ object RawFiles {
       when(lower(col("path")).endsWith(".warc.gz"), lit("warc"))
         .when(lower(col("path")).endsWith(".tar.gz"), lit("tar"))
         .when(lower(col("path")).endsWith(".gz"), lit("gz"))
-        .otherwise(kindOf(TextExt)) // double suffix: `ext` sees "gz"
+        .when(lower(col("path")).endsWith(".zst"), lit("zst"))
+        .when(lower(col("path")).endsWith(".xz"), lit("xz"))
+        .when(lower(col("path")).endsWith(".bz2"), lit("bz2"))
+        .otherwise(kindOf(TextExt)) // double suffix: `ext` sees the algo
     val textDocs = scan
       .select(col("path"), textKind.as("kind"), col("content"))
       .where(col("kind").isNotNull)
