@@ -328,6 +328,34 @@ object SparkEntry {
           countDistinct("doc_id").as("n_docs"))
         .orderBy("domain")
     }),
+    "q_url_canonical" -> ((s, dir) => {
+      // provenance canonical-key dedup (C4/CCNet): the same page
+      // crawled with different fragments / tracking params / casing /
+      // default ports collapses to ONE canonical URL before
+      // per-domain caps or url-seen checks. The corpus has no URLs,
+      // so two messy variants are injected deterministically per doc;
+      // the expected table applies the independent char-walk twin
+      // (PlainOracles.canonicalUrlPlain) to the SAME strings and
+      // aggregates in plain Scala. Map-side canonicalization — only
+      // canonical keys reach the exchange.
+      val d = t(s, dir, "documents")
+      val u1 = concat(lit("HTTP://WWW."), col("source"),
+        lit(".Example.COM:80/Article/"), pmod(col("doc_id"), lit(5)),
+        lit("/?utm_source=feed&utm_medium=rss&id="),
+        pmod(col("doc_id"), lit(11)), lit("&ref=home#frag"),
+        pmod(col("doc_id"), lit(3)))
+      val u2 = concat(lit("https://"), col("lang"),
+        lit("-cdn.example.org:443/a/"), pmod(col("doc_id"), lit(7)),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("?gclid=abc123"))
+          .otherwise(lit("?id=9&fbclid=zz&")))
+      d.select(col("doc_id"), explode(array(u1, u2)).as("url"))
+        .select(col("doc_id"),
+          graft.ops.TextOps.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("canonical_url")
+    }),
     "q_pdf_links" -> ((s, dir) => {
       // the PDF half of the provenance stage: /Link annotation URIs +
       // display-mapped rects from GENUINE pdf bytes (LinkGen fixtures:
@@ -557,6 +585,25 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("text"),
           element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
           col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_tex" -> ((s, dir) => {
+      // LaTeX (arXiv-source) ingestion, driver-visible: detex'd
+      // blocks — preamble dropped, comments stripped, formatting
+      // wrappers keep their text, citation/label apparatus drops,
+      // math delimiters drop, accents compose, verbatim kept raw,
+      // tabular → ONE TSV block (the engine's table vocabulary),
+      // \includegraphics media at tag position with VERBATIM refs
+      // (external references — no tail reduction needed). Oracle:
+      // TexGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-tex")
+      graft.gen.TexGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          col("media_ref"), col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
     "ex_charset" -> ((s, dir) => {
@@ -1689,6 +1736,15 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
+    "ex_tex" -> ((s, dir) => {
+      // generator ground truth — the detex'd blocks, TSV grids and
+      // figure refs TexGen wrote (markup assembled by hand),
+      // independent of the parser
+      import s.implicits._
+      graft.gen.TexGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
     "ex_charset" -> ((s, dir) => {
       // generator ground truth — the exact Unicode strings CharsetGen
       // ENCODED into each legacy-charset file, independent of the
@@ -1717,6 +1773,27 @@ object SparkEntry {
           g.x0, g.y0, g.x1, g.y1))
         .toDF("doc_id", "pos", "page", "name", "ftype", "value",
           "x0", "y0", "x1", "y1")
+    }),
+    "q_url_canonical" -> ((s, dir) => {
+      // independent char-walk canonicalization + plain-Scala
+      // aggregation over the SAME injected raw URLs
+      import s.implicits._
+      val rows = t(s, dir, "documents")
+        .select("doc_id", "source", "lang").collect()
+        .flatMap { r =>
+          val id = r.getLong(0)
+          val src = r.getString(1); val lang = r.getString(2)
+          val u1 = s"HTTP://WWW.$src.Example.COM:80/Article/${id % 5}" +
+            s"/?utm_source=feed&utm_medium=rss&id=${id % 11}" +
+            s"&ref=home#frag${id % 3}"
+          val u2 = s"https://$lang-cdn.example.org:443/a/${id % 7}" +
+            (if (id % 2 == 0) "?gclid=abc123" else "?id=9&fbclid=zz&")
+          Seq((id, graft.oracle.PlainOracles.canonicalUrlPlain(u1)),
+              (id, graft.oracle.PlainOracles.canonicalUrlPlain(u2)))
+        }
+      rows.groupBy(_._2).toSeq.map { case (cu, xs) =>
+        (cu, xs.length.toLong, xs.map(_._1).distinct.length.toLong)
+      }.toDF("canonical_url", "n_urls", "n_docs")
     }),
     "q_rep_ratio" -> ((s, dir) => {
       // plain-twin repetition signals over the (small) documents dim
@@ -1832,6 +1909,10 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_eml/*.parquet'",
     "ex_odt" ->
       s"SELECT * FROM '$ExpectedToken/ex_odt/*.parquet'",
+    "q_url_canonical" ->
+      s"SELECT * FROM '$ExpectedToken/q_url_canonical/*.parquet'",
+    "ex_tex" ->
+      s"SELECT * FROM '$ExpectedToken/ex_tex/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->

@@ -145,6 +145,47 @@ object TextOps {
   def urlDomain(url: Column): Column =
     regexp_extract(url, "^https?://([^/?#]+)", 1)
 
+  /** C4/CCNet-style URL canonicalization — the key under which web
+    * provenance dedups ("same page, different crawl artifacts"):
+    *
+    *   1. fragment dropped (`#…` is client-side);
+    *   2. scheme + authority lowercased (they are case-insensitive by
+    *      RFC 3986; paths are NOT touched);
+    *   3. default ports dropped (`http://h:80`, `https://h:443`);
+    *   4. tracking parameters removed — `utm_*`, `gclid`, `fbclid`,
+    *      `mc_cid`, `mc_eid`, `ref` (split the query on `&`, drop
+    *      matching `name=` tokens, rejoin; an emptied query drops its
+    *      `?`);
+    *   5. one trailing `/` dropped.
+    *
+    * All codegen'd expressions (regexp steps + higher-order
+    * filter/array_join) — no UDF; map-side only, so canonical-key
+    * dedup shuffles canonical strings, never documents. The oracle is
+    * a fully independent char-walk twin
+    * ([[graft.oracle.PlainOracles.canonicalUrlPlain]]).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix =
+      regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val lowered = when(length(prefix) === 0, noFrag)
+      .otherwise(concat(lower(prefix),
+        noFrag.substr(length(prefix) + lit(1), length(noFrag))))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/?#]*):80([/?#]|$)", "$1$2"),
+      "^(https://[^/?#]*):443([/?#]|$)", "$1$2")
+    val qpos = instr(noPort, "?")
+    val base = when(qpos === 0, noPort)
+      .otherwise(noPort.substr(lit(1), qpos - 1))
+    val query = noPort.substr(qpos + 1, length(noPort))
+    val kept = filter(split(query, "&"), x =>
+      !x.rlike("^(utm_[a-z0-9_]*|gclid|fbclid|mc_cid|mc_eid|ref)="))
+    val joined = array_join(kept, "&")
+    val rebuilt = when(qpos === 0 || joined === "", base)
+      .otherwise(concat(base, lit("?"), joined))
+    regexp_replace(rebuilt, "/$", "")
+  }
+
   /** Mean token length over whitespace tokens. */
   def meanTokenLen(text: Column): Column =
     (length(text) - (tokenCount(text) - 1)).cast("double") /

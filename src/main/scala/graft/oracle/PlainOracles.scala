@@ -826,6 +826,52 @@ object PlainOracles {
     (ah, dh)
   }
 
+  /** Independent URL canonicalization twin — a pure char walk, no
+    * regex, implementing the documented semantics of
+    * [[graft.ops.TextOps.canonicalUrl]]: fragment dropped,
+    * scheme+authority lowercased, default ports dropped, tracking
+    * params (utm_* / gclid / fbclid / mc_cid / mc_eid / ref) removed,
+    * one trailing slash dropped.
+    */
+  def canonicalUrlPlain(raw: String): String = {
+    var u = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h)
+              else raw }
+    val ss = u.indexOf("://")
+    val schemeOk = ss > 0 && u.charAt(0).isLetter &&
+      u.substring(0, ss).forall(c =>
+        c.isLetterOrDigit || c == '+' || c == '.' || c == '-')
+    if (schemeOk) {
+      var ae = ss + 3
+      while (ae < u.length && u.charAt(ae) != '/' && u.charAt(ae) != '?' &&
+             u.charAt(ae) != '#') ae += 1
+      u = u.substring(0, ae).toLowerCase + u.substring(ae)
+      val pre = u.substring(0, ae)
+      if (pre.startsWith("http://") && pre.endsWith(":80"))
+        u = pre.dropRight(3) + u.substring(ae)
+      else if (pre.startsWith("https://") && pre.endsWith(":443"))
+        u = pre.dropRight(4) + u.substring(ae)
+    }
+    val qpos = u.indexOf('?')
+    if (qpos >= 0) {
+      def isTracker(tok: String): Boolean = {
+        val eq = tok.indexOf('=')
+        if (eq < 0) false
+        else {
+          val name = tok.substring(0, eq)
+          name == "gclid" || name == "fbclid" || name == "mc_cid" ||
+            name == "mc_eid" || name == "ref" ||
+            (name.startsWith("utm_") && name.substring(4).forall(c =>
+              (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'))
+        }
+      }
+      val kept = u.substring(qpos + 1).split("&", -1).filterNot(isTracker)
+      val joined = kept.mkString("&")
+      u = if (joined.isEmpty) u.substring(0, qpos)
+          else u.substring(0, qpos) + "?" + joined
+    }
+    if (u.endsWith("/")) u.dropRight(1) else u
+  }
+
   /** Brute-force O(n²) perceptual near-dup pairs by dHash Hamming
     * distance — the oracle for the banded MediaDedup.nearDupPairs.
     */

@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
   *   .odt → decoded at ingest by [[graft.extract.OdtExtractor]] into
   *   paragraph/heading "text" spans, TSV table blocks, and image media
   *   spans (in-archive refs);
+  *   .tex/.latex → decoded at ingest by [[graft.extract.TexExtractor]]
+  *   (detex-style): heading/caption/paragraph/verbatim blocks and TSV
+  *   tabular grids as "text" spans, \includegraphics refs as media
+  *   spans (path verbatim — external reference, like markdown);
   *   .eml → decoded at ingest by [[graft.extract.EmlExtractor]]:
   *   subject + MIME body parts as "text" spans (html parts through the
   *   boilerpipe gate, cid images resolved), media parts by reference,
@@ -81,6 +85,7 @@ object RawFiles {
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
     "md" -> "md", "markdown" -> "md", "epub" -> "epub",
     "xlsx" -> "xlsx", "pptx" -> "pptx", "rtf" -> "rtf", "odt" -> "odt",
+    "tex" -> "tex", "latex" -> "tex",
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
     "jsonl" -> "jsonl", "ndjson" -> "jsonl",
     "eml" -> "eml", "mbox" -> "mbox")
@@ -378,6 +383,8 @@ object RawFiles {
       else if (graft.extract.PptxExtractor.isPptx(bytes)) "pptx"
       else if (graft.extract.RtfExtractor.isRtf(bytes)) "rtf"
       else if (graft.extract.OdtExtractor.isOdt(bytes)) "odt"
+      else if (kind == "text" && graft.extract.TexExtractor.isTex(bytes))
+        "tex"
       else kind
     docSpansDispatch(kindEff, path, bytes, transportCharset)
   }
@@ -463,6 +470,21 @@ object RawFiles {
                      else s"$path#$ref"
           Span(mk, null, full, k)
       }
+    } else if (kind == "tex") {
+      // LaTeX decodes at the ingest boundary like markdown — detex'd
+      // blocks (headings/captions/paragraphs/verbatim/TSV tables) as
+      // "text" spans, \includegraphics refs as media spans with the
+      // path passing through VERBATIM (external reference; arXiv
+      // sources resolve figures at build time, not in the archive).
+      graft.extract.TexExtractor.items(
+          graft.extract.CharsetSniff.decode(bytes, html = false,
+            transportCharset))
+        .zipWithIndex.map {
+          case (graft.extract.TexExtractor.Block(t), k) =>
+            Span("text", t, null, k)
+          case (graft.extract.TexExtractor.Media(mk, ref), k) =>
+            Span(mk, null, ref, k)
+        }
     } else if (kind == "md") {
       // Markdown decodes at the ingest boundary like DOCX — text blocks
       // as "text" spans, image/media references as media spans with the
@@ -479,7 +501,8 @@ object RawFiles {
         }
     } else Vector(Span(
       if (kind == "docx" || kind == "epub" || kind == "xlsx" ||
-          kind == "pptx" || kind == "rtf" || kind == "odt") "text"
+          kind == "pptx" || kind == "rtf" || kind == "odt" ||
+          kind == "tex") "text"
       else kind,
       graft.extract.CharsetSniff.decode(bytes, html = kind == "html",
         transportCharset), null, 0))

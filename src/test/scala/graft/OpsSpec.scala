@@ -1181,4 +1181,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://b.org,", "b.org,"),
       ("https://c.net#frag", "c.net")))
   }
+
+  test("url canonicalization: pinned forms + char-walk twin parity on adversarial urls") {
+    import spark.implicits._
+    val cases = Seq(
+      // casing: scheme+host lowered, path untouched
+      "HTTP://WWW.News.EXAMPLE.com/Article/X" ->
+        "http://www.news.example.com/Article/X",
+      // default ports drop; non-default stay
+      "http://h.example:80/p" -> "http://h.example/p",
+      "https://h.example:443" -> "https://h.example",
+      "http://h.example:8080/p" -> "http://h.example:8080/p",
+      // fragment + trackers + trailing slash
+      "https://a.b/p/?utm_source=x&id=3&ref=nav#top" -> "https://a.b/p/?id=3",
+      "https://a.b/p?utm_campaign=x&gclid=y" -> "https://a.b/p",
+      "https://a.b/?fbclid=1" -> "https://a.b",
+      // tracker-lookalikes kept
+      "https://a.b/p?refx=1&utm_X=2&prefix=3" ->
+        "https://a.b/p?refx=1&utm_X=2&prefix=3",
+      // bare '?' drops; scheme-less untouched except tail rules
+      "https://a.b/p?" -> "https://a.b/p",
+      "not a url/" -> "not a url")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrl(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+    // engine == independent char walk, on the pins AND adversarial forms
+    val adversarial = cases.map(_._1) ++ Seq(
+      "http://x:80", "https://x:443/", "HTTPS://X:443/?ref=a&ref=b",
+      "http://a/p?utm_=1&utm_a9_z=2&id=", "http://a/p?&&",
+      "ftp://Mixed.Case/Path", "http://", "?ref=1", "",
+      "http://a/p?id=1&utm_source=x&id=2&utm_source=y")
+    val sparkSide = adversarial.toDF("url")
+      .select(TextOps.canonicalUrl(col("url"))).as[String].collect().toSeq
+    val plainSide = adversarial.map(
+      graft.oracle.PlainOracles.canonicalUrlPlain)
+    assert(sparkSide == plainSide,
+      sparkSide.zip(plainSide).filter(p => p._1 != p._2).mkString("\n"))
+  }
 }
