@@ -587,6 +587,24 @@ object SparkEntry {
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
+    "ex_mbox" -> ((s, dir) => {
+      // mbox spool ingestion, driver-visible: one file = many emails
+      // (`<spool>#m<idx>`), each member through the full MIME machine
+      // incl. attachment fan-out (`…#m<idx>#a<idx>:<name>`) and media
+      // parts by reference (`…#m<idx>#p<idx>:<name>` tails). Oracle:
+      // EmlGen's expectedMbox — per-message ground truth with the
+      // spool identity substituted, framing written by the generator.
+      import s.implicits._
+      val tmp = scratchDir("graft-mbox")
+      graft.gen.EmlGen.writeMbox(tmp, 4)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "ex_tex" -> ((s, dir) => {
       // LaTeX (arXiv-source) ingestion, driver-visible: detex'd
       // blocks — preamble dropped, comments stripped, formatting
@@ -1736,6 +1754,14 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
+    "ex_mbox" -> ((s, dir) => {
+      // generator ground truth — per-message rows with the spool
+      // identity substituted, independent of the parser
+      import s.implicits._
+      graft.gen.EmlGen.expectedMbox(4)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
     "ex_tex" -> ((s, dir) => {
       // generator ground truth — the detex'd blocks, TSV grids and
       // figure refs TexGen wrote (markup assembled by hand),
@@ -1913,6 +1939,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_url_canonical/*.parquet'",
     "ex_tex" ->
       s"SELECT * FROM '$ExpectedToken/ex_tex/*.parquet'",
+    "ex_mbox" ->
+      s"SELECT * FROM '$ExpectedToken/ex_mbox/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->

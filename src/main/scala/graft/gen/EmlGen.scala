@@ -188,6 +188,47 @@ object EmlGen {
     */
   def expected(n: Int): Seq[Row] = (0 until n).flatMap(expectedDoc)
 
+  /** One mbox spool holding messages `k*per until (k+1)*per`, framed
+    * mboxo-style by THIS generator (separator lines + blank-line
+    * framing written by hand, never by the parser).
+    */
+  def mboxName(k: Int): String = f"inbox$k%03d.mbox"
+
+  def mboxBytes(k: Int, per: Int = 6): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    (0 until per).foreach { j =>
+      val i = k * per + j
+      bos.write(s"From sender$i@example.org Mon Aug 17 10:00:00 2026\r\n"
+        .getBytes(ISO_8859_1))
+      bos.write(fileBytes(i))
+      bos.write("\r\n\r\n".getBytes(ISO_8859_1))
+    }
+    bos.toByteArray
+  }
+
+  def writeMbox(dir: String, nSpools: Int, per: Int = 6): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    (0 until nSpools).foreach { k =>
+      Files.write(Paths.get(dir, mboxName(k)), mboxBytes(k, per)): Unit
+    }
+  }
+
+  /** Ground truth for the spool fan-out: every member message's rows
+    * with its `<spool>#m<idx>` identity substituted (doc ids AND media
+    * ref tails).
+    */
+  def expectedMbox(nSpools: Int, per: Int = 6): Seq[Row] =
+    (0 until nSpools).flatMap { k =>
+      (0 until per).flatMap { j =>
+        val i = k * per + j
+        val f = fileName(i)
+        val p = s"${mboxName(k)}#m$j"
+        expectedDoc(i).map(r => r.copy(
+          doc_id = r.doc_id.replace(f, p),
+          media_ref = Option(r.media_ref).map(_.replace(f, p)).orNull))
+      }
+    }
+
   /** Ground truth rows for ONE message (main doc + attachment docs). */
   def expectedDoc(i: Int): Seq[Row] = {
     val f = fileName(i)
