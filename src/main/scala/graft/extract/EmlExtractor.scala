@@ -243,7 +243,8 @@ object EmlExtractor {
   // container kinds (warc/zip/tar/jsonl/eml) excluded: one fan-out
   // level, the same rule archives apply to nested archives
   private val DocExts = Set("pdf", "html", "htm", "txt", "text", "docx",
-    "md", "markdown", "epub", "xlsx", "pptx", "rtf", "odt", "tex")
+    "md", "markdown", "epub", "xlsx", "pptx", "rtf", "odt", "ods",
+    "odp", "tex")
 
   /** Depth-first leaf walk. multipart/alternative contributes ONE
     * branch; other multiparts contribute all parts in order; a leaf

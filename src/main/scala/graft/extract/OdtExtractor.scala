@@ -47,14 +47,23 @@ object OdtExtractor {
   final case class Text(text: String) extends Item
   final case class Media(kind: String, ref: String) extends Item
 
-  private val OdtMime = "application/vnd.oasis.opendocument.text"
+  /** The whole ODF document family: text (.odt), spreadsheet (.ods —
+    * every sheet is a top-level `table:table`, so the same walk emits
+    * one TSV span per non-empty sheet, the XLSX semantics), and
+    * presentation (.odp — slide text lives in framed `text:p`s the
+    * same paragraph handler reads, `draw:image`s emit as usual).
+    */
+  private val OdfMimes = Set(
+    "application/vnd.oasis.opendocument.text",
+    "application/vnd.oasis.opendocument.spreadsheet",
+    "application/vnd.oasis.opendocument.presentation")
 
   def isOdt(bytes: Array[Byte]): Boolean =
     bytes.length > 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
       bytes(2) == 3 && bytes(3) == 4 &&
       DocxExtractor.entry(bytes, "mimetype").exists(m =>
-        new String(m, java.nio.charset.StandardCharsets.UTF_8).trim ==
-          OdtMime)
+        OdfMimes.contains(
+          new String(m, java.nio.charset.StandardCharsets.UTF_8).trim))
 
   private val MaxRepeat = 1000
 

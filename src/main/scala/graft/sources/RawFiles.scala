@@ -85,6 +85,7 @@ object RawFiles {
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
     "md" -> "md", "markdown" -> "md", "epub" -> "epub",
     "xlsx" -> "xlsx", "pptx" -> "pptx", "rtf" -> "rtf", "odt" -> "odt",
+    "ods" -> "odt", "odp" -> "odt",
     "tex" -> "tex", "latex" -> "tex",
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
     "jsonl" -> "jsonl", "ndjson" -> "jsonl",

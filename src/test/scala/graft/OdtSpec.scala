@@ -51,6 +51,21 @@ class OdtSpec extends AnyFunSuite with BeforeAndAfterAll {
     def byName(n: Node, name: String): Vector[Element] =
       children(n).collect { case e: Element if e.getNodeName == name => e }
 
+    def emitImage(e: Element): Unit = {
+      val href = e.getAttribute("xlink:href")
+      if (href != null && href.nonEmpty) {
+        val ref = if (href.startsWith("./")) href.substring(2) else href
+        val kind = ref.toLowerCase.replaceAll("\\?.*$", "") match {
+          case r if r.endsWith(".mp3") || r.endsWith(".wav") ||
+                    r.endsWith(".flac") => "audio"
+          case r if r.endsWith(".mp4") || r.endsWith(".mkv") ||
+                    r.endsWith(".webm") => "video"
+          case _ => "image"
+        }
+        out += Media(kind, ref): Unit
+      }
+    }
+
     /** Paragraph-interior text in doc order; media emitted to `out` at
       * tag position; text:note skipped.
       */
@@ -67,18 +82,7 @@ class OdtSpec extends AnyFunSuite with BeforeAndAfterAll {
         case "text:tab" => sb.append('\t'): Unit
         case "text:line-break" => sb.append('\n'): Unit
         case "draw:image" =>
-          val href = e.getAttribute("xlink:href")
-          if (href != null && href.nonEmpty) {
-            val ref = if (href.startsWith("./")) href.substring(2) else href
-            val kind = ref.toLowerCase.replaceAll("\\?.*$", "") match {
-              case r if r.endsWith(".mp3") || r.endsWith(".wav") ||
-                        r.endsWith(".flac") => "audio"
-              case r if r.endsWith(".mp4") || r.endsWith(".mkv") ||
-                        r.endsWith(".webm") => "video"
-              case _ => "image"
-            }
-            out += Media(kind, ref)
-          }
+          emitImage(e)
           paraText(e, sb)
         case _ => paraText(e, sb)
       }
@@ -106,6 +110,9 @@ class OdtSpec extends AnyFunSuite with BeforeAndAfterAll {
           val sb = new StringBuilder
           paraText(e, sb)
           if (sb.exists(!_.isWhitespace)) out += Text(sb.toString): Unit
+        case "draw:image" =>
+          // media outside any paragraph (ODP slide frames)
+          emitImage(e)
         case "table:table" =>
           val rows = byName(e, "table:table-row").map { r =>
             byName(r, "table:table-cell").flatMap { c =>
