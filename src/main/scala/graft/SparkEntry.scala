@@ -587,6 +587,24 @@ object SparkEntry {
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
+    "ex_feed" -> ((s, dir) => {
+      // RSS/Atom syndication ingestion, driver-visible: one feed file
+      // fans out to one document per item/entry (`<file>#e<idx>:<id>`)
+      // — titles, CDATA/entity-escaped html bodies through the
+      // boilerpipe gate with the stripped-text fallback for short
+      // descriptions, enclosure/media:content media by reference
+      // (URLs verbatim — no tail reduction), non-feed .xml drops.
+      // Oracle: FeedGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-feed")
+      graft.gen.FeedGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          col("media_ref"), col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "ex_mbox" -> ((s, dir) => {
       // mbox spool ingestion, driver-visible: one file = many emails
       // (`<spool>#m<idx>`), each member through the full MIME machine
@@ -1754,6 +1772,14 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
+    "ex_feed" -> ((s, dir) => {
+      // generator ground truth — per-entry rows with the feed-file
+      // identity, independent of the parser
+      import s.implicits._
+      graft.gen.FeedGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
     "ex_mbox" -> ((s, dir) => {
       // generator ground truth — per-message rows with the spool
       // identity substituted, independent of the parser
@@ -1941,6 +1967,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_tex/*.parquet'",
     "ex_mbox" ->
       s"SELECT * FROM '$ExpectedToken/ex_mbox/*.parquet'",
+    "ex_feed" ->
+      s"SELECT * FROM '$ExpectedToken/ex_feed/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->

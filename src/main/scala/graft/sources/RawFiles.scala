@@ -45,6 +45,10 @@ import org.apache.spark.sql.functions._
   *   (`<relpath>#a<idx>:<filename>`) routed through its front end;
   *   .mbox → spool fan-out: one [[EmlExtractor]] expansion per member
   *   message (`<relpath>#m<idx>`);
+  *   .rss/.atom/.xml → syndication fan-out by
+  *   [[graft.extract.FeedExtractor]]: one InputDoc per RSS item /
+  *   Atom entry (`<relpath>#e<idx>:<id>`), titles + unescaped html
+  *   bodies + enclosure media by reference (a non-feed .xml drops);
   *   .warc/.warc.gz → EXPANDED at ingest by
   *   [[graft.extract.WarcExtractor]]: each retained crawl record
   *   becomes ITS OWN InputDoc (`<relpath>#r<idx>:<target-uri>`), its
@@ -89,7 +93,8 @@ object RawFiles {
     "tex" -> "tex", "latex" -> "tex",
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
     "jsonl" -> "jsonl", "ndjson" -> "jsonl",
-    "eml" -> "eml", "mbox" -> "mbox")
+    "eml" -> "eml", "mbox" -> "mbox",
+    "rss" -> "feed", "atom" -> "feed", "xml" -> "feed")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -153,6 +158,7 @@ object RawFiles {
              graft.extract.ArchiveExtractor.isTar(bytes))
       archiveDocs(path, relativize(path, root), bytes)
     else if (kind == "jsonl") jsonlDocs(relativize(path, root), bytes)
+    else if (kind == "feed") feedDocs(relativize(path, root), bytes)
     else if (kind == "mbox" && graft.extract.EmlExtractor.isMbox(bytes))
       mboxDocs(path, relativize(path, root), bytes)
     else if (kind == "eml" || ((kind == "text" || kind == "mbox") &&
@@ -170,6 +176,24 @@ object RawFiles {
     graft.extract.JsonlExtractor.records(bytes).map { r =>
       InputDoc(s"$rel#L${r.lineNo}:${r.id}",
         Vector(Span("text", r.text, null, 0)))
+    }
+
+  /** One syndication feed → one InputDoc per retained RSS item /
+    * Atom entry (`<relpath>#e<idx>:<guid-or-link>`): title + body
+    * blocks (escaped/CDATA html through the boilerpipe gate with a
+    * stripped-text fallback) + enclosure/media:content media by
+    * reference, URLs verbatim. A `.xml` that is not a feed yields no
+    * entries and drops — the reference's suffix-filter posture.
+    */
+  private def feedDocs(rel: String, bytes: Array[Byte]): Seq[InputDoc] =
+    graft.extract.FeedExtractor.entries(bytes).map { e =>
+      InputDoc(s"$rel#e${e.idx}:${e.id}",
+        e.items.zipWithIndex.map {
+          case (graft.extract.FeedExtractor.Text(t), k) =>
+            Span("text", t, null, k)
+          case (graft.extract.FeedExtractor.Media(mk, ref), k) =>
+            Span(mk, null, ref, k)
+        }.toVector)
     }
 
   /** One email message → its InputDocs: the message body (Subject +
@@ -272,8 +296,12 @@ object RawFiles {
       val lp = en.name.toLowerCase
       val dot = lp.lastIndexOf('.')
       val e = if (dot < 0) "" else lp.substring(dot + 1)
+      // container kinds inside a container drop — ONE fan-out level
+      // (zip/tar/warc members, jsonl shards, mail spools, feeds)
       val nested = e == "zip" || e == "tar" || e == "tgz" ||
-        e == "warc" || lp.endsWith(".tar.gz") || lp.endsWith(".warc.gz")
+        e == "warc" || e == "jsonl" || e == "ndjson" || e == "eml" ||
+        e == "mbox" || e == "rss" || e == "atom" || e == "xml" ||
+        lp.endsWith(".tar.gz") || lp.endsWith(".warc.gz")
       val docId = s"$rel#${en.name}"
       val pseudo = s"$path#${en.name}"
       if (nested) None
