@@ -89,6 +89,10 @@ object RawFiles {
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
     "md" -> "md", "markdown" -> "md", "epub" -> "epub",
     "xlsx" -> "xlsx", "pptx" -> "pptx", "rtf" -> "rtf", "odt" -> "odt",
+    // macro/template OOXML variants share the package structure
+    "docm" -> "docx", "dotx" -> "docx", "dotm" -> "docx",
+    "xlsm" -> "xlsx", "xltx" -> "xlsx",
+    "pptm" -> "pptx", "ppsx" -> "pptx", "potx" -> "pptx",
     "ods" -> "odt", "odp" -> "odt",
     "tex" -> "tex", "latex" -> "tex",
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",

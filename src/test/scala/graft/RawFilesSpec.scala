@@ -286,4 +286,26 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fromFlat(d.doc_id) == d.spans.sortBy(_.offset), d.doc_id)
     }
   }
+
+  test("macro/template OOXML suffixes route to their front ends") {
+    // .docm/.dotx, .xlsm, .pptm/.ppsx share the OOXML package
+    // structure; the suffix aliases + the same content magics route
+    // them identically to their canonical extensions
+    val docx = graft.gen.MixedGen.fileBytes(8)
+    val viaDocm = RawFiles.decodeAny("memo.docm", docx, "")
+    val viaDocx = RawFiles.decodeAny("memo.docx", docx, "")
+    assert(viaDocm.map(_.spans.map(s => (s.kind, s.text))) ==
+      viaDocx.map(_.spans.map(s => (s.kind, s.text))))
+
+    val xlsx = graft.gen.XlsxGen.fileBytes(0)
+    assert(RawFiles.decodeAny("grid.xlsm", xlsx, "")
+      .map(_.spans.map(_.text)) ==
+      RawFiles.decodeAny("grid.xlsx", xlsx, "").map(_.spans.map(_.text)))
+
+    val pptx = graft.gen.PptxGen.fileBytes(0)
+    assert(RawFiles.decodeAny("deck.ppsx", pptx, "")
+      .map(_.spans.map(s => (s.kind, s.text))) ==
+      RawFiles.decodeAny("deck.pptx", pptx, "")
+        .map(_.spans.map(s => (s.kind, s.text))))
+  }
 }
