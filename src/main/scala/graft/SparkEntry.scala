@@ -587,6 +587,36 @@ object SparkEntry {
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
+    "dd_cross_format" -> ((s, dir) => {
+      // FORMAT-INVARIANT dedup — the engine's thesis in one query:
+      // the same article staged as .html (boilerplate-wrapped), .md,
+      // .txt and .eml extracts into the one span vocabulary, its
+      // per-doc text canonicalized (casefold + punct/ws fold), and
+      // the four renditions collapse into ONE cluster; singleton
+      // notes stay alone. Scale shape: the window partitions on
+      // xxhash64(canonical) — only (doc_id, 8-byte key) rides the
+      // shuffle, never document text (the PageFurniture rule).
+      // Oracle: CrossGen ground truth (clusters by construction).
+      import s.implicits._
+      val tmp = scratchDir("graft-cross")
+      graft.gen.CrossGen.write(tmp, 12, 5)
+      val rows = graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d)).toDF()
+      val fullText = rows.where(col("text").isNotNull)
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("order"), col("text")))),
+            x => x.getField("text")),
+          "\n").as("full"))
+      val keyed = fullText.select(col("doc_id"),
+        xxhash64(graft.ops.TextOps.canonicalText(col("full"))).as("k"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      keyed.select(col("doc_id"),
+          count(lit(1)).over(w).as("cluster_size"),
+          min("doc_id").over(w).as("cluster_rep"))
+        .orderBy("doc_id")
+    }),
     "ex_feed" -> ((s, dir) => {
       // RSS/Atom syndication ingestion, driver-visible: one feed file
       // fans out to one document per item/entry (`<file>#e<idx>:<id>`)
@@ -1772,6 +1802,13 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
+    "dd_cross_format" -> ((s, dir) => {
+      // ground truth by construction: the four renditions of each
+      // article cluster (rep = lexicographic min), solos stay alone
+      import s.implicits._
+      graft.gen.CrossGen.expected(12, 5)
+        .toDF("doc_id", "cluster_size", "cluster_rep")
+    }),
     "ex_feed" -> ((s, dir) => {
       // generator ground truth — per-entry rows with the feed-file
       // identity, independent of the parser
@@ -1969,6 +2006,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_mbox/*.parquet'",
     "ex_feed" ->
       s"SELECT * FROM '$ExpectedToken/ex_feed/*.parquet'",
+    "dd_cross_format" ->
+      s"SELECT * FROM '$ExpectedToken/dd_cross_format/*.parquet'",
     "q_table_tsv_html" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->

@@ -1182,6 +1182,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://c.net#frag", "c.net")))
   }
 
+  test("cross-format dedup: html/md/txt/eml renditions share one canonical text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cross-spec")
+    graft.gen.CrossGen.write(dir.toString, 2, 1)
+    val byDoc = graft.sources.RawFiles.read(spark, dir.toString)
+      .collect()
+      .flatMap(d => graft.extract.Extractor.extractRows(d))
+      .filter(_.text != null)
+      .groupBy(_.doc_id)
+      .map { case (id, rows) =>
+        val full = rows.sortBy(_.order).map(_.text).mkString("\n")
+        id -> full.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      }
+    // each article's four renditions canonicalize identically…
+    (0 until 2).foreach { a =>
+      val canons = graft.gen.CrossGen.formats
+        .map(f => byDoc(graft.gen.CrossGen.fileName(a, f))).toSet
+      assert(canons.size == 1, s"article $a: $canons")
+    }
+    // …and across articles (and vs the solo) they differ
+    assert(Set(byDoc("art0000.txt"), byDoc("art0001.txt"),
+      byDoc("solo0000.txt")).size == 3)
+    dir.toFile.listFiles.foreach(_.delete()); dir.toFile.delete(): Unit
+  }
+
   test("url canonicalization: pinned forms + char-walk twin parity on adversarial urls") {
     import spark.implicits._
     val cases = Seq(
