@@ -11,8 +11,10 @@ package graft.gen
   * third segment so retained-record indices shift), an HTTP 404
   * (skipped — non-2xx carries no content), an HTTP 200 `text/plain`
   * with `Transfer-Encoding: chunked` (two chunks, an extension on the
-  * first size line), a WET-style `conversion` record, a `resource`
-  * record with `image/png` (media by reference), and a metadata record
+  * first size line), a WET-style `conversion` record, an HTTP 200
+  * `text/plain; charset=ISO-8859-1` whose body is really windows-1252
+  * (the transport-charset decode path), a `resource` record with
+  * `image/png` (media by reference), and a metadata record
   * (skipped). Odd segments are `.warc.gz` with the standard one-gzip-
   * member-per-record layout.
   *
@@ -43,6 +45,9 @@ object WarcGen {
   private def wetText(i: Int): String =
     s"WET conversion rendition of page $i: m${(i * 31) % 883} plain " +
       s"text only."
+  private def legacyUri(i: Int) = s"https://example.org/$i/legacy"
+  private def legacyText(i: Int): String =
+    s"Legacy charset page $i: caf\u00e9 \u2014 \u20ac${(i * 3) % 90} fee."
   def imgPayload(i: Int): Array[Byte] =
     Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
       ((i * 7) % 256).toByte)
@@ -114,13 +119,22 @@ object WarcGen {
         chunked(chunkedText(i).getBytes("UTF-8"))))
     val wet = record("conversion", wetUri(i), "text/plain",
       wetText(i).getBytes("UTF-8"))
+    // declared ISO-8859-1, really windows-1252 (the em-dash and the
+    // euro live at 0x97/0x80) — the WHATWG transport-label upgrade in
+    // CharsetSniff is the only correct decode
+    val legacy = record("response", legacyUri(i),
+      "application/http; msgtype=response",
+      httpResponse("200 OK",
+        Seq("Content-Type: text/plain; charset=ISO-8859-1"),
+        legacyText(i).getBytes(
+          java.nio.charset.Charset.forName("windows-1252"))))
     val img = record("resource", imgUri(i), "image/png", imgPayload(i))
     val metadata = record("metadata", htmlUri(i),
       "application/warc-fields",
       bytes(s"fetchTimeMs: ${100 + i}$CRLF"))
     Seq(warcinfo, request, htmlResp) ++
       (if (hasPdf(i)) Seq(pdfResp) else Nil) ++
-      Seq(notFound, chunkedResp, wet, img, metadata)
+      Seq(notFound, chunkedResp, wet, legacy, img, metadata)
   }
 
   private def gzipMember(b: Array[Byte]): Array[Byte] = {
@@ -173,11 +187,13 @@ object WarcGen {
       Seq(GtRow(nextId(chunkedUri(i)), "text", chunkedText(i), null, 0))
     val wetDoc =
       Seq(GtRow(nextId(wetUri(i)), "text", wetText(i), null, 0))
+    val legacyDoc =
+      Seq(GtRow(nextId(legacyUri(i)), "text", legacyText(i), null, 0))
     val imgDoc = {
       val id = nextId(imgUri(i))
       Seq(GtRow(id, "image", null, s"$f#r$r", 0))
     }
-    html ++ pdf ++ chunkedDoc ++ wetDoc ++ imgDoc
+    html ++ pdf ++ chunkedDoc ++ wetDoc ++ legacyDoc ++ imgDoc
   }
 
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap(expectedDoc)

@@ -104,7 +104,8 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(WarcExtractor.isWarcGz(gzBytes))
     val recs = WarcExtractor.records(gzBytes)
     assert(recs.map(_.warcType) ==
-      Vector("response", "response", "response", "conversion", "resource"))
+      Vector("response", "response", "response", "conversion",
+        "response", "resource"))
     assert(recs.last.body.toSeq == WarcGen.imgPayload(1).toSeq)
   }
 
@@ -131,26 +132,30 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.map(d => d.doc_id -> norm(d.spans)).toMap
     assert(batch == streamed)
 
-    // segment 0: html(r0) pdf(r1) chunked(r2) wet(r3) img(r4);
-    // segment 2 drops the pdf so indices shift
+    // segment 0: html(r0) pdf(r1) chunked(r2) wet(r3) legacy(r4)
+    // img(r5); segment 2 drops the pdf so indices shift
     val f0 = WarcGen.fileName(0)
-    assert(batch.keys.count(_.startsWith(f0 + "#")) == 5)
+    assert(batch.keys.count(_.startsWith(f0 + "#")) == 6)
     assert(batch.contains(s"$f0#r1:https://example.org/0/doc.pdf"))
     val f2 = WarcGen.fileName(2)
-    assert(batch.keys.count(_.startsWith(f2 + "#")) == 4)
+    assert(batch.keys.count(_.startsWith(f2 + "#")) == 5)
     assert(batch.contains(s"$f2#r1:https://example.org/2/live"))
-    assert(batch.keys.count(_.startsWith("mislabeled.txt#")) == 4)
+    assert(batch.keys.count(_.startsWith("mislabeled.txt#")) == 5)
+    // the transport-declared legacy charset decodes (ISO-8859-1 label
+    // upgraded to windows-1252: the em-dash and the euro survive)
+    assert(batch(s"$f0#r4:https://example.org/0/legacy").head.text
+      .contains("café — €"))
 
     // the pdf record routed through RealPdf: its spans are pdf-kind
     val pdfSpans = batch(s"$f0#r1:https://example.org/0/doc.pdf")
     assert(pdfSpans.head.kind == "pdf" && pdfSpans.head.text != null)
     // the image resource record is media BY REFERENCE: bytes stay in
     // the archive, recoverable through warcRecordPayload
-    val imgSpans = batch(s"$f0#r4:https://cdn.example.org/0/banner.png")
+    val imgSpans = batch(s"$f0#r5:https://cdn.example.org/0/banner.png")
     assert(imgSpans.map(s => (s.kind, s.text)) ==
       Vector(("image", null)))
     val ref = imgSpans.head.media_ref
-    assert(ref.endsWith(s"/$f0#r4"))
+    assert(ref.endsWith(s"/$f0#r5"))
     val fetched = RawFiles.warcRecordPayload(
       Files.readAllBytes(dir.resolve(f0)), ref)
     assert(fetched.exists(_.sameElements(WarcGen.imgPayload(0))))
