@@ -672,6 +672,42 @@ object SparkEntry {
           col("media_ref"), col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
+    "ex_ppt" -> ((s, dir) => {
+      // PowerPoint 97–2003 binary ingestion, driver-visible: .ppt
+      // decks (CFB containers) decode at the ingest boundary — record
+      // tree walk, TextCharsAtom/TextBytesAtom paragraphs, decoy
+      // metadata skipped, encrypted decks dropped whole. Oracle:
+      // PptGen ground truth (records assembled by hand).
+      import s.implicits._
+      val tmp = scratchDir("graft-ppt")
+      graft.gen.PptGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_doc" -> ((s, dir) => {
+      // legacy binary Office ingestion, driver-visible: Word 97–2003
+      // .doc files (CFB/OLE2 containers) decode at the ingest
+      // boundary — FAT/miniFAT stream walk, FIB + piece-table
+      // reassembly across mixed cp1252/UTF-16 pieces, field codes
+      // dropped with results kept, cell marks split, encrypted
+      // documents dropped whole, footnote CPs excluded. Oracle:
+      // DocGen ground truth (the generator writes real containers by
+      // hand and its expected rows are the paragraph strings it
+      // chose — the parser never sees them).
+      import s.implicits._
+      val tmp = scratchDir("graft-doc")
+      graft.gen.DocGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "ex_charset" -> ((s, dir) => {
       // legacy-charset ingestion, driver-visible AT THE INGEST
       // BOUNDARY: files in windows-1252 / shift_jis / gb18030 / koi8-r
@@ -723,6 +759,24 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-xlsxtsv")
       graft.gen.XlsxGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("order").as("ord"), col("text").as("tsv"))
+        .orderBy("doc_id", "ord")
+    }),
+    "q_table_tsv_xls" -> ((s, dir) => {
+      // the legacy-binary quarter of the spreadsheet family: genuine
+      // BIFF8 .xls workbooks (CFB containers) through the production
+      // binaryFile scan → RawFiles CFB routing → Extractor — each
+      // non-empty worksheet's used range enters as one "text" span
+      // holding its TSV (SST incl. CONTINUE-spilled strings, RK/
+      // NUMBER/MULRK numerics, inline labels, booleans, cached
+      // formula results; chart and empty sheets vanish). Oracle:
+      // generator ground truth (XlsGen hand-assembles every record).
+      import s.implicits._
+      val tmp = scratchDir("graft-xlstsv")
+      graft.gen.XlsGen.write(tmp, 24)
       graft.sources.RawFiles.read(s, tmp)
         .flatMap(d => Extractor.extractRows(d))
         .toDF()
@@ -1843,6 +1897,23 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.ord))
         .toDF("doc_id", "kind", "text", "ord")
     }),
+    "ex_doc" -> ((s, dir) => {
+      // generator ground truth — the paragraph blocks DocGen chose
+      // before assembling each CFB container and piece table by hand,
+      // independent of the reader
+      import s.implicits._
+      graft.gen.DocGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.ord))
+        .toDF("doc_id", "kind", "text", "ord")
+    }),
+    "ex_ppt" -> ((s, dir) => {
+      // generator ground truth — the slide blocks PptGen chose before
+      // assembling each record tree by hand, independent of the reader
+      import s.implicits._
+      graft.gen.PptGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.ord))
+        .toDF("doc_id", "kind", "text", "ord")
+    }),
     "q_table_tsv_xlsx" -> ((s, dir) => {
       // generator ground truth: the per-sheet used-range TSVs XlsxGen
       // wrote, in workbook order — independent of every parser
@@ -1852,6 +1923,15 @@ object SparkEntry {
           case ((_, tsv), k) => (graft.gen.XlsxGen.fileName(i), k, tsv)
         }
       }.toDF("doc_id", "ord", "tsv")
+    }),
+    "q_table_tsv_xls" -> ((s, dir) => {
+      // generator ground truth: the per-sheet used-range TSVs XlsGen
+      // committed to before assembling each BIFF record by hand —
+      // independent of every parser
+      import s.implicits._
+      graft.gen.XlsGen.expected(24)
+        .map(g => (g.doc_id, g.ord, g.tsv))
+        .toDF("doc_id", "ord", "tsv")
     }),
     "q_pdf_formfields" -> ((s, dir) => {
       // generator ground truth: the form fields FormGen wrote, rects
@@ -1994,6 +2074,10 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_jsonl/*.parquet'",
     "ex_charset" ->
       s"SELECT * FROM '$ExpectedToken/ex_charset/*.parquet'",
+    "ex_doc" ->
+      s"SELECT * FROM '$ExpectedToken/ex_doc/*.parquet'",
+    "ex_ppt" ->
+      s"SELECT * FROM '$ExpectedToken/ex_ppt/*.parquet'",
     "ex_eml" ->
       s"SELECT * FROM '$ExpectedToken/ex_eml/*.parquet'",
     "ex_odt" ->
@@ -2012,6 +2096,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_html/*.parquet'",
     "q_table_tsv_xlsx" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_xlsx/*.parquet'",
+    "q_table_tsv_xls" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_tsv_xls/*.parquet'",
     "ex_pptx" ->
       s"SELECT * FROM '$ExpectedToken/ex_pptx/*.parquet'",
     "q_lm_buckets" ->

@@ -89,6 +89,8 @@ object RawFiles {
     "txt" -> "text", "text" -> "text", "docx" -> "docx",
     "md" -> "md", "markdown" -> "md", "epub" -> "epub",
     "xlsx" -> "xlsx", "pptx" -> "pptx", "rtf" -> "rtf", "odt" -> "odt",
+    "doc" -> "doc", "dot" -> "doc", "xls" -> "xls", "xlt" -> "xls",
+    "ppt" -> "ppt", "pps" -> "ppt", "pot" -> "ppt",
     // macro/template OOXML variants share the package structure
     "docm" -> "docx", "dotx" -> "docx", "dotm" -> "docx",
     "xlsm" -> "xlsx", "xltx" -> "xlsx",
@@ -416,6 +418,8 @@ object RawFiles {
       else if (graft.extract.PptxExtractor.isPptx(bytes)) "pptx"
       else if (graft.extract.RtfExtractor.isRtf(bytes)) "rtf"
       else if (graft.extract.OdtExtractor.isOdt(bytes)) "odt"
+      else if (graft.extract.Cfb.isCfb(bytes))
+        graft.extract.Cfb.officeKind(bytes)
       else if (kind == "text" && graft.extract.TexExtractor.isTex(bytes))
         "tex"
       else kind
@@ -518,6 +522,36 @@ object RawFiles {
           case (graft.extract.TexExtractor.Media(mk, ref), k) =>
             Span(mk, null, ref, k)
         }
+    } else if (kind == "doc" && graft.extract.Cfb.isCfb(bytes)) {
+      // Word 97–2003 binary decodes at the ingest boundary: the
+      // WordDocument piece table reassembles into paragraph "text"
+      // spans (field codes dropped/results kept, cell marks split,
+      // encrypted documents drop whole). Text-only by declared scope —
+      // .doc pictures live behind Escher records in the Data stream
+      // (see [[graft.extract.DocExtractor]]). A CFB container WITHOUT
+      // a readable WordDocument yields nothing — a structured-storage
+      // binary must never decode as mojibake "text".
+      graft.extract.DocExtractor.items(bytes).zipWithIndex.map {
+        case (graft.extract.DocExtractor.Text(t), k) =>
+          Span("text", t, null, k)
+      }
+    } else if (kind == "ppt" && graft.extract.PptExtractor.isPpt(bytes)) {
+      // PowerPoint 97–2003 binary decodes at the ingest boundary like
+      // PPTX: slide paragraphs as verbatim "text" spans in stream
+      // order (encrypted decks drop whole; pictures out of declared
+      // scope — see [[graft.extract.PptExtractor]]).
+      graft.extract.PptExtractor.items(bytes).zipWithIndex.map {
+        case (graft.extract.PptExtractor.Text(t), k) =>
+          Span("text", t, null, k)
+      }
+    } else if (kind == "xls" && graft.extract.XlsExtractor.isXls(bytes)) {
+      // Excel 97–2003 binary decodes at the ingest boundary into the
+      // engine's TABLE vocabulary exactly like XLSX: each non-empty
+      // worksheet's used range is ONE "text" span holding its TSV, in
+      // workbook order; chart sheets and empty sheets emit nothing.
+      graft.extract.XlsExtractor.sheets(bytes)
+        .collect { case (_, tsv) if tsv.exists(!_.isWhitespace) => tsv }
+        .zipWithIndex.map { case (tsv, k) => Span("text", tsv, null, k) }
     } else if (kind == "md") {
       // Markdown decodes at the ingest boundary like DOCX — text blocks
       // as "text" spans, image/media references as media spans with the
@@ -535,7 +569,8 @@ object RawFiles {
     } else Vector(Span(
       if (kind == "docx" || kind == "epub" || kind == "xlsx" ||
           kind == "pptx" || kind == "rtf" || kind == "odt" ||
-          kind == "tex") "text"
+          kind == "tex" || kind == "doc" || kind == "xls" ||
+          kind == "ppt") "text"
       else kind,
       graft.extract.CharsetSniff.decode(bytes, html = kind == "html",
         transportCharset), null, 0))
