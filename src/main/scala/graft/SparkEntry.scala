@@ -139,7 +139,9 @@ object SparkEntry {
       // media, plain-text notes, genuine DOCX memos (paragraph text +
       // embedded-image blips), Markdown posts (headings / soft-wrapped
       // paragraphs / lists / fenced code / image refs), EPUB books,
-      // XLSX workbooks (used-range TSV sheets), and standalone
+      // XLSX workbooks (used-range TSV sheets), legacy binary Office
+      // (.doc piece-table memos, .xls BIFF8 workbooks, .ppt decks with
+      // BLIP-store pictures), and standalone
       // media files in ONE scratch tree, through the production binaryFile
       // scan → RawFiles classification → Extractor. Output is the
       // north-rule span invariant (kind, text, media_ref, order);
@@ -435,7 +437,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-mdtsv")
       (0 until 24).foreach { k =>
-        val i = 16 * k + 9
+        val i = 19 * k + 9
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
           graft.gen.MixedGen.fileBytes(i)): Unit
@@ -675,9 +677,11 @@ object SparkEntry {
     "ex_ppt" -> ((s, dir) => {
       // PowerPoint 97–2003 binary ingestion, driver-visible: .ppt
       // decks (CFB containers) decode at the ingest boundary — record
-      // tree walk, TextCharsAtom/TextBytesAtom paragraphs, decoy
-      // metadata skipped, encrypted decks dropped whole. Oracle:
-      // PptGen ground truth (records assembled by hand).
+      // tree walk, TextCharsAtom/TextBytesAtom paragraphs, picture
+      // shapes as media spans at shape position (FOPT pib → BLIP
+      // store), decoy metadata skipped, encrypted decks dropped whole.
+      // media_ref reduced to its path-independent tail as in ex_pptx.
+      // Oracle: PptGen ground truth (records assembled by hand).
       import s.implicits._
       val tmp = scratchDir("graft-ppt")
       graft.gen.PptGen.write(tmp, 24)
@@ -685,6 +689,7 @@ object SparkEntry {
         .flatMap(d => Extractor.extractRows(d))
         .toDF()
         .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
@@ -1782,7 +1787,7 @@ object SparkEntry {
       // generator ground truth: the pipe-table TSV each md doc carries
       import s.implicits._
       (0 until 24).map { k =>
-        val i = 16 * k + 9
+        val i = 19 * k + 9
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),
@@ -1907,12 +1912,13 @@ object SparkEntry {
         .toDF("doc_id", "kind", "text", "ord")
     }),
     "ex_ppt" -> ((s, dir) => {
-      // generator ground truth — the slide blocks PptGen chose before
-      // assembling each record tree by hand, independent of the reader
+      // generator ground truth — the slide blocks + picture refs
+      // PptGen chose before assembling each record tree by hand,
+      // independent of the reader
       import s.implicits._
       graft.gen.PptGen.expected(24)
-        .map(r => (r.doc_id, r.kind, r.text, r.ord))
-        .toDF("doc_id", "kind", "text", "ord")
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
     "q_table_tsv_xlsx" -> ((s, dir) => {
       // generator ground truth: the per-sheet used-range TSVs XlsxGen

@@ -1,10 +1,10 @@
 package graft.extract
 
 /** PowerPoint 97–2003 binary (`.ppt`, [MS-PPT]) front end — slide text
-  * recovery from the `PowerPoint Document` stream inside a [[Cfb]]
-  * container. The reference pipeline is PDF-only
-  * (/root/reference/setup.sql:60-110); decks are a standing share of
-  * any web crawl's Office payload.
+  * AND embedded-picture recovery from the `PowerPoint Document` /
+  * `Pictures` streams inside a [[Cfb]] container. The reference
+  * pipeline is PDF-only (/root/reference/setup.sql:60-110); decks are
+  * a standing share of any web crawl's Office payload.
   *
   * The PPT record grammar is an 8-byte-header tree (recVer 0xF marks a
   * container; atoms are leaves). Text lives in exactly two atom kinds:
@@ -19,15 +19,31 @@ package graft.extract
   * interleave; acceptable for corpus text). Paragraphs split on CR
   * (the PPT paragraph mark), 0x0B soft breaks stay inside as `\n`.
   *
-  * Declared limits: embedded pictures (the `Pictures` stream) are not
-  * emitted; decks carrying a `DocumentEncryptionAtom` (0x2F14) drop
-  * whole; `CString` metadata atoms (names, URLs) are skipped as
-  * non-content.
+  * Pictures ([MS-ODRAW]): a picture shape carries an OfficeArtFOPT
+  * property table (recType 0xF00B) whose `pib` property (propId
+  * 0x0104, fBid set → wire id 0x4104) is a 1-based index into the
+  * BLIP store — the array of OfficeArtFBSE records (recType 0xF007)
+  * in the document's drawing-group container. Each FBSE's `foDelay`
+  * is the byte offset of the picture's BLIP record inside the
+  * `Pictures` stream (or the BLIP is embedded in the FBSE itself).
+  * The walk emits a [[Media]] item AT SHAPE POSITION in stream order
+  * — the interleaved `(kind, text, media_ref, order)` invariant for
+  * legacy decks, mirroring PPTX's tag-position media. Payloads
+  * resolve by reference via [[mediaPayload]] (JPEG/PNG/DIB/TIFF
+  * bitmap BLIPs; compressed metafile BLIPs are skipped — vector
+  * formats, not corpus images).
+  *
+  * Declared limits: decks carrying a `DocumentEncryptionAtom`
+  * (0x2F14) drop whole; `CString` metadata atoms (names, URLs) are
+  * skipped as non-content.
   */
 object PptExtractor {
 
   sealed trait Item
   final case class Text(t: String) extends Item
+  /** kind is always "image" (PPT BLIPs are raster/vector pictures;
+    * sounds/videos live behind ExOleObj links, out of scope). */
+  final case class Media(kind: String, ref: String) extends Item
 
   private def u16(b: Array[Byte], off: Int): Int =
     if (off < 0 || off + 2 > b.length) -1
@@ -42,12 +58,20 @@ object PptExtractor {
   def isPpt(b: Array[Byte]): Boolean =
     Cfb.isCfb(b) && Cfb.hasStream(b, "PowerPoint Document")
 
-  /** Ordered text items; empty when unreadable or encrypted. */
-  def items(b: Array[Byte]): Vector[Item] = {
-    val docOpt = Cfb.stream(b, "PowerPoint Document")
-    if (docOpt.isEmpty) return Vector.empty
-    val doc = docOpt.get
-    val texts = Vector.newBuilder[String]
+  /** One interleaved-walk event: a text atom (pre-split), a picture
+    * reference, or the encryption marker. */
+  private sealed trait Ev
+  private final case class EvText(s: String) extends Ev
+  private final case class EvPic(pib: Int) extends Ev
+  private case object EvEnc extends Ev
+
+  /** Record-tree walk of the `PowerPoint Document` stream: text atoms
+    * and FOPT pib properties in stream order, FBSE payloads in BLIP-
+    * store order, and the encryption flag.
+    */
+  private def walkDoc(doc: Array[Byte]): (Vector[Ev], Vector[Array[Byte]]) = {
+    val evs = Vector.newBuilder[Ev]
+    val fbse = Vector.newBuilder[Array[Byte]]
     var encrypted = false
     def walk(from: Int, to: Int, depth: Int): Unit = {
       var pos = from
@@ -58,15 +82,29 @@ object PptExtractor {
         if (len < 0 || pos + 8 + len > to) pos = to
         else {
           typ match {
-            case 0x2F14 => encrypted = true
+            case 0x2F14 =>
+              encrypted = true; evs += EvEnc
             case _ if (verInst & 0x000F) == 0x000F && depth < 16 =>
               walk(pos + 8, pos + 8 + len, depth + 1)
             case 0x0FA0 => // TextCharsAtom: UTF-16LE
-              texts += new String(doc, pos + 8, len & ~1,
-                java.nio.charset.StandardCharsets.UTF_16LE)
+              evs += EvText(new String(doc, pos + 8, len & ~1,
+                java.nio.charset.StandardCharsets.UTF_16LE))
             case 0x0FA8 => // TextBytesAtom: low-byte chars
-              texts += new String(doc, pos + 8, len,
-                java.nio.charset.Charset.forName("windows-1252"))
+              evs += EvText(new String(doc, pos + 8, len,
+                java.nio.charset.Charset.forName("windows-1252")))
+            case 0xF007 => // OfficeArtFBSE: BLIP-store entry
+              fbse += java.util.Arrays.copyOfRange(doc, pos + 8,
+                pos + 8 + len)
+            case 0xF00B => // OfficeArtFOPT: property table
+              val n = (verInst >> 4) & 0xFFF
+              var j = 0
+              while (j < n && pos + 8 + 6 * (j + 1) <= pos + 8 + len) {
+                val pid = u16(doc, pos + 8 + 6 * j)
+                val v = i32(doc, pos + 8 + 6 * j + 2)
+                // pib: propId 0x0104, fBid set, not complex
+                if ((pid & 0xBFFF) == 0x0104 && v > 0) evs += EvPic(v)
+                j += 1
+              }
             case _ => ()
           }
           pos += 8 + len
@@ -74,11 +112,72 @@ object PptExtractor {
       }
     }
     walk(0, doc.length, 0)
-    if (encrypted) return Vector.empty
-    texts.result().flatMap { atom =>
-      atom.split('\r').toVector
-        .map(_.replace('\u000B', '\n'))
-        .map(_.trim).filter(_.nonEmpty)
-    }.map(Text.apply)
+    (evs.result(), fbse.result())
+  }
+
+  /** Ordered text + media items; empty when unreadable or encrypted. */
+  def items(b: Array[Byte]): Vector[Item] = {
+    val docOpt = Cfb.stream(b, "PowerPoint Document")
+    if (docOpt.isEmpty) return Vector.empty
+    val (evs, _) = walkDoc(docOpt.get)
+    if (evs.contains(EvEnc)) return Vector.empty
+    evs.flatMap {
+      case EvText(atom) =>
+        atom.split('\r').toVector
+          .map(_.replace('\u000B', '\n'))
+          .map(_.trim).filter(_.nonEmpty)
+          .map(Text.apply)
+      case EvPic(pib) => Vector(Media("image", s"pic$pib"))
+      case EvEnc => Vector.empty
+    }
+  }
+
+  // BLIP recType → instance value that signals a SECOND 16-byte UID
+  // ([MS-ODRAW] 2.2.23-2.2.30: the double-UID instance is the single-
+  // UID instance + 1 for every bitmap BLIP kind).
+  private val BitmapBlips: Map[Int, Int] = Map(
+    0xF01D -> 0x46A, // JPEG (RGB)
+    0xF01E -> 0x6E0, // PNG
+    0xF01F -> 0x7A8, // DIB
+    0xF029 -> 0x6E4, // TIFF
+    0xF02A -> 0x6E2) // JPEG (CMYK)
+
+  /** Payload bytes of a bitmap BLIP record starting at `off`. */
+  private def blipPayload(buf: Array[Byte], off: Int): Option[Array[Byte]] = {
+    val verInst = u16(buf, off)
+    val typ = u16(buf, off + 2)
+    val len = i32(buf, off + 4)
+    if (len <= 0 || off + 8 + len > buf.length) return None
+    BitmapBlips.get(typ).map { single =>
+      val inst = (verInst >> 4) & 0xFFF
+      val uids = if (inst == single + 1) 2 else 1
+      val skip = 16 * uids + 1 // rgbUid1[, rgbUid2], tag byte
+      if (skip >= len) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(buf, off + 8 + skip, off + 8 + len)
+    }.filter(_.nonEmpty)
+  }
+
+  /** Resolve one media ref minted by [[items]] (`pic<pib>`) to its
+    * picture bytes: pib → FBSE[pib-1] → foDelay into the `Pictures`
+    * stream (or the BLIP embedded in the FBSE record itself). None for
+    * out-of-range refs, metafile BLIPs, or corrupt stores.
+    */
+  def mediaPayload(b: Array[Byte], ref: String): Option[Array[Byte]] = {
+    if (!ref.startsWith("pic")) return None
+    val pib = ref.drop(3).toIntOption.getOrElse(return None)
+    val doc = Cfb.stream(b, "PowerPoint Document").getOrElse(return None)
+    val (_, fbse) = walkDoc(doc)
+    if (pib < 1 || pib > fbse.length) return None
+    val e = fbse(pib - 1)
+    if (e.length < 36) return None
+    val cbName = e(33) & 0xFF
+    // BLIP embedded directly after the 36-byte FBSE header + name?
+    if (e.length > 36 + cbName + 8) blipPayload(e, 36 + cbName)
+    else {
+      val foDelay = i32(e, 28)
+      val pics = Cfb.stream(b, "Pictures").getOrElse(return None)
+      if (foDelay < 0 || foDelay + 8 > pics.length) None
+      else blipPayload(pics, foDelay)
+    }
   }
 }

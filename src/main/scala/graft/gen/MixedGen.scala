@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 16`:
+  * File kinds by `i % 19`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -81,7 +81,19 @@ package graft.gen
   *                        subjects, qp/base64 bodies, multipart
   *                        machine, cid images, document attachments
   *                        fanning out as their own InputDocs
-  *                        ([[graft.extract.EmlExtractor]]).
+  *                        ([[graft.extract.EmlExtractor]]);
+  *   16 → `memo_NNNN.doc` genuine Word 97–2003 CFB binary
+  *                        ([[DocGen.fileBytes]]): piece-table text,
+  *                        field/cell/break control machine, encrypted
+  *                        drops ([[graft.extract.DocExtractor]]);
+  *   17 → `sheet_NNNN.xls` genuine BIFF8 workbook
+  *                        ([[XlsGen.fileBytes]]): SST/CONTINUE, RK/
+  *                        MULRK/FORMULA cells — per-sheet TSV spans
+  *                        ([[graft.extract.XlsExtractor]]);
+  *   18 → `deck_NNNN.ppt` genuine PowerPoint 97–2003 CFB binary
+  *                        ([[PptGen.fileBytes]]): text atoms + BLIP-
+  *                        store pictures at shape position
+  *                        ([[graft.extract.PptExtractor]]).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -97,7 +109,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 16: @unchecked) match {
+  def fileName(i: Int): String = (i % 19: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -112,6 +124,9 @@ object MixedGen {
     case 13        => f"memo_$i%04d.rtf"
     case 14        => OdtGen.fileName(i)
     case 15        => EmlGen.fileName(i)
+    case 16        => DocGen.fileName(i)
+    case 17        => XlsGen.fileName(i)
+    case 18        => PptGen.fileName(i)
   }
 
   // ---------- shared text ----------
@@ -401,7 +416,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 16: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 19: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -419,6 +434,9 @@ object MixedGen {
     case 13 => RtfGen.fileBytes(i)
     case 14 => OdtGen.fileBytes(i)
     case 15 => EmlGen.fileBytes(i)
+    case 16 => DocGen.fileBytes(i)
+    case 17 => XlsGen.fileBytes(i)
+    case 18 => PptGen.fileBytes(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -432,7 +450,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 16: @unchecked) match {
+    (i % 19: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -528,6 +546,23 @@ object MixedGen {
         // — EmlGen owns the ground truth
         EmlGen.expectedDoc(i).map(r =>
           GtRow(r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+      case 16 =>
+        // legacy .doc: piece-table paragraphs (encrypted variants drop
+        // whole) — DocGen owns the ground truth
+        DocGen.expectedDoc(i).map(r =>
+          GtRow(f, r.kind, r.text, null, r.ord))
+      case 17 =>
+        // legacy .xls: one used-range TSV text span per non-empty
+        // sheet, workbook order — XlsGen owns the ground truth
+        XlsGen.expectedSheets(i).zipWithIndex.map {
+          case ((_, tsv), k) => GtRow(f, "text", tsv, null, k)
+        }
+      case 18 =>
+        // legacy .ppt: text atoms + shape-position pictures (media_ref
+        // already `<file>#pic<pib>`, matching the path-tail reduction)
+        // — PptGen owns the ground truth
+        PptGen.expectedDoc(i).map(r =>
+          GtRow(f, r.kind, r.text, r.media_ref, r.ord))
     }
   }
 }

@@ -538,11 +538,15 @@ object RawFiles {
     } else if (kind == "ppt" && graft.extract.PptExtractor.isPpt(bytes)) {
       // PowerPoint 97–2003 binary decodes at the ingest boundary like
       // PPTX: slide paragraphs as verbatim "text" spans in stream
-      // order (encrypted decks drop whole; pictures out of declared
-      // scope — see [[graft.extract.PptExtractor]]).
+      // order, embedded pictures as media spans AT SHAPE POSITION
+      // whose ref tail is the minted BLIP-store index (payloads
+      // recoverable via [[pptMediaPayload]]); encrypted decks drop
+      // whole.
       graft.extract.PptExtractor.items(bytes).zipWithIndex.map {
         case (graft.extract.PptExtractor.Text(t), k) =>
           Span("text", t, null, k)
+        case (graft.extract.PptExtractor.Media(mk, ref), k) =>
+          Span(mk, null, s"$path#$ref", k)
       }
     } else if (kind == "xls" && graft.extract.XlsExtractor.isXls(bytes)) {
       // Excel 97–2003 binary decodes at the ingest boundary into the
@@ -604,6 +608,18 @@ object RawFiles {
     if (h < 0) None
     else graft.extract.PptxExtractor.mediaPayload(
       pptxBytes, mediaRef.substring(h + 1))
+  }
+
+  /** Byte-fetch for a legacy `.ppt` media span minted by [[docSpans]]:
+    * the ref tail after `#` is `pic<pib>`, resolved through the deck's
+    * BLIP store (FBSE → `Pictures`-stream offset or embedded BLIP).
+    */
+  def pptMediaPayload(pptBytes: Array[Byte],
+                      mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf('#')
+    if (h < 0) None
+    else graft.extract.PptExtractor.mediaPayload(
+      pptBytes, mediaRef.substring(h + 1))
   }
 
   /** Byte-fetch for an RTF media span minted by [[docSpans]]: the ref

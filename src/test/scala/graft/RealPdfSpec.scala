@@ -533,7 +533,7 @@ class RealPdfSpec extends AnyFunSuite {
     // image-XObject (incl. inline) and form-recursion variants — these
     // also feed a driver query (ex_mixed)
     (0 until 120).foreach { i =>
-      val b = graft.gen.MixedGen.fileBytes(16 * (i % 17) + 1 + (i % 2))
+      val b = graft.gen.MixedGen.fileBytes(19 * (i % 17) + 1 + (i % 2))
       // file kinds 1 (image pdf) and 2 (form pdf) across varying docs
       (0 until 1 + next(30)).foreach { _ =>
         b(next(b.length)) = next(256).toByte
@@ -544,7 +544,7 @@ class RealPdfSpec extends AnyFunSuite {
     // (kind 7, incl. the MQ decoder + segment parser) — corrupt
     // segment headers / coded data must degrade, never throw or hang
     (0 until 80).foreach { i =>
-      val b = graft.gen.MixedGen.fileBytes(16 * (i % 13) + 6 + (i % 2))
+      val b = graft.gen.MixedGen.fileBytes(19 * (i % 13) + 6 + (i % 2))
       (0 until 1 + next(30)).foreach { _ =>
         b(next(b.length)) = next(256).toByte
       }
