@@ -592,9 +592,10 @@ object SparkEntry {
     "dd_cross_format" -> ((s, dir) => {
       // FORMAT-INVARIANT dedup — the engine's thesis in one query:
       // the same article staged as .html (boilerplate-wrapped), .md,
-      // .txt and .eml extracts into the one span vocabulary, its
+      // .txt, .eml, legacy-binary .doc (CFB piece table) and .ppt
+      // (CFB text atoms) extracts into the one span vocabulary, its
       // per-doc text canonicalized (casefold + punct/ws fold), and
-      // the four renditions collapse into ONE cluster; singleton
+      // the six renditions collapse into ONE cluster; singleton
       // notes stay alone. Scale shape: the window partitions on
       // xxhash64(canonical) — only (doc_id, 8-byte key) rides the
       // shuffle, never document text (the PageFurniture rule).
@@ -699,10 +700,12 @@ object SparkEntry {
       // boundary — FAT/miniFAT stream walk, FIB + piece-table
       // reassembly across mixed cp1252/UTF-16 pieces, field codes
       // dropped with results kept, cell marks split, encrypted
-      // documents dropped whole, footnote CPs excluded. Oracle:
-      // DocGen ground truth (the generator writes real containers by
-      // hand and its expected rows are the paragraph strings it
-      // chose — the parser never sees them).
+      // documents dropped whole, footnote CPs excluded, 0x01 picture
+      // anchors as media spans at anchor position (Data-stream BLIP
+      // pairing). media_ref reduced to its path-independent tail as
+      // in ex_pptx. Oracle: DocGen ground truth (the generator writes
+      // real containers by hand and its expected rows are the
+      // paragraph strings it chose — the parser never sees them).
       import s.implicits._
       val tmp = scratchDir("graft-doc")
       graft.gen.DocGen.write(tmp, 24)
@@ -710,6 +713,7 @@ object SparkEntry {
         .flatMap(d => Extractor.extractRows(d))
         .toDF()
         .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
@@ -1862,7 +1866,7 @@ object SparkEntry {
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
     "dd_cross_format" -> ((s, dir) => {
-      // ground truth by construction: the four renditions of each
+      // ground truth by construction: the six renditions of each
       // article cluster (rep = lexicographic min), solos stay alone
       import s.implicits._
       graft.gen.CrossGen.expected(12, 5)
@@ -1903,13 +1907,13 @@ object SparkEntry {
         .toDF("doc_id", "kind", "text", "ord")
     }),
     "ex_doc" -> ((s, dir) => {
-      // generator ground truth — the paragraph blocks DocGen chose
-      // before assembling each CFB container and piece table by hand,
-      // independent of the reader
+      // generator ground truth — the paragraph blocks + anchor-
+      // position picture refs DocGen chose before assembling each CFB
+      // container and piece table by hand, independent of the reader
       import s.implicits._
       graft.gen.DocGen.expected(24)
-        .map(r => (r.doc_id, r.kind, r.text, r.ord))
-        .toDF("doc_id", "kind", "text", "ord")
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
     "ex_ppt" -> ((s, dir) => {
       // generator ground truth — the slide blocks + picture refs

@@ -30,22 +30,29 @@ package graft.extract
   *     non-breaking hyphen → `-`; 0x1F optional hyphen drops; field
   *     machinery 0x13/0x14/0x15 keeps the field RESULT and drops the
   *     field CODE (nesting-correct — a HYPERLINK inside an IF keeps
-  *     only the visible text); anchor bytes (0x01 picture/OLE, 0x02
-  *     footnote ref, 0x05 annotation ref, 0x08 drawn object) drop.
+  *     only the visible text); 0x02 footnote-ref, 0x05 annotation-ref
+  *     and 0x08 drawn-object anchors drop.
+  *   - Picture anchors (0x01) emit [[Media]] items AT ANCHOR POSITION
+  *     (before the enclosing paragraph's text flushes — the DOCX
+  *     tag-position rule). The n-th anchor pairs with the n-th bitmap
+  *     BLIP in the `Data` stream ([[Blip.scan]] — a declared
+  *     approximation; exact pairing needs sprmCPicLocation in the
+  *     CHPX layer). Anchors beyond the stored-picture count (OLE
+  *     objects share 0x01) stay silent; payloads resolve by reference
+  *     via [[mediaPayload]].
   *
-  * Declared limits: embedded pictures live in the separate Data
-  * stream behind Office-Drawing (Escher) records and are not
-  * recovered — `.doc` is text-only here (the DOCX/RTF/ODT front ends
-  * carry the media-by-reference contract for the formats that still
-  * matter); table cells flow as one block per cell (cell and row
-  * marks share 0x07 and telling them apart needs the PAPX/sprm layer,
-  * so no TSV reconstruction); Word 6/95 (`nFib` < 0x0065 era,
+  * Declared limits: table cells flow as one block per cell (cell and
+  * row marks share 0x07 and telling them apart needs the PAPX/sprm
+  * layer, so no TSV reconstruction); Word 6/95 (`nFib` < 0x0065 era,
   * fc-based text) is out of scope and degrades to empty.
   */
 object DocExtractor {
 
   sealed trait Item
   final case class Text(t: String) extends Item
+  /** kind is always "image" (Word inline pictures are raster BLIPs;
+    * sounds/OLE objects never pair with a stored bitmap). */
+  final case class Media(kind: String, ref: String) extends Item
 
   private def u16(b: Array[Byte], off: Int): Int =
     if (off < 0 || off + 2 > b.length) -1
@@ -147,6 +154,7 @@ object DocExtractor {
     // field nesting: one Boolean per open field — true while in the
     // CODE part (0x13..0x14), false in the RESULT part (0x14..0x15)
     var fieldStack: List[Boolean] = Nil
+    var anchors = 0 // running 0x01 picture-anchor count (1-based refs)
     def flush(): Unit = {
       val t = sb.toString.trim
       if (t.nonEmpty) blocks += Text(t)
@@ -168,7 +176,10 @@ object DocExtractor {
         case 0x1F => ()
         case 0x09 => sb.append('\t')
         case _ if c >= ' ' => sb.append(c)
-        case _ => () // 0x01/0x02/0x05/0x08 anchors + stray controls
+        case 0x01 => // picture/OLE anchor: media at anchor position
+          anchors += 1
+          blocks += Media("image", s"pic$anchors")
+        case _ => () // 0x02/0x05/0x08 anchors + stray controls
       }
       i += 1
     }
@@ -176,9 +187,30 @@ object DocExtractor {
     blocks.result()
   }
 
-  /** The document as ordered items (text blocks only — see the
-    * declared limits above); empty on anything unparseable.
+  /** The document as ordered items (text blocks + anchor-position
+    * pictures, see above); empty on anything unparseable. Anchors
+    * beyond the Data stream's stored-bitmap count drop — an OLE
+    * object's 0x01 must not mint an unresolvable media ref.
     */
-  def items(b: Array[Byte]): Vector[Item] =
-    rawMainText(b).map(itemize).getOrElse(Vector.empty)
+  def items(b: Array[Byte]): Vector[Item] = {
+    val its = rawMainText(b).map(itemize).getOrElse(return Vector.empty)
+    lazy val nPics = Cfb.stream(b, "Data")
+      .map(d => Blip.scan(d).length).getOrElse(0)
+    its.filter {
+      case Media(_, ref) => ref.drop(3).toInt <= nPics
+      case _ => true
+    }
+  }
+
+  /** Resolve one media ref minted by [[items]] (`pic<n>`) to its
+    * picture bytes: the n-th bitmap BLIP of the `Data` stream.
+    */
+  def mediaPayload(b: Array[Byte], ref: String): Option[Array[Byte]] = {
+    if (!ref.startsWith("pic")) return None
+    val n = ref.drop(3).toIntOption.getOrElse(return None)
+    val data = Cfb.stream(b, "Data").getOrElse(return None)
+    val offs = Blip.scan(data)
+    if (n < 1 || n > offs.length) None
+    else Blip.payload(data, offs(n - 1))
+  }
 }

@@ -132,35 +132,11 @@ object PptExtractor {
     }
   }
 
-  // BLIP recType → instance value that signals a SECOND 16-byte UID
-  // ([MS-ODRAW] 2.2.23-2.2.30: the double-UID instance is the single-
-  // UID instance + 1 for every bitmap BLIP kind).
-  private val BitmapBlips: Map[Int, Int] = Map(
-    0xF01D -> 0x46A, // JPEG (RGB)
-    0xF01E -> 0x6E0, // PNG
-    0xF01F -> 0x7A8, // DIB
-    0xF029 -> 0x6E4, // TIFF
-    0xF02A -> 0x6E2) // JPEG (CMYK)
-
-  /** Payload bytes of a bitmap BLIP record starting at `off`. */
-  private def blipPayload(buf: Array[Byte], off: Int): Option[Array[Byte]] = {
-    val verInst = u16(buf, off)
-    val typ = u16(buf, off + 2)
-    val len = i32(buf, off + 4)
-    if (len <= 0 || off + 8 + len > buf.length) return None
-    BitmapBlips.get(typ).map { single =>
-      val inst = (verInst >> 4) & 0xFFF
-      val uids = if (inst == single + 1) 2 else 1
-      val skip = 16 * uids + 1 // rgbUid1[, rgbUid2], tag byte
-      if (skip >= len) Array.emptyByteArray
-      else java.util.Arrays.copyOfRange(buf, off + 8 + skip, off + 8 + len)
-    }.filter(_.nonEmpty)
-  }
-
   /** Resolve one media ref minted by [[items]] (`pic<pib>`) to its
     * picture bytes: pib → FBSE[pib-1] → foDelay into the `Pictures`
     * stream (or the BLIP embedded in the FBSE record itself). None for
-    * out-of-range refs, metafile BLIPs, or corrupt stores.
+    * out-of-range refs, metafile BLIPs, or corrupt stores. BLIP record
+    * decoding is shared with the `.doc` path ([[Blip]]).
     */
   def mediaPayload(b: Array[Byte], ref: String): Option[Array[Byte]] = {
     if (!ref.startsWith("pic")) return None
@@ -172,12 +148,12 @@ object PptExtractor {
     if (e.length < 36) return None
     val cbName = e(33) & 0xFF
     // BLIP embedded directly after the 36-byte FBSE header + name?
-    if (e.length > 36 + cbName + 8) blipPayload(e, 36 + cbName)
+    if (e.length > 36 + cbName + 8) Blip.payload(e, 36 + cbName)
     else {
       val foDelay = i32(e, 28)
       val pics = Cfb.stream(b, "Pictures").getOrElse(return None)
       if (foDelay < 0 || foDelay + 8 > pics.length) None
-      else blipPayload(pics, foDelay)
+      else Blip.payload(pics, foDelay)
     }
   }
 }

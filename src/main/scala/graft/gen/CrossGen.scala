@@ -3,15 +3,17 @@ package graft.gen
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
-/** Cross-format duplicate corpus: each article is written FOUR ways —
+/** Cross-format duplicate corpus: each article is written SIX ways —
   * HTML page (with boilerplate the gate must strip), markdown post,
-  * plain-text note, and a MIME email — carrying the SAME title and
-  * paragraphs. The ground truth for `dd_cross_format`: after
-  * extraction into the one span vocabulary and dedup-canonicalization
-  * ([[graft.ops.TextOps.canonicalText]]), the four renditions of an
-  * article collapse into ONE cluster; `solo_*.txt` singletons stay
-  * alone. This is the engine's thesis in one query — the interleaved
-  * span vocabulary makes corpus dedup format-invariant.
+  * plain-text note, a MIME email, a legacy Word 97–2003 `.doc` (CFB
+  * piece table), and a legacy PowerPoint `.ppt` deck (CFB text atom)
+  * — carrying the SAME title and paragraphs. The ground truth for
+  * `dd_cross_format`: after extraction into the one span vocabulary
+  * and dedup-canonicalization ([[graft.ops.TextOps.canonicalText]]),
+  * the six renditions of an article collapse into ONE cluster;
+  * `solo_*.txt` singletons stay alone. This is the engine's thesis in
+  * one query — the interleaved span vocabulary makes corpus dedup
+  * format-invariant even across the text/binary container boundary.
   */
 object CrossGen {
 
@@ -22,7 +24,7 @@ object CrossGen {
   private def para2(a: Int): String =
     s"A second shared paragraph closes article $a with the same words everywhere."
 
-  def formats: Seq[String] = Seq("eml", "html", "md", "txt")
+  def formats: Seq[String] = Seq("doc", "eml", "html", "md", "ppt", "txt")
 
   def fileName(a: Int, fmt: String): String = f"art$a%04d.$fmt"
   def soloName(k: Int): String = f"solo$k%04d.txt"
@@ -52,12 +54,14 @@ object CrossGen {
     "Content-Type: text/plain; charset=utf-8\r\n\r\n" +
     s"${title(a)}\r\n\r\n${para1(a)}\r\n\r\n${para2(a)}\r\n"
 
-  def bytes(a: Int, fmt: String): Array[Byte] = (fmt match {
-    case "html" => html(a)
-    case "md"   => md(a)
-    case "txt"  => txt(a)
-    case _      => eml(a)
-  }).getBytes(UTF_8)
+  def bytes(a: Int, fmt: String): Array[Byte] = fmt match {
+    case "html" => html(a).getBytes(UTF_8)
+    case "md"   => md(a).getBytes(UTF_8)
+    case "txt"  => txt(a).getBytes(UTF_8)
+    case "doc"  => DocGen.simpleDocBytes(Seq(title(a), para1(a), para2(a)))
+    case "ppt"  => PptGen.simpleDeckBytes(Seq(title(a), para1(a), para2(a)))
+    case _      => eml(a).getBytes(UTF_8)
+  }
 
   def write(dir: String, nArticles: Int, nSolo: Int): Unit = {
     Files.createDirectories(Paths.get(dir))

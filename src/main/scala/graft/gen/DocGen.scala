@@ -8,7 +8,7 @@ package graft.gen
   * with the reader, and its `expected*` rows are written from the
   * paragraph strings it chose — the parser never sees them.
   *
-  * Variant mix (`i % 8`):
+  * Variant mix (`i % 9`):
   *   0 — single windows-1252 (compressed) piece, three paragraphs
   *       with cp1252-only accents/dashes;
   *   1 — single UTF-16LE piece in a VERSION-4 container (4096-byte
@@ -26,12 +26,18 @@ package graft.gen
   *   7 — small 1Table stream (< 4096 → lives in the MINI stream), a
   *       clxt=1 Prc block before the Pcdt, junk bytes before fcClx,
   *       and trailing footnote text past ccpText that must be
-  *       EXCLUDED.
+  *       EXCLUDED;
+  *   8 — embedded pictures: three 0x01 anchors in the text (one
+  *       mid-paragraph), a `Data` stream holding a genuine PNG BLIP
+  *       and a double-UID JPEG BLIP behind junk prefixes — anchors 1
+  *       and 2 emit media at anchor position, the THIRD anchor (an
+  *       OLE object, say) exceeds the stored-picture count and stays
+  *       silent.
   */
 object DocGen {
 
   final case class GtRow(doc_id: String, kind: String, text: String,
-                         ord: Int)
+                         media_ref: String, ord: Int)
 
   // ---------------------------------------------------------------
   // CFB writer (independent of graft.extract.Cfb)
@@ -382,8 +388,25 @@ object DocGen {
     s"Mini-table memo $i with m${(i * 59) % 883} inside.",
     s"Second mini paragraph $i.")
 
+  private def picRaw(i: Int): String =
+    s"Figure memo $i shows two plates:\r" +
+      "\u0001" + s"First plate caption $i.\r" +
+      s"Mid text $i. " + "\u0001" + s"Second plate follows $i.\r" +
+      "\u0001" + s"Ghost anchor stays silent $i.\r"
+
+  /** The `Data` stream for the picture variant: junk prefixes (no 0xF0
+    * bytes — cannot scan as BLIP headers) around a genuine PNG BLIP
+    * and a double-UID JPEG BLIP.
+    */
+  private def dataStream(i: Int): Array[Byte] = {
+    val junk1 = Array.tabulate[Byte](40)(k => ((k * 13 + 7) & 0x7F).toByte)
+    val junk2 = Array.tabulate[Byte](24)(k => ((k * 29 + 3) & 0x7F).toByte)
+    junk1 ++ PptGen.blip(0xF01E, 0x6E0, 1, PptGen.pngPayload(i)) ++
+      junk2 ++ PptGen.blip(0xF01D, 0x46B, 2, PptGen.jpegPayload(i))
+  }
+
   def fileBytes(i: Int): Array[Byte] = {
-    val v = i % 8
+    val v = i % 9
     val (pieces, trailing, tbl1, enc, prc, junk, wdPad, v4) = v match {
       case 0 =>
         val raw = s"${para0(i)}\r${para1(i)}\r${para2(i)}\r"
@@ -411,10 +434,13 @@ object DocGen {
         val raw = s"Encrypted memo $i must not leak.\r"
         (Seq(Piece(raw, compressed = true)), Nil, true, true, false,
           0, 4096, false)
-      case _ =>
+      case 7 =>
         (Seq(Piece(ministreamRaw(i), compressed = true)),
           Seq(Piece(s"Footnote $i stays out of the main range.\r",
             compressed = true)), true, false, true, 64, 4096, false)
+      case _ =>
+        (Seq(Piece(picRaw(i), compressed = true)), Nil, true, false,
+          false, 0, 4096, false)
     }
     val (wd, tblBytes) = wordStreams(pieces, trailing, tbl1, enc, prc,
       junk, wdPad)
@@ -428,7 +454,22 @@ object DocGen {
         System.arraycopy(tblBytes, 0, padded, 0, tblBytes.length)
         padded
       }
-    cfbBytes(Seq("WordDocument" -> wd, tblName -> tblOut), v4)
+    val dataOpt = if (v == 8) Seq("Data" -> dataStream(i)) else Nil
+    cfbBytes(Seq("WordDocument" -> wd, tblName -> tblOut) ++ dataOpt, v4)
+  }
+
+  /** A minimal well-formed `.doc` carrying exactly these paragraphs
+    * (one compressed piece, 1Table) — the cross-format fixture writer
+    * ([[CrossGen]]). ASCII/cp1252 text only.
+    */
+  def simpleDocBytes(paragraphs: Seq[String]): Array[Byte] = {
+    val raw = paragraphs.map(_ + "\r").mkString
+    val (wd, tbl) = wordStreams(Seq(Piece(raw, compressed = true)), Nil,
+      whichTbl1 = true, encrypted = false, prcBlock = false,
+      tableJunk = 0, wdPad = 4096)
+    val padded = new Array[Byte](math.max(4096, tbl.length))
+    System.arraycopy(tbl, 0, padded, 0, tbl.length)
+    cfbBytes(Seq("WordDocument" -> wd, "1Table" -> padded))
   }
 
   def write(dir: String, n: Int): Unit =
@@ -442,17 +483,29 @@ object DocGen {
     */
   def expectedDoc(i: Int): Seq[GtRow] = {
     val f = fileName(i)
-    val blocks: Seq[String] = (i % 8) match {
-      case 0 => Seq(para0(i), para1(i), para2(i))
-      case 1 => Seq(cjk0(i), cjk1(i), cjk2(i))
-      case 2 => Seq(mixA(i) + mixB(i), mixC(i))
-      case 3 => fieldsBlocks(i)
-      case 4 => tableBlocks(i)
-      case 5 => breaksBlocks(i)
+    def txt(t: String) = (("text", t, null): (String, String, String))
+    def pic(p: Int) = (("image", null, s"$f#pic$p"): (String, String, String))
+    val blocks: Seq[(String, String, String)] = (i % 9) match {
+      case 0 => Seq(para0(i), para1(i), para2(i)).map(txt)
+      case 1 => Seq(cjk0(i), cjk1(i), cjk2(i)).map(txt)
+      case 2 => Seq(mixA(i) + mixB(i), mixC(i)).map(txt)
+      case 3 => fieldsBlocks(i).map(txt)
+      case 4 => tableBlocks(i).map(txt)
+      case 5 => breaksBlocks(i).map(txt)
       case 6 => Nil // encrypted: dropped
-      case _ => ministreamBlocks(i)
+      case 7 => ministreamBlocks(i).map(txt)
+      case _ => Seq(
+        // anchor-position media: pic1 before its caption paragraph,
+        // pic2 mid-paragraph (halves join), the third anchor silent
+        // (only two bitmaps stored in the Data stream)
+        txt(s"Figure memo $i shows two plates:"),
+        pic(1),
+        txt(s"First plate caption $i."),
+        pic(2),
+        txt(s"Mid text $i. Second plate follows $i."),
+        txt(s"Ghost anchor stays silent $i."))
     }
-    blocks.zipWithIndex.map { case (t, k) => GtRow(f, "text", t, k) }
+    blocks.zipWithIndex.map { case ((k, t, m), o) => GtRow(f, k, t, m, o) }
   }
 
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap(expectedDoc)

@@ -547,10 +547,11 @@ object MixedGen {
         EmlGen.expectedDoc(i).map(r =>
           GtRow(r.doc_id, r.kind, r.text, r.media_ref, r.ord))
       case 16 =>
-        // legacy .doc: piece-table paragraphs (encrypted variants drop
-        // whole) — DocGen owns the ground truth
+        // legacy .doc: piece-table paragraphs + anchor-position
+        // pictures (encrypted variants drop whole; media_ref already
+        // `<file>#pic<n>`) — DocGen owns the ground truth
         DocGen.expectedDoc(i).map(r =>
-          GtRow(f, r.kind, r.text, null, r.ord))
+          GtRow(f, r.kind, r.text, r.media_ref, r.ord))
       case 17 =>
         // legacy .xls: one used-range TSV text span per non-empty
         // sheet, workbook order — XlsGen owns the ground truth

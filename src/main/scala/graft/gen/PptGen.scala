@@ -72,9 +72,10 @@ object PptGen {
     out.toByteArray
   }
 
-  /** A bitmap BLIP record: header, UID(s), tag byte, picture data. */
-  private def blip(typ: Int, instance: Int, uids: Int,
-                   payload: Array[Byte]): Array[Byte] =
+  /** A bitmap BLIP record: header, UID(s), tag byte, picture data.
+    * Shared with [[DocGen]]'s Data-stream picture variant. */
+  private[gen] def blip(typ: Int, instance: Int, uids: Int,
+                        payload: Array[Byte]): Array[Byte] =
     hdr(instance << 4, typ, 16 * uids + 1 + payload.length) ++
       Array.tabulate[Byte](16 * uids)(k => (k * 7 + 3).toByte) ++
       Array(0xFF.toByte) ++ payload
@@ -162,6 +163,16 @@ object PptGen {
       pics.map("Pictures" -> _)
     DocGen.cfbBytes(streams)
   }
+
+  /** A minimal well-formed `.ppt` whose one text atom carries exactly
+    * these paragraphs — the cross-format fixture writer
+    * ([[CrossGen]]). ASCII/cp1252 text only.
+    */
+  def simpleDeckBytes(paragraphs: Seq[String]): Array[Byte] =
+    DocGen.cfbBytes(Seq(
+      "Current User" -> Array.fill[Byte](24)(0x11),
+      "PowerPoint Document" -> container(0x03E8,
+        container(0x0FF0, bytesAtom(paragraphs.map(_ + "\r").mkString)))))
 
   def write(dir: String, n: Int): Unit =
     (0 until n).foreach { i =>

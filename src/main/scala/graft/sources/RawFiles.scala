@@ -526,14 +526,17 @@ object RawFiles {
       // Word 97–2003 binary decodes at the ingest boundary: the
       // WordDocument piece table reassembles into paragraph "text"
       // spans (field codes dropped/results kept, cell marks split,
-      // encrypted documents drop whole). Text-only by declared scope —
-      // .doc pictures live behind Escher records in the Data stream
-      // (see [[graft.extract.DocExtractor]]). A CFB container WITHOUT
-      // a readable WordDocument yields nothing — a structured-storage
-      // binary must never decode as mojibake "text".
+      // encrypted documents drop whole); 0x01 picture anchors emit
+      // media spans at anchor position, pairing with the Data
+      // stream's bitmap BLIPs (payloads via [[docMediaPayload]]).
+      // A CFB container WITHOUT a readable WordDocument yields
+      // nothing — a structured-storage binary must never decode as
+      // mojibake "text".
       graft.extract.DocExtractor.items(bytes).zipWithIndex.map {
         case (graft.extract.DocExtractor.Text(t), k) =>
           Span("text", t, null, k)
+        case (graft.extract.DocExtractor.Media(mk, ref), k) =>
+          Span(mk, null, s"$path#$ref", k)
       }
     } else if (kind == "ppt" && graft.extract.PptExtractor.isPpt(bytes)) {
       // PowerPoint 97–2003 binary decodes at the ingest boundary like
@@ -608,6 +611,18 @@ object RawFiles {
     if (h < 0) None
     else graft.extract.PptxExtractor.mediaPayload(
       pptxBytes, mediaRef.substring(h + 1))
+  }
+
+  /** Byte-fetch for a legacy `.doc` media span minted by [[docSpans]]:
+    * the ref tail after `#` is `pic<n>`, the n-th bitmap BLIP of the
+    * document's Data stream.
+    */
+  def docMediaPayload(docBytes: Array[Byte],
+                      mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf('#')
+    if (h < 0) None
+    else graft.extract.DocExtractor.mediaPayload(
+      docBytes, mediaRef.substring(h + 1))
   }
 
   /** Byte-fetch for a legacy `.ppt` media span minted by [[docSpans]]:

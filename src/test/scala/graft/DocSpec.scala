@@ -16,13 +16,34 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 class DocSpec extends AnyFunSuite {
 
-  test("generator round trip: all 8 variants extract their hand-written blocks") {
-    for (i <- 0 until 16) {
-      val got = DocExtractor.items(DocGen.fileBytes(i))
-        .collect { case Text(t) => t }
-      val exp = DocGen.expectedDoc(i).map(_.text)
+  test("generator round trip: all 9 variants extract their hand-written blocks") {
+    for (i <- 0 until 18) {
+      val got = DocExtractor.items(DocGen.fileBytes(i)).map {
+        case Text(t) => ("text", t, null)
+        case DocExtractor.Media(mk, ref) =>
+          (mk, null, s"${DocGen.fileName(i)}#$ref")
+      }
+      val exp = DocGen.expectedDoc(i).map(r => (r.kind, r.text, r.media_ref))
       assert(got == exp, s"variant $i")
     }
+  }
+
+  test("picture anchors pair with Data-stream BLIPs; payloads resolve") {
+    val b = DocGen.fileBytes(8)
+    // anchor 1 → PNG at its scanned offset; anchor 2 → double-UID JPEG
+    val p1 = RawFiles.docMediaPayload(b, s"${DocGen.fileName(8)}#pic1")
+    assert(p1.exists(_.sameElements(graft.gen.PptGen.pngPayload(8))))
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p1.get)).getWidth == 3)
+    val p2 = RawFiles.docMediaPayload(b, s"${DocGen.fileName(8)}#pic2")
+    assert(p2.exists(_.sameElements(graft.gen.PptGen.jpegPayload(8))))
+    // the third anchor exceeds the stored-bitmap count: no media span,
+    // no payload
+    assert(DocExtractor.items(b)
+      .collect { case m: DocExtractor.Media => m }.size == 2)
+    assert(DocExtractor.mediaPayload(b, "pic3").isEmpty)
+    // a pictureless variant resolves nothing
+    assert(DocExtractor.mediaPayload(DocGen.fileBytes(0), "pic1").isEmpty)
   }
 
   test("cfb reader: stream lookup, v4 sectors, mini-stream residency") {
