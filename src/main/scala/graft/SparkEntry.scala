@@ -792,6 +792,25 @@ object SparkEntry {
         .select(col("doc_id"), col("order").as("ord"), col("text").as("tsv"))
         .orderBy("doc_id", "ord")
     }),
+    "q_table_tsv_doc" -> ((s, dir) => {
+      // the legacy-Word quarter of the table family: binary .doc grids
+      // resolve through the PAPX layer (PlcBtePapx → PAPX FKP →
+      // sprmPFInTable/sprmPFTtp tell a CELL mark from a ROW mark —
+      // both are the 0x07 character) and fold to ONE TSV span per
+      // table in the same vocabulary as the PDF/md/HTML/XLSX/PPTX/
+      // RTF/ODT/XLS paths; multi-paragraph cells space-join, empty
+      // cells keep grid shape. Genuine containers through the
+      // production scan; oracle: generator ground truth (DocGen
+      // hand-builds the FKP pages).
+      import s.implicits._
+      val tmp = scratchDir("graft-doctsv")
+      graft.gen.DocGen.writeTables(tmp, 12)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("order").as("ord"), col("text"))
+        .orderBy("doc_id", "ord")
+    }),
     "q_pdf_formfields" -> ((s, dir) => {
       // filled-form recovery: AcroForm field values never enter content
       // streams (they render via appearance XObjects), so the layout
@@ -1943,6 +1962,14 @@ object SparkEntry {
         .map(g => (g.doc_id, g.ord, g.tsv))
         .toDF("doc_id", "ord", "tsv")
     }),
+    "q_table_tsv_doc" -> ((s, dir) => {
+      // generator ground truth: the paragraph + TSV rows DocGen chose
+      // before hand-building each PAPX FKP — independent of the reader
+      import s.implicits._
+      graft.gen.DocGen.expectedTables(12)
+        .map(g => (g.doc_id, g.ord, g.text))
+        .toDF("doc_id", "ord", "text")
+    }),
     "q_pdf_formfields" -> ((s, dir) => {
       // generator ground truth: the form fields FormGen wrote, rects
       // through its own hand-derived 90° mapping
@@ -2108,6 +2135,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_xlsx/*.parquet'",
     "q_table_tsv_xls" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_xls/*.parquet'",
+    "q_table_tsv_doc" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_tsv_doc/*.parquet'",
     "ex_pptx" ->
       s"SELECT * FROM '$ExpectedToken/ex_pptx/*.parquet'",
     "q_lm_buckets" ->

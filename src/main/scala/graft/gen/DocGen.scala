@@ -8,7 +8,7 @@ package graft.gen
   * with the reader, and its `expected*` rows are written from the
   * paragraph strings it chose — the parser never sees them.
   *
-  * Variant mix (`i % 9`):
+  * Variant mix (`i % 10`):
   *   0 — single windows-1252 (compressed) piece, three paragraphs
   *       with cp1252-only accents/dashes;
   *   1 — single UTF-16LE piece in a VERSION-4 container (4096-byte
@@ -19,7 +19,8 @@ package graft.gen
   *   3 — field machinery: a HYPERLINK (code dropped, result kept) and
   *       a nested field (outer code containing an inner field —
   *       everything inside the outer code vanishes);
-  *   4 — table cell/row marks (0x07): each cell its own block;
+  *   4 — table cell/row marks (0x07) WITHOUT a PlcBtePapx: the
+  *       degradation pin — each cell its own block;
   *   5 — 0Table variant (fWhichTblStm clear) + line break 0x0B kept
   *       as `\n` inside its block + page break 0x0C + a tab;
   *   6 — fEncrypted set: the document must DROP (no spans);
@@ -32,7 +33,12 @@ package graft.gen
   *       and a double-UID JPEG BLIP behind junk prefixes — anchors 1
   *       and 2 emit media at anchor position, the THIRD anchor (an
   *       OLE object, say) exceeds the stored-picture count and stays
-  *       silent.
+  *       silent;
+  *   9 — a real table through the PAPX layer (PlcBtePapx + a
+  *       hand-built 512-byte PAPX FKP, sprmPFInTable/sprmPFTtp in
+  *       both PapxInFkp size forms): 2×3 grid with a multi-paragraph
+  *       cell and an empty cell — folds to ONE TSV block, unlike
+  *       variant 4's PAPX-less degradation.
   */
 object DocGen {
 
@@ -242,12 +248,19 @@ object DocGen {
     * past ccpText that a correct reader must exclude. `prcBlock`
     * prepends a clxt=1 property block to the CLX; `tableJunk`
     * left-pads the Table stream so fcClx > 0. The piece CP split is
-    * `pieces` in order.
+    * `pieces` in order. `papx` (single-compressed-piece variants only:
+    * FC = textStart + cp) writes the table layer — one PAPX FKP page
+    * appended to WordDocument at a 512 boundary plus a one-entry
+    * PlcBtePapx after the CLX; rows are (cpEndExclusive, code) per
+    * paragraph with code 0 = default, 1 = sprmPFInTable, 2 = row mark
+    * (sprmPFInTable + sprmPFTtp). Codes 1/2 exercise BOTH PapxInFkp
+    * size forms (cb != 0 and cb == 0).
     */
   private def wordStreams(pieces: Seq[Piece], trailing: Seq[Piece],
                           whichTbl1: Boolean, encrypted: Boolean,
                           prcBlock: Boolean, tableJunk: Int,
-                          wdPad: Int): (Array[Byte], Array[Byte]) = {
+                          wdPad: Int,
+                          papx: Seq[(Int, Int)] = Nil): (Array[Byte], Array[Byte]) = {
     val fibSize = 0x5C0
     val textStart = 0x800
     val wdBuf = new java.io.ByteArrayOutputStream()
@@ -264,6 +277,34 @@ object DocGen {
       (cpLen, fcWord)
     }
     if (wdPad > 0) wdBuf.write(new Array[Byte](wdPad))
+    val pnOpt: Option[Int] =
+      if (papx.isEmpty) None
+      else {
+        require(pieces.sizeIs == 1 && pieces.head.compressed && trailing.isEmpty)
+        val pad = (512 - wdBuf.size() % 512) % 512
+        if (pad > 0) wdBuf.write(new Array[Byte](pad))
+        val pn = wdBuf.size() / 512
+        val fkp = new Array[Byte](512)
+        val nP = papx.length
+        putI32(fkp, 0, textStart)
+        papx.zipWithIndex.foreach { case ((cpEnd, _), k) =>
+          putI32(fkp, 4 * (k + 1), textStart + cpEnd)
+        }
+        // PapxInFkp A — fInTable, cb!=0 form — at page offset 490
+        // (bOffset 245); B — fInTable+fTtp, cb==0 form — at 498
+        // (bOffset 249). istd zero in both.
+        val A = Array[Byte](3, 0, 0, 0x16, 0x24, 1)
+        System.arraycopy(A, 0, fkp, 490, A.length)
+        val B = Array[Byte](0, 4, 0, 0, 0x16, 0x24, 1, 0x17, 0x24, 1)
+        System.arraycopy(B, 0, fkp, 498, B.length)
+        papx.zipWithIndex.foreach { case ((_, code), k) =>
+          fkp(4 * (nP + 1) + 13 * k) =
+            (if (code == 1) 245 else if (code == 2) 249 else 0).toByte
+        }
+        fkp(511) = nP.toByte
+        wdBuf.write(fkp)
+        Some(pn)
+      }
     val wd = wdBuf.toByteArray
     val ccpText = pieces.map(_.text.length).sum
     val ccpFtn = trailing.map(_.text.length).sum
@@ -314,6 +355,16 @@ object DocGen {
       tblBuf.write(junk)
     }
     tblBuf.write(clx)
+    pnOpt.foreach { pn =>
+      val plcOff = tableJunk + clx.length
+      val bte = new Array[Byte](12)
+      putI32(bte, 0, textStart)
+      putI32(bte, 4, textStart + papx.last._1)
+      putI32(bte, 8, pn)
+      tblBuf.write(bte)
+      putI32(wd, 0x0102, plcOff)
+      putI32(wd, 0x0106, 12)
+    }
     val tbl = tblBuf.toByteArray
     putI32(wd, 0x01A2, tableJunk)
     putI32(wd, 0x01A6, clx.length)
@@ -394,6 +445,34 @@ object DocGen {
       s"Mid text $i. " + "\u0001" + s"Second plate follows $i.\r" +
       "\u0001" + s"Ghost anchor stays silent $i.\r"
 
+  // variant 9 — a real table through the PAPX layer: 2-column grid,
+  // row marks as their own TTP paragraphs, one multi-paragraph cell
+  // (0x0D inside a cell), one EMPTY cell keeping grid shape
+  private def papxTableRaw(i: Int): String =
+    s"Table memo $i follows:\r" +
+      s"Item${Cell}Qty${Cell}${Cell}" +
+      s"Widget m${(i * 61) % 883}${Cell}${i * 3}${Cell}${Cell}" +
+      s"Long cell $i first part.\rsecond part${Cell}${Cell}${Cell}" +
+      s"After table $i.\r"
+  // per-paragraph PAPX codes, in mark order (0 plain, 1 in-table,
+  // 2 row mark) — the \r inside the long cell is paragraph 8
+  private val papxTableCodes = Seq(0, 1, 1, 2, 1, 1, 2, 1, 1, 1, 2, 0)
+  private def papxTableTsv(i: Int): String =
+    s"Item\tQty\n" +
+      s"Widget m${(i * 61) % 883}\t${i * 3}\n" +
+      s"Long cell $i first part. second part\t"
+
+  /** (cpEndExclusive, code) rows for [[wordStreams]]' papx parameter:
+    * paragraph boundaries fall AFTER each 0x0D/0x07 mark.
+    */
+  private def papxOf(raw: String, codes: Seq[Int]): Seq[(Int, Int)] = {
+    val ends = raw.zipWithIndex.collect {
+      case (c, idx) if c == '\r' || c == '\u0007' => idx + 1
+    }
+    require(ends.length == codes.length, s"${ends.length} vs ${codes.length}")
+    ends.zip(codes)
+  }
+
   /** The `Data` stream for the picture variant: junk prefixes (no 0xF0
     * bytes — cannot scan as BLIP headers) around a genuine PNG BLIP
     * and a double-UID JPEG BLIP.
@@ -406,7 +485,7 @@ object DocGen {
   }
 
   def fileBytes(i: Int): Array[Byte] = {
-    val v = i % 9
+    val v = i % 10
     val (pieces, trailing, tbl1, enc, prc, junk, wdPad, v4) = v match {
       case 0 =>
         val raw = s"${para0(i)}\r${para1(i)}\r${para2(i)}\r"
@@ -438,12 +517,17 @@ object DocGen {
         (Seq(Piece(ministreamRaw(i), compressed = true)),
           Seq(Piece(s"Footnote $i stays out of the main range.\r",
             compressed = true)), true, false, true, 64, 4096, false)
-      case _ =>
+      case 8 =>
         (Seq(Piece(picRaw(i), compressed = true)), Nil, true, false,
           false, 0, 4096, false)
+      case _ =>
+        (Seq(Piece(papxTableRaw(i), compressed = true)), Nil, true,
+          false, false, 0, 4096, false)
     }
+    val papx =
+      if (v == 9) papxOf(papxTableRaw(i), papxTableCodes) else Nil
     val (wd, tblBytes) = wordStreams(pieces, trailing, tbl1, enc, prc,
-      junk, wdPad)
+      junk, wdPad, papx)
     val tblName = if (tbl1) "1Table" else "0Table"
     // variant 7 keeps the Table stream SMALL (mini stream); others pad
     // it into the regular-FAT range
@@ -478,6 +562,19 @@ object DocGen {
         java.nio.file.Paths.get(dir, fileName(i)), fileBytes(i)): Unit
     }
 
+  /** Table-variant-only corpus (every file a variant 9) + its ground
+    * truth — the fixture behind `q_table_tsv_doc`.
+    */
+  def writeTables(dir: String, n: Int): Unit =
+    (0 until n).foreach { k =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, fileName(10 * k + 9)),
+        fileBytes(10 * k + 9)): Unit
+    }
+
+  def expectedTables(n: Int): Seq[GtRow] =
+    (0 until n).flatMap(k => expectedDoc(10 * k + 9))
+
   /** Hand-written ground truth per variant — the block lists the
     * control-character semantics imply, never computed by the parser.
     */
@@ -485,7 +582,7 @@ object DocGen {
     val f = fileName(i)
     def txt(t: String) = (("text", t, null): (String, String, String))
     def pic(p: Int) = (("image", null, s"$f#pic$p"): (String, String, String))
-    val blocks: Seq[(String, String, String)] = (i % 9) match {
+    val blocks: Seq[(String, String, String)] = (i % 10) match {
       case 0 => Seq(para0(i), para1(i), para2(i)).map(txt)
       case 1 => Seq(cjk0(i), cjk1(i), cjk2(i)).map(txt)
       case 2 => Seq(mixA(i) + mixB(i), mixC(i)).map(txt)
@@ -494,7 +591,7 @@ object DocGen {
       case 5 => breaksBlocks(i).map(txt)
       case 6 => Nil // encrypted: dropped
       case 7 => ministreamBlocks(i).map(txt)
-      case _ => Seq(
+      case 8 => Seq(
         // anchor-position media: pic1 before its caption paragraph,
         // pic2 mid-paragraph (halves join), the third anchor silent
         // (only two bitmaps stored in the Data stream)
@@ -504,6 +601,11 @@ object DocGen {
         pic(2),
         txt(s"Mid text $i. Second plate follows $i."),
         txt(s"Ghost anchor stays silent $i."))
+      case _ => Seq(
+        // the PAPX table folds to ONE TSV block between its neighbors
+        txt(s"Table memo $i follows:"),
+        txt(papxTableTsv(i)),
+        txt(s"After table $i."))
     }
     blocks.zipWithIndex.map { case ((k, t, m), o) => GtRow(f, k, t, m, o) }
   }

@@ -16,8 +16,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 class DocSpec extends AnyFunSuite {
 
-  test("generator round trip: all 9 variants extract their hand-written blocks") {
-    for (i <- 0 until 18) {
+  test("generator round trip: all 10 variants extract their hand-written blocks") {
+    for (i <- 0 until 20) {
       val got = DocExtractor.items(DocGen.fileBytes(i)).map {
         case Text(t) => ("text", t, null)
         case DocExtractor.Media(mk, ref) =>
@@ -94,6 +94,50 @@ class DocSpec extends AnyFunSuite {
     // anchor/object bytes vanish
     assert(blocks("pic\u0001 note\u0002 draw\u0008 end\r")
       == Vector("pic note draw end"))
+  }
+
+  test("PAPX tables: cell vs row marks resolve; TSV block; degradation without PlcBtePapx") {
+    // variant 9: 2-column grid with a multi-paragraph cell and an
+    // empty cell → ONE TSV block between its neighbor paragraphs
+    val got = DocExtractor.items(DocGen.fileBytes(9))
+      .collect { case Text(t) => t }
+    assert(got.size == 3, got)
+    assert(got(0) == "Table memo 9 follows:")
+    val tsv = got(1)
+    val rows = tsv.split("\n", -1).toVector
+    assert(rows.size == 3)
+    assert(rows(0) == "Item\tQty")
+    assert(rows(1).startsWith("Widget m") && rows(1).endsWith("\t27"))
+    // multi-paragraph cell space-joined; empty trailing cell keeps
+    // grid shape (a bare tab pads the row to width 2)
+    assert(rows(2) == "Long cell 9 first part. second part\t")
+    assert(got(2) == "After table 9.")
+    // variant 4 carries the same 0x07 marks but NO PlcBtePapx: the
+    // declared degradation — every cell its own block, no TSV
+    val degraded = DocExtractor.items(DocGen.fileBytes(4))
+      .collect { case Text(t) => t }
+    assert(degraded.size == 5 && !degraded.exists(_.contains("\t")))
+  }
+
+  test("itemize with props: row grouping, stray text before a row mark, truncated table") {
+    import DocExtractor.itemize
+    val C = '\u0007'
+    val cellMarks = s"A${C}B$C${C}C${C}D$C${C}tail\r"
+    // every 0x07 reads in-table; the bare marks at indices 4 and 9
+    // (their own empty paragraphs) are the TTP row marks
+    def props(i: Int): (Boolean, Boolean) =
+      if (i == cellMarks.length - 1) (false, false)
+      else (true, i == 4 || i == 9)
+    assert(itemize(cellMarks, props) ==
+      Vector(Text("A\tB\nC\tD"), Text("tail")))
+    // stray text directly before a row mark folds into a trailing cell
+    val stray = s"A${C}x$C"
+    def props2(i: Int): (Boolean, Boolean) = (true, i == 3)
+    assert(itemize(stray, props2) == Vector(Text("A\tx")))
+    // a table cut off mid-cell still flushes what it has, in order
+    val cut = s"A${C}B"
+    assert(itemize(cut, (_: Int) => (true, false)) ==
+      Vector(Text("A"), Text("B")))
   }
 
   test("content magic: a CFB .doc lying as .txt reroutes; non-Word CFB drops") {
