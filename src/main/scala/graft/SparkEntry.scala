@@ -437,7 +437,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-mdtsv")
       (0 until 24).foreach { k =>
-        val i = 19 * k + 9
+        val i = 20 * k + 9
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
           graft.gen.MixedGen.fileBytes(i)): Unit
@@ -542,6 +542,27 @@ object SparkEntry {
         .flatMap(d => Extractor.extractRows(d))
         .toDF()
         .select(col("doc_id"), col("kind"), col("text"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_ipynb" -> ((s, dir) => {
+      // Jupyter-notebook ingestion, driver-visible: nbformat 3/4 cell
+      // walks — markdown cells through the full MdExtractor semantics
+      // (headings, paragraphs, pipe tables), code cells and
+      // execute_result reprs as verbatim blocks, attachment/output
+      // images as in-file media spans (ghost attachment refs drop),
+      // external image URLs verbatim, stream/error/raw noise dropped,
+      // malformed JSON yielding nothing. media_ref reduced to its
+      // path-independent tail as in ex_mixed. Oracle: NbGen ground
+      // truth (hand-assembled JSON, hand-written rows).
+      import s.implicits._
+      val tmp = scratchDir("graft-ipynb")
+      graft.gen.NbGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
@@ -1810,7 +1831,7 @@ object SparkEntry {
       // generator ground truth: the pipe-table TSV each md doc carries
       import s.implicits._
       (0 until 24).map { k =>
-        val i = 19 * k + 9
+        val i = 20 * k + 9
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),
@@ -1864,6 +1885,14 @@ object SparkEntry {
       graft.gen.JsonlGen.expected(24)
         .map(r => (r.doc_id, r.kind, r.text, r.ord))
         .toDF("doc_id", "kind", "text", "ord")
+    }),
+    "ex_ipynb" -> ((s, dir) => {
+      // generator ground truth — the cell contents NbGen chose before
+      // hand-assembling each notebook's JSON, independent of the parser
+      import s.implicits._
+      graft.gen.NbGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
     "ex_eml" -> ((s, dir) => {
       // generator ground truth — subjects, decoded bodies, media part
@@ -2117,6 +2146,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_ppt/*.parquet'",
     "ex_eml" ->
       s"SELECT * FROM '$ExpectedToken/ex_eml/*.parquet'",
+    "ex_ipynb" ->
+      s"SELECT * FROM '$ExpectedToken/ex_ipynb/*.parquet'",
     "ex_odt" ->
       s"SELECT * FROM '$ExpectedToken/ex_odt/*.parquet'",
     "q_url_canonical" ->

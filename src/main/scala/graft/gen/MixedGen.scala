@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 19`:
+  * File kinds by `i % 20`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -93,7 +93,10 @@ package graft.gen
   *   18 → `deck_NNNN.ppt` genuine PowerPoint 97–2003 CFB binary
   *                        ([[PptGen.fileBytes]]): text atoms + BLIP-
   *                        store pictures at shape position
-  *                        ([[graft.extract.PptExtractor]]).
+  *                        ([[graft.extract.PptExtractor]]);
+  *   19 → `nb_NNNN.ipynb` genuine Jupyter notebook ([[NbGen]]):
+  *                        markdown/code cells, attachment + output
+  *                        images ([[graft.extract.IpynbExtractor]]).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -109,7 +112,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 19: @unchecked) match {
+  def fileName(i: Int): String = (i % 20: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -127,6 +130,7 @@ object MixedGen {
     case 16        => DocGen.fileName(i)
     case 17        => XlsGen.fileName(i)
     case 18        => PptGen.fileName(i)
+    case 19        => NbGen.fileName(i)
   }
 
   // ---------- shared text ----------
@@ -416,7 +420,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 19: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 20: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -437,6 +441,7 @@ object MixedGen {
     case 16 => DocGen.fileBytes(i)
     case 17 => XlsGen.fileBytes(i)
     case 18 => PptGen.fileBytes(i)
+    case 19 => NbGen.fileBytes(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -450,7 +455,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 19: @unchecked) match {
+    (i % 20: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -563,6 +568,12 @@ object MixedGen {
         // already `<file>#pic<pib>`, matching the path-tail reduction)
         // — PptGen owns the ground truth
         PptGen.expectedDoc(i).map(r =>
+          GtRow(f, r.kind, r.text, r.media_ref, r.ord))
+      case 19 =>
+        // Jupyter notebook: markdown/code cells + attachment/output
+        // images (refs already path-tail-reduced) — NbGen owns the
+        // ground truth
+        NbGen.expectedDoc(i).map(r =>
           GtRow(f, r.kind, r.text, r.media_ref, r.ord))
     }
   }

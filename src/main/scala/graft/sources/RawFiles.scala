@@ -98,7 +98,7 @@ object RawFiles {
     "ods" -> "odt", "odp" -> "odt",
     "tex" -> "tex", "latex" -> "tex",
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
-    "jsonl" -> "jsonl", "ndjson" -> "jsonl",
+    "jsonl" -> "jsonl", "ndjson" -> "jsonl", "ipynb" -> "ipynb",
     "eml" -> "eml", "mbox" -> "mbox",
     "rss" -> "feed", "atom" -> "feed", "xml" -> "feed")
 
@@ -385,6 +385,7 @@ object RawFiles {
     else if (mime.contains("spreadsheetml")) Some("xlsx")
     else if (mime.contains("presentationml")) Some("pptx")
     else if (mime.contains("epub")) Some("epub")
+    else if (mime.contains("ipynb")) Some("ipynb")
     else if (mime.startsWith("text/") || mime.isEmpty) Some("text")
     else if (magic) Some("text") // docSpans reroutes by the magic
     else None
@@ -559,6 +560,19 @@ object RawFiles {
       graft.extract.XlsExtractor.sheets(bytes)
         .collect { case (_, tsv) if tsv.exists(!_.isWhitespace) => tsv }
         .zipWithIndex.map { case (tsv, k) => Span("text", tsv, null, k) }
+    } else if (kind == "ipynb") {
+      // Jupyter notebooks decode at the ingest boundary: markdown
+      // cells through the MdExtractor semantics (headings, paragraphs,
+      // pipe tables), code cells and result reprs as verbatim "text"
+      // spans, attachment/output images as in-file media spans
+      // (payloads via [[ipynbMediaPayload]]); external markdown image
+      // URLs pass verbatim. Malformed JSON yields no spans.
+      graft.extract.IpynbExtractor.items(bytes).zipWithIndex.map {
+        case (graft.extract.IpynbExtractor.Text(t), k) =>
+          Span("text", t, null, k)
+        case (graft.extract.IpynbExtractor.Media(mk, ref, inFile), k) =>
+          Span(mk, null, if (inFile) s"$path#$ref" else ref, k)
+      }
     } else if (kind == "md") {
       // Markdown decodes at the ingest boundary like DOCX — text blocks
       // as "text" spans, image/media references as media spans with the
@@ -666,6 +680,19 @@ object RawFiles {
     if (h < 0) None
     else graft.extract.OdtExtractor.mediaPayload(
       odtBytes, mediaRef.substring(h + 1))
+  }
+
+  /** Byte-fetch for a notebook media span minted by [[docSpans]]: the
+    * ref tail after `#` is `att<cell>:<name>` (markdown attachment) or
+    * `out<cell>:<idx>` (code output image), base64-decoded from the
+    * ORIGINAL notebook JSON.
+    */
+  def ipynbMediaPayload(nbBytes: Array[Byte],
+                        mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf('#')
+    if (h < 0) None
+    else graft.extract.IpynbExtractor.mediaPayload(
+      nbBytes, mediaRef.substring(h + 1))
   }
 
   /** Byte-fetch for a DOCX media span minted by [[docSpans]]: the ref
