@@ -545,6 +545,23 @@ object SparkEntry {
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
+    "ex_subs" -> ((s, dir) => {
+      // subtitle ingestion, driver-visible: SubRip/WebVTT cue machines
+      // — comma/dot millis timings (incl. MM:SS.mmm short form),
+      // BOM+CRLF tolerance, formatting/voice/karaoke tag stripping,
+      // entity decode, NOTE/STYLE/header apparatus dropped, rolling
+      // duplicates collapsed, SubRip-under-.txt content magic, and a
+      // cue-less .srt yielding nothing. Oracle: SubGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-subs")
+      graft.gen.SubGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "ex_ipynb" -> ((s, dir) => {
       // Jupyter-notebook ingestion, driver-visible: nbformat 3/4 cell
       // walks — markdown cells through the full MdExtractor semantics
@@ -1886,6 +1903,14 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.ord))
         .toDF("doc_id", "kind", "text", "ord")
     }),
+    "ex_subs" -> ((s, dir) => {
+      // generator ground truth — the cue texts SubGen chose before
+      // assembling each file, independent of the cue machine
+      import s.implicits._
+      graft.gen.SubGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.ord))
+        .toDF("doc_id", "kind", "text", "ord")
+    }),
     "ex_ipynb" -> ((s, dir) => {
       // generator ground truth — the cell contents NbGen chose before
       // hand-assembling each notebook's JSON, independent of the parser
@@ -2148,6 +2173,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_eml/*.parquet'",
     "ex_ipynb" ->
       s"SELECT * FROM '$ExpectedToken/ex_ipynb/*.parquet'",
+    "ex_subs" ->
+      s"SELECT * FROM '$ExpectedToken/ex_subs/*.parquet'",
     "ex_odt" ->
       s"SELECT * FROM '$ExpectedToken/ex_odt/*.parquet'",
     "q_url_canonical" ->

@@ -96,7 +96,7 @@ object RawFiles {
     "xlsm" -> "xlsx", "xltx" -> "xlsx",
     "pptm" -> "pptx", "ppsx" -> "pptx", "potx" -> "pptx",
     "ods" -> "odt", "odp" -> "odt",
-    "tex" -> "tex", "latex" -> "tex",
+    "tex" -> "tex", "latex" -> "tex", "srt" -> "subs", "vtt" -> "subs",
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
     "jsonl" -> "jsonl", "ndjson" -> "jsonl", "ipynb" -> "ipynb",
     "eml" -> "eml", "mbox" -> "mbox",
@@ -423,6 +423,13 @@ object RawFiles {
         graft.extract.Cfb.officeKind(bytes)
       else if (kind == "text" && graft.extract.TexExtractor.isTex(bytes))
         "tex"
+      else if (kind == "text" && {
+        val head = new String(bytes, 0,
+          math.min(bytes.length, 512),
+          java.nio.charset.StandardCharsets.UTF_8)
+        graft.extract.SubtitleExtractor.isVtt(head) ||
+          graft.extract.SubtitleExtractor.isSrt(head)
+      }) "subs"
       else kind
     docSpansDispatch(kindEff, path, bytes, transportCharset)
   }
@@ -560,6 +567,17 @@ object RawFiles {
       graft.extract.XlsExtractor.sheets(bytes)
         .collect { case (_, tsv) if tsv.exists(!_.isWhitespace) => tsv }
         .zipWithIndex.map { case (tsv, k) => Span("text", tsv, null, k) }
+    } else if (kind == "subs") {
+      // Subtitles decode at the ingest boundary: one "text" span per
+      // cue (timing/index/NOTE apparatus dropped, formatting and voice
+      // tags stripped, entities decoded, rolling duplicates collapsed)
+      // — the SubRip/WebVTT cue machine in
+      // [[graft.extract.SubtitleExtractor]]. A subtitle-suffixed file
+      // with no cues yields nothing.
+      graft.extract.SubtitleExtractor.items(
+          graft.extract.CharsetSniff.decode(bytes, html = false,
+            transportCharset))
+        .zipWithIndex.map { case (t, k) => Span("text", t, null, k) }
     } else if (kind == "ipynb") {
       // Jupyter notebooks decode at the ingest boundary: markdown
       // cells through the MdExtractor semantics (headings, paragraphs,
