@@ -830,6 +830,25 @@ object SparkEntry {
         .select(col("doc_id"), col("order").as("ord"), col("text").as("tsv"))
         .orderBy("doc_id", "ord")
     }),
+    "q_xls_pictures" -> ((s, dir) => {
+      // the legacy-spreadsheet half of the media-by-reference
+      // contract: sheet pictures live behind the workbook-global
+      // MsoDrawingGroup BLIP store (FBSEs, CONTINUE-spilled) and the
+      // per-sheet MsoDrawing FOPT `pib` properties (DgContainer split
+      // across records with OBJ interleaved — how Excel writes
+      // shapes); each resolvable pib emits a media span after its
+      // sheet's TSV, ghosts stay silent. Oracle: XlsGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-xlspic")
+      graft.gen.XlsGen.writePictures(tmp, 12)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "q_table_tsv_doc" -> ((s, dir) => {
       // the legacy-Word quarter of the table family: binary .doc grids
       // resolve through the PAPX layer (PlcBtePapx → PAPX FKP →
@@ -2016,6 +2035,14 @@ object SparkEntry {
         .map(g => (g.doc_id, g.ord, g.tsv))
         .toDF("doc_id", "ord", "tsv")
     }),
+    "q_xls_pictures" -> ((s, dir) => {
+      // generator ground truth: the TSV + picture rows XlsGen chose
+      // before assembling the Escher store by hand
+      import s.implicits._
+      graft.gen.XlsGen.expectedPictures(12)
+        .map(g => (g.doc_id, g.kind, g.text, g.media_ref, g.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
     "q_table_tsv_doc" -> ((s, dir) => {
       // generator ground truth: the paragraph + TSV rows DocGen chose
       // before hand-building each PAPX FKP — independent of the reader
@@ -2195,6 +2222,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_xls/*.parquet'",
     "q_table_tsv_doc" ->
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_doc/*.parquet'",
+    "q_xls_pictures" ->
+      s"SELECT * FROM '$ExpectedToken/q_xls_pictures/*.parquet'",
     "ex_pptx" ->
       s"SELECT * FROM '$ExpectedToken/ex_pptx/*.parquet'",
     "q_lm_buckets" ->

@@ -27,6 +27,15 @@ package graft.extract
   *     convention, and [[XlsxExtractor]]'s lexical-form posture does
   *     not apply because BIFF stores binary doubles, not text.
   *
+  *   - embedded pictures ([MS-ODRAW]): the workbook-global
+  *     MsoDrawingGroup records (0x00EB + CONTINUE spill) hold the
+  *     BLIP store (OfficeArtFBSE array); each sheet's MsoDrawing
+  *     records (0x00EC, concatenated — the DgContainer splits across
+  *     them with OBJ records interleaved) carry OfficeArtFOPT `pib`
+  *     properties indexing that store. [[items]] emits one media span
+  *     per pib AFTER its sheet's TSV block; payloads resolve via
+  *     [[mediaPayload]] through the shared [[Blip]] decoder.
+  *
   * Declared limits: BIFF5/7 (`Book` stream, byte-string records) is
   * out of scope and yields nothing; chart sheets (BOUNDSHEET dt ≠ 0)
   * drop; formats/styles are ignored (raw values, not rendered
@@ -78,15 +87,95 @@ object XlsExtractor {
     val wbOpt = Cfb.stream(b, "Workbook")
     if (wbOpt.isEmpty) return Vector.empty
     val wb = wbOpt.get
-    try sheetsOf(wb) catch { case _: Exception => Vector.empty }
+    try {
+      globals(wb) match {
+        case None => Vector.empty // encrypted
+        case Some((bounds, sst, _)) =>
+          bounds.collect { case Bound(name, at, true) =>
+            name -> sheetTsv(wb, at, sst)
+          }
+      }
+    } catch { case _: Exception => Vector.empty }
+  }
+
+  sealed trait Item
+  final case class Text(t: String) extends Item
+  /** kind is always "image" (sheet pictures are raster/vector BLIPs). */
+  final case class Media(kind: String, ref: String) extends Item
+
+  /** The workbook as ordered items: per worksheet, its used-range TSV
+    * (non-blank sheets only) followed by the sheet's embedded pictures
+    * in drawing order — one [[Media]] per OfficeArtFOPT `pib`
+    * resolving into the drawing-group BLIP store (`pic<pib>`, payloads
+    * via [[mediaPayload]]; a pib past the store count stays silent,
+    * the `.doc` ghost rule). Empty on anything unreadable/encrypted.
+    */
+  def items(b: Array[Byte]): Vector[Item] = {
+    val wbOpt = Cfb.stream(b, "Workbook")
+    if (wbOpt.isEmpty) return Vector.empty
+    val wb = wbOpt.get
+    try {
+      globals(wb) match {
+        case None => Vector.empty
+        case Some((bounds, sst, dgg)) =>
+          val nPics = fbseOf(dgg).length
+          bounds.collect { case Bound(name, at, true) =>
+            val _ = name
+            val tsv = sheetTsv(wb, at, sst)
+            val head: Vector[Item] =
+              if (tsv.exists(!_.isWhitespace)) Vector(Text(tsv))
+              else Vector.empty
+            head ++ sheetPibs(wb, at)
+              .filter(pib => pib >= 1 && pib <= nPics)
+              .map(pib => Media("image", s"pic$pib"))
+          }.flatten
+      }
+    } catch { case _: Exception => Vector.empty }
+  }
+
+  /** Resolve one media ref minted by [[items]] (`pic<pib>`) to its
+    * picture bytes: pib → FBSE[pib-1] of the MsoDrawingGroup BLIP
+    * store → the BLIP embedded in the FBSE itself, or (foDelay form)
+    * a BLIP at that offset of the Workbook delay stream. None for
+    * out-of-range refs, metafile BLIPs, or corrupt stores — the same
+    * contract as the `.ppt` path, through the shared [[Blip]] decoder.
+    */
+  def mediaPayload(b: Array[Byte], ref: String): Option[Array[Byte]] = {
+    if (!ref.startsWith("pic")) return None
+    val pib = ref.drop(3).toIntOption.getOrElse(return None)
+    val wb = Cfb.stream(b, "Workbook").getOrElse(return None)
+    val g = try globals(wb) catch { case _: Exception => None }
+    g.flatMap { case (_, _, dgg) =>
+      val fbse = fbseOf(dgg)
+      if (pib < 1 || pib > fbse.length) None
+      else {
+        val e = fbse(pib - 1)
+        if (e.length < 36) None
+        else {
+          val cbName = e(33) & 0xFF
+          if (e.length > 36 + cbName + 8) Blip.payload(e, 36 + cbName)
+          else {
+            val foDelay = i32(e, 28)
+            if (foDelay < 0 || foDelay + 8 > wb.length) None
+            else Blip.payload(wb, foDelay)
+          }
+        }
+      }
+    }
   }
 
   private final case class Bound(name: String, pos: Int, worksheet: Boolean)
 
-  private def sheetsOf(wb: Array[Byte]): Vector[(String, String)] = {
-    // ---- globals substream: BOUNDSHEETs + SST (with CONTINUEs) ----
+  /** Globals substream walk: BOUNDSHEETs, the SST (with CONTINUEs),
+    * and the concatenated MsoDrawingGroup Escher bytes (0x00EB records
+    * plus their CONTINUE spill — the BLIP store lives here). None when
+    * the workbook is FILEPASS-encrypted.
+    */
+  private def globals(wb: Array[Byte])
+      : Option[(Vector[Bound], Vector[String], Array[Byte])] = {
     val bounds = Vector.newBuilder[Bound]
     var sst = Vector.empty[String]
+    val dgg = new java.io.ByteArrayOutputStream()
     var pos = 0
     var stop = false
     while (!stop && pos + 4 <= wb.length) {
@@ -119,18 +208,95 @@ object XlsExtractor {
               }
             }
             sst = parseSst(segs.toVector)
-          case 0x002F => return Vector.empty // FILEPASS: encrypted
+          case 0x00EB => // MsoDrawingGroup + trailing CONTINUEs
+            dgg.write(wb, pos + 4, len)
+            var cpos = pos + 4 + len
+            while (cpos + 4 <= wb.length && u16(wb, cpos) == 0x003C) {
+              val clen = u16(wb, cpos + 2)
+              if (clen < 0 || cpos + 4 + clen > wb.length) cpos = wb.length
+              else {
+                dgg.write(wb, cpos + 4, clen)
+                cpos += 4 + clen
+              }
+            }
+          case 0x002F => return None // FILEPASS: encrypted
           case 0x000A => stop = true // EOF of globals
           case _ => ()
         }
         pos += 4 + len
       }
     }
+    Some((bounds.result(), sst, dgg.toByteArray))
+  }
 
-    // ---- one substream walk per worksheet ----
-    bounds.result().collect { case Bound(name, at, true) =>
-      name -> sheetTsv(wb, at, sst)
+  /** Leaf walk over an Escher record tree (recVer 0xF = container);
+    * the callback receives (verInst, typ, payloadStart, payloadLen).
+    */
+  private def escherWalk(buf: Array[Byte], from: Int, to: Int, depth: Int)(
+      f: (Int, Int, Int, Int) => Unit): Unit = {
+    var pos = from
+    while (pos + 8 <= to) {
+      val verInst = u16(buf, pos)
+      val typ = u16(buf, pos + 2)
+      val len = i32(buf, pos + 4)
+      if (len < 0 || pos + 8 + len > to) return
+      if ((verInst & 0x000F) == 0x000F && depth < 16)
+        escherWalk(buf, pos + 8, pos + 8 + len, depth + 1)(f)
+      else f(verInst, typ, pos + 8, len)
+      pos += 8 + len
     }
+  }
+
+  /** OfficeArtFBSE records of the drawing-group container, store order. */
+  private def fbseOf(dgg: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    escherWalk(dgg, 0, dgg.length, 0) { (_, typ, d, len) =>
+      if (typ == 0xF007)
+        out += java.util.Arrays.copyOfRange(dgg, d, d + len)
+    }
+    out.result()
+  }
+
+  /** `pib` properties of one sheet's MsoDrawing records (0x00EC
+    * payloads concatenated — the OfficeArtDgContainer splits across
+    * them, with OBJ records interleaved), drawing order.
+    */
+  private def sheetPibs(wb: Array[Byte], at: Int): Vector[Int] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var pos = at
+    var stop = false
+    var sawBof = false
+    while (!stop && pos + 4 <= wb.length) {
+      val typ = u16(wb, pos)
+      val len = u16(wb, pos + 2)
+      if (len < 0 || pos + 4 + len > wb.length) stop = true
+      else {
+        typ match {
+          case 0x0809 => if (sawBof) stop = true else sawBof = true
+          case 0x000A => stop = true
+          case 0x00EC => buf.write(wb, pos + 4, len)
+          case _ => ()
+        }
+        pos += 4 + len
+      }
+    }
+    val esc = buf.toByteArray
+    val out = Vector.newBuilder[Int]
+    escherWalk(esc, 0, esc.length, 0) { (verInst, typ, d, len) =>
+      if (typ == 0xF00B) {
+        // the instance field counts the fixed 6-byte entries; complex
+        // property DATA trails the array and must not scan as entries
+        val n = (verInst >> 4) & 0xFFF
+        var j = 0
+        while (j < n && d + 6 * (j + 1) <= d + len) {
+          val pid = u16(esc, d + 6 * j)
+          val v = i32(esc, d + 6 * j + 2)
+          if ((pid & 0xBFFF) == 0x0104 && v > 0) out += v
+          j += 1
+        }
+      }
+    }
+    out.result()
   }
 
   /** SST strings across the record/CONTINUE segment list. A crossing

@@ -221,6 +221,103 @@ object XlsGen {
         java.nio.file.Paths.get(dir, fileName(i)), fileBytes(i)): Unit
     }
 
+  // ---------------- embedded pictures (Escher) ----------------
+
+  private def escherRec(verInst: Int, typ: Int,
+                        payload: Array[Byte]): Array[Byte] =
+    u16b(verInst) ++ u16b(typ) ++ i32b(payload.length) ++ payload
+
+  /** OfficeArtFBSE with the BLIP embedded after the 36-byte header
+    * (cbName 0, foDelay 0 — the embedded form Excel writes).
+    */
+  private def fbse(blipType: Int, blip: Array[Byte]): Array[Byte] = {
+    val head = new Array[Byte](36)
+    head(0) = blipType.toByte // btWin32
+    head(1) = blipType.toByte // btMacOS
+    (0 until 16).foreach(k => head(2 + k) = ((k * 17 + 3) & 0xFF).toByte)
+    putI32h(head, 20, blip.length) // size
+    putI32h(head, 24, 1) // cRef
+    escherRec((blipType << 4) | 2, 0xF007, head ++ blip)
+  }
+
+  private def putI32h(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xFF).toByte
+    b(off + 1) = ((v >> 8) & 0xFF).toByte
+    b(off + 2) = ((v >> 16) & 0xFF).toByte
+    b(off + 3) = ((v >> 24) & 0xFF).toByte
+  }
+
+  /** One FOPT property table (recVer 3, instance = entry count). */
+  private def fopt(props: Seq[(Int, Int)]): Array[Byte] =
+    escherRec((props.length << 4) | 3, 0xF00B,
+      props.toArray.flatMap { case (pid, v) => u16b(pid) ++ i32b(v) })
+
+  /** A picture-bearing workbook: the drawing-group BLIP store (a PNG
+    * FBSE and a double-UID JPEG FBSE) split across MsoDrawingGroup +
+    * CONTINUE mid-FBSE; one sheet with cells and THREE picture shapes
+    * whose FOPTs carry pib 1, pib 2 (+ a decoy property), and a GHOST
+    * pib 9 that must stay silent — the DgContainer itself split across
+    * two MsoDrawing records with an OBJ between (how Excel really
+    * writes shapes).
+    */
+  private[graft] def pictureBytes(i: Int): Array[Byte] = {
+    val bstore = escherRec(0xF | (2 << 4), 0xF001,
+      fbse(6, PptGen.blip(0xF01E, 0x6E0, 1, PptGen.pngPayload(i))) ++
+        fbse(5, PptGen.blip(0xF01D, 0x46B, 2, PptGen.jpegPayload(i))))
+    val dggC = escherRec(0xF, 0xF000, bstore)
+    val cut = dggC.length / 2 // splits inside the first FBSE
+    val drawGroup = rec(0x00EB, dggC.slice(0, cut)) ++
+      rec(0x003C, dggC.slice(cut, dggC.length))
+    val sp1 = escherRec(0xF, 0xF004,
+      fopt(Seq(0x007F -> 1, 0x4104 -> 1))) // decoy prop + pib 1
+    val sp2 = escherRec(0xF, 0xF004, fopt(Seq(0x4104 -> 2)))
+    val sp3 = escherRec(0xF, 0xF004, fopt(Seq(0x4104 -> 9))) // ghost
+    val dgC = escherRec(0xF, 0xF002,
+      escherRec(0xF, 0xF003, sp1 ++ sp2 ++ sp3))
+    val dcut = dgC.length / 2
+    val drawing = rec(0x00EC, dgC.slice(0, dcut)) ++
+      rec(0x005D, u16b(8) ++ u16b(1)) ++ // OBJ interleaves
+      rec(0x00EC, dgC.slice(dcut, dgC.length))
+    val sst = sstSimple(Seq("Plate", s"Figure $i"))
+    val cells = labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++
+      number(1, 0, 3 + i)
+    val sheet = bof(0x0010) ++ dimensions ++ cells ++ drawing ++ eof
+    val globals = bof(0x0005) ++ Array.emptyByteArray
+    // assemble by hand: globals = BOF + BOUNDSHEET + drawGroup + SST +
+    // EOF (lbPlyPos computed directly)
+    val bsLen = 4 + 4 + 4 + "Plates".length
+    val globalsLen = globals.length + bsLen + drawGroup.length +
+      sst.length + eof.length
+    val bs = boundsheet(globalsLen, "Plates", 0, hidden = false)
+    DocGen.cfbBytes(Seq("Workbook" ->
+      (globals ++ bs ++ drawGroup ++ sst ++ eof ++ sheet)))
+  }
+
+  private[graft] def pictureTsv(i: Int): String =
+    s"Plate\tFigure $i\n${3 + i}\t"
+
+  final case class PicRow(doc_id: String, kind: String, text: String,
+                          media_ref: String, ord: Int)
+
+  def writePictures(dir: String, n: Int): Unit =
+    (0 until n).foreach { k =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"plates_$k%04d.xls"),
+        pictureBytes(k)): Unit
+    }
+
+  /** Ground truth for the picture fixture: the sheet TSV then the two
+    * resolvable pictures (the ghost pib stays silent).
+    */
+  def expectedPictures(n: Int): Seq[PicRow] =
+    (0 until n).flatMap { k =>
+      val f = f"plates_$k%04d.xls"
+      Seq(
+        PicRow(f, "text", pictureTsv(k), null, 0),
+        PicRow(f, "image", null, s"$f#pic1", 1),
+        PicRow(f, "image", null, s"$f#pic2", 2))
+    }
+
   /** A FILEPASS-protected workbook (RC4 header junk): readers must
     * yield nothing rather than mojibake.
     */

@@ -564,9 +564,15 @@ object RawFiles {
       // engine's TABLE vocabulary exactly like XLSX: each non-empty
       // worksheet's used range is ONE "text" span holding its TSV, in
       // workbook order; chart sheets and empty sheets emit nothing.
-      graft.extract.XlsExtractor.sheets(bytes)
-        .collect { case (_, tsv) if tsv.exists(!_.isWhitespace) => tsv }
-        .zipWithIndex.map { case (tsv, k) => Span("text", tsv, null, k) }
+      // ...followed by each sheet's embedded pictures as media spans
+      // (OfficeArtFOPT pib → MsoDrawingGroup BLIP store; payloads via
+      // [[xlsMediaPayload]])
+      graft.extract.XlsExtractor.items(bytes).zipWithIndex.map {
+        case (graft.extract.XlsExtractor.Text(t), k) =>
+          Span("text", t, null, k)
+        case (graft.extract.XlsExtractor.Media(mk, ref), k) =>
+          Span(mk, null, s"$path#$ref", k)
+      }
     } else if (kind == "subs") {
       // Subtitles decode at the ingest boundary: one "text" span per
       // cue (timing/index/NOTE apparatus dropped, formatting and voice
@@ -655,6 +661,18 @@ object RawFiles {
     if (h < 0) None
     else graft.extract.DocExtractor.mediaPayload(
       docBytes, mediaRef.substring(h + 1))
+  }
+
+  /** Byte-fetch for a legacy `.xls` media span minted by [[docSpans]]:
+    * the ref tail after `#` is `pic<pib>`, resolved through the
+    * workbook's MsoDrawingGroup BLIP store.
+    */
+  def xlsMediaPayload(xlsBytes: Array[Byte],
+                      mediaRef: String): Option[Array[Byte]] = {
+    val h = mediaRef.lastIndexOf('#')
+    if (h < 0) None
+    else graft.extract.XlsExtractor.mediaPayload(
+      xlsBytes, mediaRef.substring(h + 1))
   }
 
   /** Byte-fetch for a legacy `.ppt` media span minted by [[docSpans]]:

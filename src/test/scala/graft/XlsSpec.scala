@@ -71,6 +71,31 @@ class XlsSpec extends AnyFunSuite {
       .exists(_.spans.head.text.contains("Plain prose")))
   }
 
+  test("embedded pictures: FOPT pibs resolve through the CONTINUE-split BLIP store") {
+    val b = XlsGen.pictureBytes(3)
+    val items = XlsExtractor.items(b)
+    // TSV first, then the two resolvable pictures; the ghost pib 9 and
+    // the decoy FOPT property stay silent
+    assert(items == Vector(
+      XlsExtractor.Text(XlsGen.pictureTsv(3)),
+      XlsExtractor.Media("image", "pic1"),
+      XlsExtractor.Media("image", "pic2")))
+    // payloads: PNG via the first FBSE (split across the CONTINUE),
+    // double-UID JPEG via the second — byte-exact, imageio-decodable
+    val p1 = RawFiles.xlsMediaPayload(b, "plates_0003.xls#pic1")
+    assert(p1.exists(_.sameElements(graft.gen.PptGen.pngPayload(3))))
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p1.get)) != null)
+    val p2 = RawFiles.xlsMediaPayload(b, "plates_0003.xls#pic2")
+    assert(p2.exists(_.sameElements(graft.gen.PptGen.jpegPayload(3))))
+    assert(XlsExtractor.mediaPayload(b, "pic9").isEmpty)
+    assert(XlsExtractor.mediaPayload(b, "pic0").isEmpty)
+    // picture-free variants emit TSV-only items and resolve nothing
+    assert(XlsExtractor.items(XlsGen.fileBytes(0))
+      .forall(_.isInstanceOf[XlsExtractor.Text]))
+    assert(XlsExtractor.mediaPayload(XlsGen.fileBytes(0), "pic1").isEmpty)
+  }
+
   test("mutation storm: corruption and truncation never crash the reader") {
     val rnd = new scala.util.Random(20260819L)
     for (v <- 0 until 6) {
@@ -85,5 +110,17 @@ class XlsSpec extends AnyFunSuite {
         XlsExtractor.sheets(
           java.util.Arrays.copyOf(base, rnd.nextInt(base.length)))
     }
+    // the picture fixture under the same storms, items + payload path
+    val base = XlsGen.pictureBytes(1)
+    for (_ <- 0 until 100) {
+      val b = base.clone()
+      for (_ <- 0 until 8)
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      XlsExtractor.items(b)
+      XlsExtractor.mediaPayload(b, "pic1")
+    }
+    for (_ <- 0 until 40)
+      XlsExtractor.items(
+        java.util.Arrays.copyOf(base, rnd.nextInt(base.length)))
   }
 }
