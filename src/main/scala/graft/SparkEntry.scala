@@ -830,6 +830,27 @@ object SparkEntry {
         .select(col("doc_id"), col("order").as("ord"), col("text").as("tsv"))
         .orderBy("doc_id", "ord")
     }),
+    "ex_pdf_attach" -> ((s, dir) => {
+      // PDF embedded files, driver-visible (ISO 32000 §7.11.4): the
+      // catalog /EmbeddedFiles name tree (incl. interior /Kids nodes)
+      // and /FileAttachment annotations fan out one InputDoc per
+      // attachment (`<file>#a<idx>:<name>`), each routed by its own
+      // suffix through the matching front end — a .md attachment
+      // yields markdown blocks, a .pdf attachment its page text (one
+      // fan-out level). Filespecs reachable both ways fan out ONCE;
+      // name-less filespecs and unsupported suffixes drop; /UF beats
+      // /F (UTF-16BE decoded); /EF streams run the filter chain
+      // (FlateDecode pinned). Oracle: AttachGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-pdfatt")
+      graft.gen.AttachGen.write(tmp, 16)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "q_xls_pictures" -> ((s, dir) => {
       // the legacy-spreadsheet half of the media-by-reference
       // contract: sheet pictures live behind the workbook-global
@@ -2035,6 +2056,14 @@ object SparkEntry {
         .map(g => (g.doc_id, g.ord, g.tsv))
         .toDF("doc_id", "ord", "tsv")
     }),
+    "ex_pdf_attach" -> ((s, dir) => {
+      // generator ground truth: the page lines + attachment contents
+      // AttachGen chose before assembling each PDF by hand
+      import s.implicits._
+      graft.gen.AttachGen.expected(16)
+        .map(g => (g.doc_id, g.kind, g.text, g.ord))
+        .toDF("doc_id", "kind", "text", "ord")
+    }),
     "q_xls_pictures" -> ((s, dir) => {
       // generator ground truth: the TSV + picture rows XlsGen chose
       // before assembling the Escher store by hand
@@ -2224,6 +2253,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_table_tsv_doc/*.parquet'",
     "q_xls_pictures" ->
       s"SELECT * FROM '$ExpectedToken/q_xls_pictures/*.parquet'",
+    "ex_pdf_attach" ->
+      s"SELECT * FROM '$ExpectedToken/ex_pdf_attach/*.parquet'",
     "ex_pptx" ->
       s"SELECT * FROM '$ExpectedToken/ex_pptx/*.parquet'",
     "q_lm_buckets" ->

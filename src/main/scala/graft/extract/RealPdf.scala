@@ -517,6 +517,100 @@ object RealPdf {
     * genuinely unsupported filter (JPX raster, exotic chains) blocks
     * the chain.
     */
+  /** One embedded file (ISO 32000 §7.11.4): `idx` is the 0-based
+    * discovery position (catalog /EmbeddedFiles name tree first, then
+    * /FileAttachment annotations in page order), `name` the filespec
+    * filename (/UF preferred over /F, text-decoded), `body` the
+    * decoded /EF stream. The reference never surfaces these
+    * (setup.sql:60-110 extracts page text only); a corpus pipeline
+    * must — an attached document is a document, exactly like an email
+    * attachment.
+    */
+  final case class PdfAttachment(idx: Int, name: String, body: Array[Byte])
+
+  /** Embedded files of the document — a filespec reachable both from
+    * the name tree and an annotation fans out ONCE (dedup by filespec
+    * object number); name-less or stream-less filespecs drop; cycles
+    * and bombs are capped. Empty on anything unparseable.
+    */
+  def attachments(bytes: Array[Byte]): Vector[PdfAttachment] =
+    try {
+      val objs = scanObjects(bytes)
+      val out = Vector.newBuilder[(String, Array[Byte])]
+      val seenFs = scala.collection.mutable.HashSet.empty[Int]
+      def addFileSpec(fs: PObj): Unit = {
+        val key = fs match { case PRef(n) => n; case _ => -1 }
+        if (key >= 0 && !seenFs.add(key)) return
+        val d = resolve(fs, objs)
+        val name = Seq("UF", "F").iterator
+          .map(k => dictGet(d, k, objs))
+          .collectFirst { case PStr(b) => decodeText(b) }
+          .getOrElse("")
+        val body = dictGet(d, "EF", objs) match {
+          case PDict(m) =>
+            m.get("UF").orElse(m.get("F")) match {
+              case Some(PRef(n)) => objs.get(n) match {
+                case Some(Indirect(sd, Some(data), _)) =>
+                  decode(sd, data, objs)
+                case _ => Array.emptyByteArray
+              }
+              case _ => Array.emptyByteArray
+            }
+          case _ => Array.emptyByteArray
+        }
+        if (name.nonEmpty && body.nonEmpty) { out += ((name, body)); () }
+      }
+      // 1) catalog /Names → /EmbeddedFiles name tree (§7.9.6: interior
+      // /Kids nodes, leaf /Names [key fs key fs …] pairs)
+      val visited = scala.collection.mutable.HashSet.empty[Int]
+      def walkTree(node: PObj, depth: Int): Unit = {
+        if (depth > 16) return
+        node match {
+          case PRef(n) => if (!visited.add(n)) return
+          case _       => ()
+        }
+        val d = resolve(node, objs)
+        dictGet(d, "Names", objs) match {
+          case PArr(items) =>
+            var k = 0
+            while (k + 1 < items.length) {
+              addFileSpec(items(k + 1))
+              k += 2
+            }
+          case _ => ()
+        }
+        dictGet(d, "Kids", objs) match {
+          case PArr(kids) => kids.foreach(walkTree(_, depth + 1))
+          case _          => ()
+        }
+      }
+      objs.collectFirst { case (_, Indirect(d @ PDict(m), _, _))
+          if m.get("Type").contains(PName("Catalog")) => d }
+        .foreach { cat =>
+          dictGet(cat, "Names", objs) match {
+            case PDict(nm) => nm.get("EmbeddedFiles").foreach(walkTree(_, 0))
+            case _         => ()
+          }
+        }
+      // 2) /FileAttachment annotations, page order
+      pageTree(objs).foreach { case (dict, _, _, _) =>
+        dictGet(dict, "Annots", objs) match {
+          case PArr(items) => items.foreach { a =>
+            resolve(a, objs) match {
+              case ad @ PDict(am)
+                  if dictGet(ad, "Subtype", objs) == PName("FileAttachment") =>
+                am.get("FS").foreach(addFileSpec)
+              case _ => ()
+            }
+          }
+          case _ => ()
+        }
+      }
+      out.result().zipWithIndex.map { case ((n, b), k) =>
+        PdfAttachment(k, n, b)
+      }
+    } catch { case _: Exception => Vector.empty }
+
   def imageBytes(bytes: Array[Byte], objNum: Int): Option[Array[Byte]] =
     try {
       val objs = scanObjects(bytes)

@@ -172,7 +172,40 @@ object RawFiles {
       emlDocs(path, relativize(path, root), bytes)
     else if (kind == "gz" || kind == "zst" || kind == "xz" ||
              kind == "bz2") compressedDoc(path, bytes, root, kind)
+    else if (graft.extract.RealPdf.isPdf(bytes))
+      pdfDocs(path, relativize(path, root), bytes)
     else Seq(InputDoc(relativize(path, root), docSpans(kind, path, bytes)))
+
+  /** One genuine PDF → its InputDocs: the document itself (positioned
+    * spans + embedded-image media via [[docSpans]]) plus one InputDoc
+    * per EMBEDDED FILE (`<rel>#a<idx>:<filename>`, ISO 32000 §7.11.4 —
+    * the /EmbeddedFiles name tree and /FileAttachment annotations)
+    * routed by its own suffix through the matching front end — a PDF
+    * carrying an attached CSV/DOCX/TXT yields those documents' spans,
+    * exactly like an email attachment or an archive member. Nested
+    * containers drop (one fan-out level), and a PDF reached through a
+    * WARC record, archive member, or email attachment does NOT fan out
+    * its own attachments — the same one-level rule.
+    */
+  private def pdfDocs(path: String, rel: String,
+                      bytes: Array[Byte]): Seq[InputDoc] = {
+    val main = docSpans("pdf", path, bytes)
+    val mainDoc = if (main.isEmpty) Nil else Seq(InputDoc(rel, main))
+    val attDocs = graft.extract.RealPdf.attachments(bytes).flatMap { a =>
+      val lp = a.name.toLowerCase
+      val dot = lp.lastIndexOf('.')
+      val e = if (dot < 0) "" else lp.substring(dot + 1)
+      TextExt.get(e).filterNot(k =>
+          k == "warc" || k == "zip" || k == "tar" || k == "jsonl" ||
+          k == "eml" || k == "mbox" || k == "feed")
+        .flatMap { k =>
+          val sp = docSpans(k, s"$path#a${a.idx}:${a.name}", a.body)
+          if (sp.isEmpty) None
+          else Some(InputDoc(s"$rel#a${a.idx}:${a.name}", sp))
+        }
+    }
+    mainDoc ++ attDocs
+  }
 
   /** One InputDoc per retained jsonl line
     * (`<relpath>#L<lineNo>:<record-id>`) — the shard re-ingestion path;
