@@ -830,6 +830,23 @@ object SparkEntry {
         .select(col("doc_id"), col("order").as("ord"), col("text").as("tsv"))
         .orderBy("doc_id", "ord")
     }),
+    "q_table_tsv_csv" -> ((s, dir) => {
+      // the plain-data member of the table family: .csv/.tsv files
+      // land in the one TSV vocabulary — delimiter sniffed for .csv
+      // (comma / European semicolon / tab / pipe), RFC 4180 quoting
+      // (embedded delimiters, "" escapes, quoted newlines), cells
+      // normalized, ragged rows padded, BOM+CRLF tolerated, blank
+      // files yielding nothing. Oracle: CsvGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-csvtsv")
+      graft.gen.CsvGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("order").as("ord"),
+          col("text").as("tsv"))
+        .orderBy("doc_id", "ord")
+    }),
     "ex_pdf_attach" -> ((s, dir) => {
       // PDF embedded files, driver-visible (ISO 32000 §7.11.4): the
       // catalog /EmbeddedFiles name tree (incl. interior /Kids nodes)
@@ -2056,6 +2073,13 @@ object SparkEntry {
         .map(g => (g.doc_id, g.ord, g.tsv))
         .toDF("doc_id", "ord", "tsv")
     }),
+    "q_table_tsv_csv" -> ((s, dir) => {
+      // generator ground truth: the hand-written grids CsvGen chose
+      import s.implicits._
+      graft.gen.CsvGen.expected(24)
+        .map(g => (g.doc_id, g.ord, g.tsv))
+        .toDF("doc_id", "ord", "tsv")
+    }),
     "ex_pdf_attach" -> ((s, dir) => {
       // generator ground truth: the page lines + attachment contents
       // AttachGen chose before assembling each PDF by hand
@@ -2255,6 +2279,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/q_xls_pictures/*.parquet'",
     "ex_pdf_attach" ->
       s"SELECT * FROM '$ExpectedToken/ex_pdf_attach/*.parquet'",
+    "q_table_tsv_csv" ->
+      s"SELECT * FROM '$ExpectedToken/q_table_tsv_csv/*.parquet'",
     "ex_pptx" ->
       s"SELECT * FROM '$ExpectedToken/ex_pptx/*.parquet'",
     "q_lm_buckets" ->

@@ -97,6 +97,7 @@ object RawFiles {
     "pptm" -> "pptx", "ppsx" -> "pptx", "potx" -> "pptx",
     "ods" -> "odt", "odp" -> "odt",
     "tex" -> "tex", "latex" -> "tex", "srt" -> "subs", "vtt" -> "subs",
+    "csv" -> "csv", "tsv" -> "csv",
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
     "jsonl" -> "jsonl", "ndjson" -> "jsonl", "ipynb" -> "ipynb",
     "eml" -> "eml", "mbox" -> "mbox",
@@ -606,6 +607,18 @@ object RawFiles {
         case (graft.extract.XlsExtractor.Media(mk, ref), k) =>
           Span(mk, null, s"$path#$ref", k)
       }
+    } else if (kind == "csv") {
+      // Delimited data decodes at the ingest boundary into the TABLE
+      // vocabulary: the whole file is ONE "text" span holding its grid
+      // as TSV (delimiter sniffed for .csv — comma/semicolon/tab/pipe
+      // — RFC 4180 quoting, cells normalized, rows padded); empty
+      // files yield nothing.
+      val tsv = graft.extract.CsvExtractor.tsv(
+        graft.extract.CharsetSniff.decode(bytes, html = false,
+          transportCharset),
+        tabDelimited = path.toLowerCase.endsWith(".tsv"))
+      if (tsv.isEmpty) Vector.empty
+      else Vector(Span("text", tsv, null, 0))
     } else if (kind == "subs") {
       // Subtitles decode at the ingest boundary: one "text" span per
       // cue (timing/index/NOTE apparatus dropped, formatting and voice
