@@ -562,6 +562,24 @@ object SparkEntry {
           col("order").as("ord"))
         .orderBy("doc_id", "ord")
     }),
+    "ex_xml" -> ((s, dir) => {
+      // generic-XML ingestion, driver-visible: the XmlExtractor block
+      // rule (one block per text-bearing element, mixed inline content
+      // merging into its container), CDATA kept verbatim, named/
+      // decimal/hex entities decoded, DOCTYPE-internal-subset/PI/
+      // comment apparatus dropped, XML-decl encoding + UTF-16 BOM
+      // honored, unescaped bare `<` kept as content, apparatus-only
+      // files vanishing. Oracle: XmlGen ground truth.
+      import s.implicits._
+      val tmp = scratchDir("graft-xml")
+      graft.gen.XmlGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
     "ex_ipynb" -> ((s, dir) => {
       // Jupyter-notebook ingestion, driver-visible: nbformat 3/4 cell
       // walks — markdown cells through the full MdExtractor semantics
@@ -1968,6 +1986,14 @@ object SparkEntry {
         .map(r => (r.doc_id, r.kind, r.text, r.ord))
         .toDF("doc_id", "kind", "text", "ord")
     }),
+    "ex_xml" -> ((s, dir) => {
+      // generator ground truth — the block texts XmlGen chose before
+      // assembling each file, independent of the scanner
+      import s.implicits._
+      graft.gen.XmlGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.ord))
+        .toDF("doc_id", "kind", "text", "ord")
+    }),
     "ex_ipynb" -> ((s, dir) => {
       // generator ground truth — the cell contents NbGen chose before
       // hand-assembling each notebook's JSON, independent of the parser
@@ -2255,6 +2281,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_ipynb/*.parquet'",
     "ex_subs" ->
       s"SELECT * FROM '$ExpectedToken/ex_subs/*.parquet'",
+    "ex_xml" ->
+      s"SELECT * FROM '$ExpectedToken/ex_xml/*.parquet'",
     "ex_odt" ->
       s"SELECT * FROM '$ExpectedToken/ex_odt/*.parquet'",
     "q_url_canonical" ->

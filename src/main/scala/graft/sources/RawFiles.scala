@@ -45,10 +45,11 @@ import org.apache.spark.sql.functions._
   *   (`<relpath>#a<idx>:<filename>`) routed through its front end;
   *   .mbox → spool fan-out: one [[EmlExtractor]] expansion per member
   *   message (`<relpath>#m<idx>`);
-  *   .rss/.atom/.xml → syndication fan-out by
+  *   .rss/.atom (and feed-rooted .xml) → syndication fan-out by
   *   [[graft.extract.FeedExtractor]]: one InputDoc per RSS item /
   *   Atom entry (`<relpath>#e<idx>:<id>`), titles + unescaped html
-  *   bodies + enclosure media by reference (a non-feed .xml drops);
+  *   bodies + enclosure media by reference; a NON-feed .xml decodes
+  *   as one generic-XML document via [[graft.extract.XmlExtractor]];
   *   .warc/.warc.gz → EXPANDED at ingest by
   *   [[graft.extract.WarcExtractor]]: each retained crawl record
   *   becomes ITS OWN InputDoc (`<relpath>#r<idx>:<target-uri>`), its
@@ -101,7 +102,7 @@ object RawFiles {
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
     "jsonl" -> "jsonl", "ndjson" -> "jsonl", "ipynb" -> "ipynb",
     "eml" -> "eml", "mbox" -> "mbox",
-    "rss" -> "feed", "atom" -> "feed", "xml" -> "feed")
+    "rss" -> "feed", "atom" -> "feed", "xml" -> "xml")
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
@@ -165,7 +166,9 @@ object RawFiles {
              graft.extract.ArchiveExtractor.isTar(bytes))
       archiveDocs(path, relativize(path, root), bytes)
     else if (kind == "jsonl") jsonlDocs(relativize(path, root), bytes)
-    else if (kind == "feed") feedDocs(relativize(path, root), bytes)
+    else if (kind == "feed" ||
+             (kind == "xml" && graft.extract.FeedExtractor.isFeed(bytes)))
+      feedDocs(relativize(path, root), bytes)
     else if (kind == "mbox" && graft.extract.EmlExtractor.isMbox(bytes))
       mboxDocs(path, relativize(path, root), bytes)
     else if (kind == "eml" || ((kind == "text" || kind == "mbox") &&
@@ -175,7 +178,13 @@ object RawFiles {
              kind == "bz2") compressedDoc(path, bytes, root, kind)
     else if (graft.extract.RealPdf.isPdf(bytes))
       pdfDocs(path, relativize(path, root), bytes)
-    else Seq(InputDoc(relativize(path, root), docSpans(kind, path, bytes)))
+    else {
+      // a file with nothing extractable vanishes — the same posture as
+      // the pdf/eml/archive paths (apparatus-only XML, blank text, …)
+      val spans = docSpans(kind, path, bytes)
+      if (spans.isEmpty) Nil
+      else Seq(InputDoc(relativize(path, root), spans))
+    }
 
   /** One genuine PDF → its InputDocs: the document itself (positioned
     * spans + embedded-image media via [[docSpans]]) plus one InputDoc
@@ -222,8 +231,8 @@ object RawFiles {
     * Atom entry (`<relpath>#e<idx>:<guid-or-link>`): title + body
     * blocks (escaped/CDATA html through the boilerpipe gate with a
     * stripped-text fallback) + enclosure/media:content media by
-    * reference, URLs verbatim. A `.xml` that is not a feed yields no
-    * entries and drops — the reference's suffix-filter posture.
+    * reference, URLs verbatim. A `.xml` that is not a feed never
+    * reaches here — [[docsOf]] routes it to the generic-XML front end.
     */
   private def feedDocs(rel: String, bytes: Array[Byte]): Seq[InputDoc] =
     graft.extract.FeedExtractor.entries(bytes).map { e =>
@@ -340,8 +349,11 @@ object RawFiles {
       // (zip/tar/warc members, jsonl shards, mail spools, feeds)
       val nested = e == "zip" || e == "tar" || e == "tgz" ||
         e == "warc" || e == "jsonl" || e == "ndjson" || e == "eml" ||
-        e == "mbox" || e == "rss" || e == "atom" || e == "xml" ||
+        e == "mbox" || e == "rss" || e == "atom" ||
         lp.endsWith(".tar.gz") || lp.endsWith(".warc.gz")
+      // `.xml` members are NOT nested containers anymore: generic XML
+      // decodes via docSpans("xml"); a feed-rooted member still yields
+      // nothing there (one fan-out level).
       val docId = s"$rel#${en.name}"
       val pseudo = s"$path#${en.name}"
       if (nested) None
@@ -619,6 +631,19 @@ object RawFiles {
         tabDelimited = path.toLowerCase.endsWith(".tsv"))
       if (tsv.isEmpty) Vector.empty
       else Vector(Span("text", tsv, null, 0))
+    } else if (kind == "xml" || kind == "feed") {
+      // Generic (non-feed) XML decodes at the ingest boundary: tags
+      // are structure, character data is content — one "text" span
+      // per text-bearing element per [[graft.extract.XmlExtractor]]'s
+      // block rule (CDATA verbatim, entities decoded, DOCTYPE/PI/
+      // comment apparatus dropped, XML-decl encoding honored). A FEED
+      // reaching this path (archive member / attachment — contexts
+      // where the one-fan-out-level rule forbids entry expansion)
+      // yields nothing, same as every nested container; top-level
+      // feeds fan out via [[docsOf]] before dispatch.
+      if (graft.extract.FeedExtractor.isFeed(bytes)) Vector.empty
+      else graft.extract.XmlExtractor.blocks(bytes)
+        .zipWithIndex.map { case (t, k) => Span("text", t, null, k) }
     } else if (kind == "subs") {
       // Subtitles decode at the ingest boundary: one "text" span per
       // cue (timing/index/NOTE apparatus dropped, formatting and voice

@@ -33,9 +33,13 @@ class FeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!FeedExtractor.isFeed(
       "<?xml version=\"1.0\"?><sitemap><url/></sitemap>".getBytes(UTF_8)))
     assert(!FeedExtractor.isFeed("plain words".getBytes(UTF_8)))
-    // a non-feed .xml yields no docs — the suffix-filter posture
+    // a non-feed .xml routes to the generic-XML front end; a
+    // contentless one (self-closing root) vanishes entirely
     assert(RawFiles.decodeAny("site.xml",
       "<?xml version=\"1.0\"?><sitemap/>".getBytes(UTF_8), "").isEmpty)
+    assert(RawFiles.decodeAny("site.xml",
+      "<sitemap><loc>https://x/1</loc></sitemap>".getBytes(UTF_8), "")
+      .flatMap(_.spans.map(_.text)) == Seq("https://x/1"))
   }
 
   test("entry machine: identity precedence, empty entries vanish, fallback text") {
