@@ -437,7 +437,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-mdtsv")
       (0 until 24).foreach { k =>
-        val i = 20 * k + 9
+        val i = 21 * k + 9
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
           graft.gen.MixedGen.fileBytes(i)): Unit
@@ -511,7 +511,7 @@ object SparkEntry {
     }),
     "ex_archive" -> ((s, dir) => {
       // genuine archive-dump ingestion, driver-visible: each .zip /
-      // .tar / .tar.gz FANS OUT to one document per member file
+      // .tar / .tar.gz / .7z FANS OUT to one document per member file
       // (`<file>#<member>`), members routed by their own suffix
       // through the existing front ends — html through the boilerpipe
       // gate with interleaved media, pdf through RealPdf, text
@@ -648,10 +648,11 @@ object SparkEntry {
     "dd_cross_format" -> ((s, dir) => {
       // FORMAT-INVARIANT dedup — the engine's thesis in one query:
       // the same article staged as .html (boilerplate-wrapped), .md,
-      // .txt, .eml, legacy-binary .doc (CFB piece table) and .ppt
-      // (CFB text atoms) extracts into the one span vocabulary, its
-      // per-doc text canonicalized (casefold + punct/ws fold), and
-      // the six renditions collapse into ONE cluster; singleton
+      // .txt, .eml, generic .xml (DocBook-ish elements), legacy-binary
+      // .doc (CFB piece table) and .ppt (CFB text atoms) extracts into
+      // the one span vocabulary, its per-doc text canonicalized
+      // (casefold + punct/ws fold), and
+      // the seven renditions collapse into ONE cluster; singleton
       // notes stay alone. Scale shape: the window partitions on
       // xxhash64(canonical) — only (doc_id, 8-byte key) rides the
       // shuffle, never document text (the PageFurniture rule).
@@ -682,7 +683,8 @@ object SparkEntry {
       // — titles, CDATA/entity-escaped html bodies through the
       // boilerpipe gate with the stripped-text fallback for short
       // descriptions, enclosure/media:content media by reference
-      // (URLs verbatim — no tail reduction), non-feed .xml drops.
+      // (URLs verbatim — no tail reduction); a non-feed .xml routes
+      // to the generic-XML front end instead (ex_xml).
       // Oracle: FeedGen ground truth.
       import s.implicits._
       val tmp = scratchDir("graft-feed")
@@ -1923,7 +1925,7 @@ object SparkEntry {
       // generator ground truth: the pipe-table TSV each md doc carries
       import s.implicits._
       (0 until 24).map { k =>
-        val i = 20 * k + 9
+        val i = 21 * k + 9
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),

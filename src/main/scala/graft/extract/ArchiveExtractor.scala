@@ -2,12 +2,13 @@ package graft.extract
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Archive front end: `.zip`, `.tar`, `.tar.gz`/`.tgz` containers are
-  * "directories of documents in one file" — the batch-dump shape web
-  * corpora actually arrive in (site exports, dataset tarballs, bulk
-  * scrape deliveries). Each member file becomes its own InputDoc,
-  * routed by ITS OWN extension through the engine's per-format front
-  * ends, exactly like [[WarcExtractor]] fans crawl records out.
+/** Archive front end: `.zip`, `.tar`, `.tar.gz`/`.tgz`, `.7z`
+  * containers are "directories of documents in one file" — the
+  * batch-dump shape web corpora actually arrive in (site exports,
+  * dataset tarballs, bulk scrape deliveries). Each member file becomes
+  * its own InputDoc, routed by ITS OWN extension through the engine's
+  * per-format front ends, exactly like [[WarcExtractor]] fans crawl
+  * records out.
   *
   * [north-rule extension] — the reference ingests a directory of PDFs
   * (/root/reference/setup.sql:44-45); an archive of PDFs is the same
@@ -33,6 +34,14 @@ import scala.collection.mutable.ArrayBuffer
   *    walk with the members already read.
   *  - `.tar.gz` / `.tgz`: gunzip (all members, corrupt-tail-tolerant
   *    — [[WarcExtractor.gunzipAll]]) then the tar walk.
+  *  - 7z (`'7z'` BC AF 27 1C magic): LZMA/LZMA2 solid archives via the
+  *    commons-compress `SevenZFile` already on Spark's classpath (the
+  *    one container here whose compression spec — LZMA range coding —
+  *    is out of scope for a from-scratch reader; the MEMBER semantics
+  *    match the zip/tar walks: dirs skip, dup names first-wins, a
+  *    corrupt tail keeps the members already inflated, encrypted
+  *    archives yield nothing). Deterministic member ORDER is the
+  *    archive's own entry order, like zip's local-record order.
   *
   * Nested archives do NOT recurse (an entry named `inner.zip` /
   * `inner.tar` / `inner.warc` is dropped by the ingest router): one
@@ -71,6 +80,12 @@ object ArchiveExtractor {
              bytes(259) == 't' && bytes(260) == 'a' &&
              bytes(261) == 'r') true
     else checksumOk(bytes, 0)
+
+  /** 7z signature: `'7' 'z' BC AF 27 1C` at byte 0. */
+  def isSevenZ(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && bytes(0) == '7' && bytes(1) == 'z' &&
+      (bytes(2) & 0xff) == 0xbc && (bytes(3) & 0xff) == 0xaf &&
+      (bytes(4) & 0xff) == 0x27 && (bytes(5) & 0xff) == 0x1c
 
   def isTarGz(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
@@ -179,7 +194,48 @@ object ArchiveExtractor {
     if (isPlainZip(bytes)) zipEntries(bytes)
     else if (isTarGz(bytes)) tarEntries(WarcExtractor.gunzipAll(bytes))
     else if (isTar(bytes)) tarEntries(bytes)
+    else if (isSevenZ(bytes)) sevenZEntries(bytes)
     else Vector.empty
+
+  /** 7z member walk (commons-compress). Per-entry try: a corruption
+    * mid-stream keeps the members already inflated; password-protected
+    * entries (which throw on read) skip. Dirs skip; dup names
+    * first-wins — the zip rule.
+    */
+  def sevenZEntries(bytes: Array[Byte]): Vector[Entry] = {
+    val out = ArrayBuffer.empty[Entry]
+    val seen = scala.collection.mutable.Set.empty[String]
+    try {
+      val f = org.apache.commons.compress.archivers.sevenz.SevenZFile
+        .builder()
+        .setSeekableByteChannel(
+          new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(
+            bytes))
+        .get()
+      try {
+        var e = f.getNextEntry
+        var ok = true
+        while (ok && e != null) {
+          if (!e.isDirectory && seen.add(e.getName)) {
+            // read the CURRENT entry's stream (solid archives decode
+            // sequentially; a failure poisons everything after it)
+            val body = try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var n = f.read(buf)
+              while (n > 0) { bos.write(buf, 0, n); n = f.read(buf) }
+              Some(bos.toByteArray)
+            } catch { case _: Exception => ok = false; None }
+            body.foreach(b => out += Entry(e.getName, b))
+          }
+          if (ok) e = try f.getNextEntry catch {
+            case _: Exception => null
+          }
+        }
+      } finally f.close()
+    } catch { case _: Exception => () }
+    out.toVector
+  }
 
   /** Body bytes of the named member — the byte-fetch half of the
     * media-by-reference contract for archive-embedded media files.

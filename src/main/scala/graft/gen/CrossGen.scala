@@ -3,14 +3,15 @@ package graft.gen
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
-/** Cross-format duplicate corpus: each article is written SIX ways —
+/** Cross-format duplicate corpus: each article is written SEVEN ways —
   * HTML page (with boilerplate the gate must strip), markdown post,
-  * plain-text note, a MIME email, a legacy Word 97–2003 `.doc` (CFB
-  * piece table), and a legacy PowerPoint `.ppt` deck (CFB text atom)
+  * plain-text note, a MIME email, a generic XML document (DocBook-ish
+  * title/para elements), a legacy Word 97–2003 `.doc` (CFB piece
+  * table), and a legacy PowerPoint `.ppt` deck (CFB text atom)
   * — carrying the SAME title and paragraphs. The ground truth for
   * `dd_cross_format`: after extraction into the one span vocabulary
   * and dedup-canonicalization ([[graft.ops.TextOps.canonicalText]]),
-  * the six renditions of an article collapse into ONE cluster;
+  * the seven renditions of an article collapse into ONE cluster;
   * `solo_*.txt` singletons stay alone. This is the engine's thesis in
   * one query — the interleaved span vocabulary makes corpus dedup
   * format-invariant even across the text/binary container boundary.
@@ -24,7 +25,8 @@ object CrossGen {
   private def para2(a: Int): String =
     s"A second shared paragraph closes article $a with the same words everywhere."
 
-  def formats: Seq[String] = Seq("doc", "eml", "html", "md", "ppt", "txt")
+  def formats: Seq[String] =
+    Seq("doc", "eml", "html", "md", "ppt", "txt", "xml")
 
   def fileName(a: Int, fmt: String): String = f"art$a%04d.$fmt"
   def soloName(k: Int): String = f"solo$k%04d.txt"
@@ -54,10 +56,23 @@ object CrossGen {
     "Content-Type: text/plain; charset=utf-8\r\n\r\n" +
     s"${title(a)}\r\n\r\n${para1(a)}\r\n\r\n${para2(a)}\r\n"
 
+  /** DocBook-ish: each element is one block under the XmlExtractor
+    * block rule, so the span sequence matches the md/txt renditions.
+    */
+  private def xml(a: Int): String =
+    s"""<?xml version="1.0"?>
+       |<article>
+       |  <title>${title(a)}</title>
+       |  <para>${para1(a)}</para>
+       |  <para>${para2(a)}</para>
+       |</article>
+       |""".stripMargin
+
   def bytes(a: Int, fmt: String): Array[Byte] = fmt match {
     case "html" => html(a).getBytes(UTF_8)
     case "md"   => md(a).getBytes(UTF_8)
     case "txt"  => txt(a).getBytes(UTF_8)
+    case "xml"  => xml(a).getBytes(UTF_8)
     case "doc"  => DocGen.simpleDocBytes(Seq(title(a), para1(a), para2(a)))
     case "ppt"  => PptGen.simpleDeckBytes(Seq(title(a), para1(a), para2(a)))
     case _      => eml(a).getBytes(UTF_8)
@@ -77,8 +92,8 @@ object CrossGen {
     }
   }
 
-  /** Ground truth: (doc_id, cluster_size, cluster_rep) — the four
-    * renditions cluster (rep = lexicographic min, the .eml), solos
+  /** Ground truth: (doc_id, cluster_size, cluster_rep) — an article's
+    * renditions cluster (rep = lexicographic min, the .doc), solos
     * stay singletons.
     */
   def expected(nArticles: Int, nSolo: Int): Seq[(String, Long, String)] = {

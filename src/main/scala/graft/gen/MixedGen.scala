@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 20`:
+  * File kinds by `i % 21`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -96,7 +96,11 @@ package graft.gen
   *                        ([[graft.extract.PptExtractor]]);
   *   19 → `nb_NNNN.ipynb` genuine Jupyter notebook ([[NbGen]]):
   *                        markdown/code cells, attachment + output
-  *                        images ([[graft.extract.IpynbExtractor]]).
+  *                        images ([[graft.extract.IpynbExtractor]]);
+  *   20 → `*_NNNN.xml`    generic schema-less XML ([[XmlGen]]): block
+  *                        rule over mixed content, CDATA/entities,
+  *                        decl-encoding + BOM, apparatus-only husks
+  *                        vanish ([[graft.extract.XmlExtractor]]).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -112,7 +116,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 20: @unchecked) match {
+  def fileName(i: Int): String = (i % 21: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -131,6 +135,7 @@ object MixedGen {
     case 17        => XlsGen.fileName(i)
     case 18        => PptGen.fileName(i)
     case 19        => NbGen.fileName(i)
+    case 20        => XmlGen.fileName(i)
   }
 
   // ---------- shared text ----------
@@ -420,7 +425,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 20: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 21: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -442,6 +447,7 @@ object MixedGen {
     case 17 => XlsGen.fileBytes(i)
     case 18 => PptGen.fileBytes(i)
     case 19 => NbGen.fileBytes(i)
+    case 20 => XmlGen.fileBytes(i)
   }
 
   def write(dir: String, n: Int): Unit =
@@ -455,7 +461,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 20: @unchecked) match {
+    (i % 21: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -575,6 +581,12 @@ object MixedGen {
         // ground truth
         NbGen.expectedDoc(i).map(r =>
           GtRow(f, r.kind, r.text, r.media_ref, r.ord))
+      case 20 =>
+        // generic XML: one text block per text-bearing element —
+        // XmlGen owns the ground truth (apparatus-only husks vanish)
+        XmlGen.expectedDoc(i).zipWithIndex.map { case ((_, t), k) =>
+          GtRow(f, "text", t, null, k)
+        }
     }
   }
 }

@@ -57,7 +57,7 @@ import org.apache.spark.sql.functions._
   *   is an html doc, a pdf record a pdf doc, an image record a media
   *   doc by reference) — crawl archives are directories-of-documents
   *   in one file;
-  *   .zip/.tar/.tar.gz/.tgz → EXPANDED at ingest by
+  *   .zip/.tar/.tar.gz/.tgz/.7z → EXPANDED at ingest by
   *   [[graft.extract.ArchiveExtractor]]: one InputDoc per member file
   *   (`<relpath>#<member>`), each routed by its own suffix (nested
   *   archives drop — one fan-out level);
@@ -100,6 +100,7 @@ object RawFiles {
     "tex" -> "tex", "latex" -> "tex", "srt" -> "subs", "vtt" -> "subs",
     "csv" -> "csv", "tsv" -> "csv",
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
+    "7z" -> "zip", // archive-dump dispatch; ArchiveExtractor routes by magic
     "jsonl" -> "jsonl", "ndjson" -> "jsonl", "ipynb" -> "ipynb",
     "eml" -> "eml", "mbox" -> "mbox",
     "rss" -> "feed", "atom" -> "feed", "xml" -> "xml")
@@ -163,7 +164,8 @@ object RawFiles {
     else if (kind == "zip" || kind == "tar" ||
              graft.extract.ArchiveExtractor.isPlainZip(bytes) ||
              graft.extract.ArchiveExtractor.isTarGz(bytes) ||
-             graft.extract.ArchiveExtractor.isTar(bytes))
+             graft.extract.ArchiveExtractor.isTar(bytes) ||
+             graft.extract.ArchiveExtractor.isSevenZ(bytes))
       archiveDocs(path, relativize(path, root), bytes)
     else if (kind == "jsonl") jsonlDocs(relativize(path, root), bytes)
     else if (kind == "feed" ||
@@ -347,7 +349,7 @@ object RawFiles {
       val e = if (dot < 0) "" else lp.substring(dot + 1)
       // container kinds inside a container drop — ONE fan-out level
       // (zip/tar/warc members, jsonl shards, mail spools, feeds)
-      val nested = e == "zip" || e == "tar" || e == "tgz" ||
+      val nested = e == "zip" || e == "tar" || e == "tgz" || e == "7z" ||
         e == "warc" || e == "jsonl" || e == "ndjson" || e == "eml" ||
         e == "mbox" || e == "rss" || e == "atom" ||
         lp.endsWith(".tar.gz") || lp.endsWith(".warc.gz")

@@ -36,7 +36,7 @@ class ArchiveSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("tar walker: ustar members, subdir names, padding, zero-block stop; truncation keeps the prefix") {
-    val tar = ArchiveGen.fileBytes(1) // i%3==1 → .tar
+    val tar = ArchiveGen.fileBytes(1) // i%4==1 → .tar
     assert(ArchiveExtractor.isTar(tar))
     val names = ArchiveExtractor.tarEntries(tar).map(_.name)
     assert(names == Vector("page_1.html", "docs/report_1.pdf",
@@ -54,7 +54,7 @@ class ArchiveSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("tar.gz inflates then walks; gzip of non-tar is not an archive") {
-    val tgz = ArchiveGen.fileBytes(2) // i%3==2 → .tar.gz
+    val tgz = ArchiveGen.fileBytes(2) // i%4==2 → .tar.gz
     assert(ArchiveExtractor.isTarGz(tgz))
     assert(ArchiveExtractor.entries(tgz).map(_.name).take(2) ==
       Vector("page_2.html", "docs/report_2.pdf"))
@@ -86,6 +86,31 @@ class ArchiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ArchiveExtractor.entries(docxish).isEmpty)
   }
 
+  test("7z walker: member order, bodies, dirs/dup/corruption semantics; misnamed 7z routes by magic") {
+    val sz = ArchiveGen.fileBytes(3) // i%4==3 → .7z
+    assert(ArchiveExtractor.isSevenZ(sz))
+    assert(!ArchiveExtractor.isSevenZ("7zip is a program".getBytes("UTF-8")))
+    val es = ArchiveExtractor.entries(sz)
+    assert(es.map(_.name) == Vector("page_3.html", "docs/report_3.pdf",
+      "notes_3.txt", "banner_3.png", "sub/deep_3.txt", "skip_3.exe",
+      "inner_3.zip"))
+    assert(es(3).body.toSeq == ArchiveGen.imgPayload(3).toSeq)
+    assert(new String(es(2).body, "UTF-8").startsWith("Archive note 3"))
+    // corruption/truncation degrade, never throw
+    assert(ArchiveExtractor.sevenZEntries(
+      java.util.Arrays.copyOf(sz, 16)).isEmpty)
+    for (cut <- Seq(sz.length / 4, sz.length / 2, sz.length - 3))
+      ArchiveExtractor.sevenZEntries(java.util.Arrays.copyOf(sz, cut))
+    // a misnamed .txt that is really 7z still fans out (content magic)
+    val docs = RawFiles.decodeAny("mislabeled7.txt", sz, "")
+    assert(docs.map(_.doc_id).contains("mislabeled7.txt#notes_3.txt"))
+    // a nested `.7z` member inside another archive drops
+    val outer = zipOf(Seq("inner.7z" -> sz,
+      "keep.txt" -> "kept".getBytes("UTF-8")))
+    assert(RawFiles.decodeAny("outer.zip", outer, "").map(_.doc_id) ==
+      Seq("outer.zip#keep.txt"))
+  }
+
   test("ingest fan-out: one InputDoc per member, batch == streaming decode, nested archives and unknown suffixes drop") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft-archspec")
@@ -112,9 +137,12 @@ class ArchiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     val k0 = batch.keys.filter(_.startsWith(f0 + "#")).toSet
     assert(k0 == Set(s"$f0#page_0.html", s"$f0#docs/report_0.pdf",
       s"$f0#notes_0.txt", s"$f0#banner_0.png", s"$f0#sub/deep_0.txt"))
-    // archive 3 (tar, pdf dropped): 4 docs
+    // archive 3 (7z, has pdf): 5 docs; archive 4 (zip, pdf dropped): 4
     val f3 = ArchiveGen.fileName(3)
-    assert(batch.keys.count(_.startsWith(f3 + "#")) == 4)
+    assert(f3.endsWith(".7z"))
+    assert(batch.keys.count(_.startsWith(f3 + "#")) == 5)
+    val f4 = ArchiveGen.fileName(4)
+    assert(batch.keys.count(_.startsWith(f4 + "#")) == 4)
     assert(batch.keys.count(_.startsWith("mislabeled.txt#")) == 5)
     assert(!batch.keys.exists(_.contains("hidden_")))
 

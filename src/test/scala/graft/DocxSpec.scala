@@ -263,7 +263,7 @@ class DocxSpec extends AnyFunSuite {
     }
     // the MixedGen driver-visible variant, exactly as written to disk
     (0 until 30).foreach { k =>
-      val i = 20 * k + 8
+      val i = 21 * k + 8
       val b = graft.gen.MixedGen.fileBytes(i)
       assert(DocxExtractor.isDocx(b))
       assert(DocxExtractor.items(b) == domItems(b))
