@@ -36,13 +36,17 @@ object MixedBench {
       graft.pipeline.ExtractJob.Config(out, runId = "mixed",
         groups = 1, partitions = 64, salting = "off"))
     val sec = (System.nanoTime() - t0) / 1e9
-    require(report.docsProcessed == nDocs,
-      s"expected $nDocs docs, got ${report.docsProcessed}")
+    // ground-truth-derived doc count (the CrawlBench rule): files that
+    // legitimately vanish (apparatus-only XML husks, encrypted .doc)
+    // subtract, EML attachment fan-outs add — the generator knows both
+    val gt = graft.gen.MixedGen.expected(nDocs)
+    val wantDocs = gt.map(_.doc_id).distinct.size
+    require(report.docsProcessed == wantDocs,
+      s"expected $wantDocs docs, got ${report.docsProcessed}")
 
     val outDf = graft.pipeline.ExtractJob.readOutput(spark, out)
     val byKind = outDf.groupBy("kind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val gt = graft.gen.MixedGen.expected(nDocs)
     val gtByKind = gt.groupBy(_.kind).map { case (k, rs) => k -> rs.size }
     val mediaKinds = graft.core.ExtractionSpec.MediaKinds
     val gotMedia = mediaKinds.toSeq.map(k => byKind.getOrElse(k, 0L)).sum
@@ -56,7 +60,8 @@ object MixedBench {
 
     val line = f"| mixed-format ingestion | $nDocs files (pdf / " +
       f"image-pdf / form-pdf / html / txt / media / ccitt-scan / " +
-      f"jbig2-scan / docx / md / epub / xlsx / pptx / rtf / odt / eml sixteenths) " +
+      f"jbig2-scan / docx / md / epub / xlsx / pptx / rtf / odt / eml / " +
+      f"doc / xls / ppt / ipynb / xml twenty-firsts → $wantDocs docs) " +
       f"scanned+classified+extracted in $sec%.1f s = ${nDocs / sec}%.0f " +
       f"docs/s @ local[32]; rows by kind ${byKind.toSeq.sorted.map {
         case (k, v) => s"$k=$v" }.mkString(" ")}; " +
