@@ -8,9 +8,10 @@ package graft.gen
   * with a NUMERIC `doc_id` (rendered as text), an object without any
   * text key (dropped), a blank line (dropped), an empty-text record
   * (dropped), and an id-less record with JSON escapes + non-ASCII in
-  * the text. `i%5`: 0 → `.jsonl` with a UTF-8 BOM, 1 → `.ndjson` with
+  * the text. `i%7`: 0 → `.jsonl` with a UTF-8 BOM, 1 → `.ndjson` with
   * CRLF line ends, 2 → `.jsonl.gz`, 3 → `.jsonl.zst` (the Dolma shard
-  * codec), 4 → `.jsonl.xz`. Compression is written by
+  * codec), 4 → `.jsonl.xz`, 5 → `.jsonl.lz4`, 6 → `.jsonl.sz` (framed
+  * snappy). Compression is written by
   * commons-compress output streams — the DECODE side under test is
   * [[graft.extract.Codecs]]' input framing, exercised against framing
   * this generator never shares with it.
@@ -20,12 +21,14 @@ object JsonlGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          ord: Int)
 
-  def fileName(i: Int): String = (i % 5) match {
+  def fileName(i: Int): String = (i % 7) match {
     case 0 => f"shard_$i%04d.jsonl"
     case 1 => f"shard_$i%04d.ndjson"
     case 2 => f"shard_$i%04d.jsonl.gz"
     case 3 => f"shard_$i%04d.jsonl.zst"
-    case _ => f"shard_$i%04d.jsonl.xz"
+    case 4 => f"shard_$i%04d.jsonl.xz"
+    case 5 => f"shard_$i%04d.jsonl.lz4"
+    case _ => f"shard_$i%04d.jsonl.sz"
   }
 
   private def t0(i: Int) =
@@ -57,11 +60,11 @@ object JsonlGen {
     s"""{"text": "${esc(t7(i))}"}""")
 
   def fileBytes(i: Int): Array[Byte] = {
-    val sep = if (i % 5 == 1) "\r\n" else "\n"
+    val sep = if (i % 7 == 1) "\r\n" else "\n"
     val body = lines(i).mkString("", sep, sep)
-    val prefixed = if (i % 5 == 0) "\uFEFF" + body else body
+    val prefixed = if (i % 7 == 0) "\uFEFF" + body else body
     val raw = prefixed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    (i % 5) match {
+    (i % 7) match {
       case 2 =>
         val bos = new java.io.ByteArrayOutputStream(raw.length)
         val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -78,6 +81,18 @@ object JsonlGen {
         val x = new org.apache.commons.compress.compressors.xz
           .XZCompressorOutputStream(bos)
         x.write(raw); x.close()
+        bos.toByteArray
+      case 5 =>
+        val bos = new java.io.ByteArrayOutputStream(raw.length)
+        val l = new org.apache.commons.compress.compressors.lz4
+          .FramedLZ4CompressorOutputStream(bos)
+        l.write(raw); l.close()
+        bos.toByteArray
+      case 6 =>
+        val bos = new java.io.ByteArrayOutputStream(raw.length)
+        val sn = new org.apache.commons.compress.compressors.snappy
+          .FramedSnappyCompressorOutputStream(bos)
+        sn.write(raw); sn.close()
         bos.toByteArray
       case _ => raw
     }

@@ -65,7 +65,8 @@ import org.apache.spark.sql.functions._
   *   ([[graft.extract.JsonlExtractor]] —
   *   `<relpath>#L<lineNo>:<record-id>`), the corpus-shard
   *   re-ingestion path;
-  *   other `.gz` / `.zst` / `.xz` / `.bz2` → inflated
+  *   other `.gz` / `.zst` / `.xz` / `.bz2` / `.lz4` / `.sz` /
+  *   `.snappy` → inflated
   *   ([[graft.extract.Codecs]]) and routed by the inner extension
   *   (`page.html.gz` is an html doc, `shard.jsonl.zst` a Dolma-style
   *   shard, `seg.warc.zst` a crawl segment);
@@ -107,8 +108,15 @@ object RawFiles {
 
   private val MediaExt: Map[String, String] = Map(
     "png" -> "image", "jpg" -> "image", "jpeg" -> "image", "gif" -> "image",
+    "webp" -> "image", "tiff" -> "image", "tif" -> "image",
+    "bmp" -> "image", "avif" -> "image", "ico" -> "image",
+    "svg" -> "image", // vector decoration: media by reference, not text
     "mp3" -> "audio", "wav" -> "audio", "flac" -> "audio",
-    "mp4" -> "video", "mkv" -> "video", "webm" -> "video")
+    "ogg" -> "audio", "m4a" -> "audio", "aac" -> "audio",
+    "opus" -> "audio",
+    "mp4" -> "video", "mkv" -> "video", "webm" -> "video",
+    "avi" -> "video", "mov" -> "video", "m4v" -> "video",
+    "mpg" -> "video", "mpeg" -> "video")
 
   private def ext: Column =
     lower(element_at(split(col("path"), "\\."), -1))
@@ -177,7 +185,8 @@ object RawFiles {
              graft.extract.EmlExtractor.isEml(bytes)))
       emlDocs(path, relativize(path, root), bytes)
     else if (kind == "gz" || kind == "zst" || kind == "xz" ||
-             kind == "bz2") compressedDoc(path, bytes, root, kind)
+             kind == "bz2" || kind == "lz4" || kind == "sz" ||
+             kind == "snappy") compressedDoc(path, bytes, root, kind)
     else if (graft.extract.RealPdf.isPdf(bytes))
       pdfDocs(path, relativize(path, root), bytes)
     else {
@@ -307,7 +316,8 @@ object RawFiles {
   }
 
   /** Generic single-file compression: `<name>.<ext>.<algo>` (algo ∈
-    * gz/zst/xz/bz2) inflates via [[graft.extract.Codecs]] and routes by
+    * gz/zst/xz/bz2/lz4/sz/snappy) inflates via [[graft.extract.Codecs]]
+    * and routes by
     * the INNER extension (`page.html.gz` is an html doc,
     * `shard.jsonl.zst` a jsonl shard, `seg.warc.zst` a crawl segment) —
     * web corpora compress text at rest; zstd is the Dolma/RedPajama
@@ -857,7 +867,8 @@ object RawFiles {
     val e = if (dot < 0) lp else lp.substring(dot + 1)
     if (lp.endsWith(".warc.gz")) docsOf("warc", path, content, root)
     else if (lp.endsWith(".tar.gz")) docsOf("tar", path, content, root)
-    else if (e == "gz" || e == "zst" || e == "xz" || e == "bz2")
+    else if (e == "gz" || e == "zst" || e == "xz" || e == "bz2" ||
+             e == "lz4" || e == "sz" || e == "snappy")
       docsOf(e, path, content, root)
     else TextExt.get(e) match {
       case Some(kind) => docsOf(kind, path, content, root)
@@ -887,6 +898,9 @@ object RawFiles {
         .when(lower(col("path")).endsWith(".zst"), lit("zst"))
         .when(lower(col("path")).endsWith(".xz"), lit("xz"))
         .when(lower(col("path")).endsWith(".bz2"), lit("bz2"))
+        .when(lower(col("path")).endsWith(".lz4"), lit("lz4"))
+        .when(lower(col("path")).endsWith(".sz"), lit("sz"))
+        .when(lower(col("path")).endsWith(".snappy"), lit("snappy"))
         .otherwise(kindOf(TextExt)) // double suffix: `ext` sees the algo
     val textDocs = scan
       .select(col("path"), textKind.as("kind"), col("content"))

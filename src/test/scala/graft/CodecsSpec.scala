@@ -30,6 +30,46 @@ class CodecsSpec extends AnyFunSuite {
     b.write(raw); b.close(); bos.toByteArray
   }
 
+  private def lz4(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val l = new org.apache.commons.compress.compressors.lz4
+      .FramedLZ4CompressorOutputStream(bos)
+    l.write(raw); l.close(); bos.toByteArray
+  }
+  private def snappy(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val s = new org.apache.commons.compress.compressors.snappy
+      .FramedSnappyCompressorOutputStream(bos)
+    s.write(raw); s.close(); bos.toByteArray
+  }
+
+  test("lz4 + framed snappy: magics, round trips, concatenated lz4 frames, routing, corruption") {
+    val raw = ("fast codec payload line\n" * 50).getBytes(UTF_8)
+    val l = lz4(raw)
+    assert(Codecs.isLz4(l) && !Codecs.isLz4(raw))
+    assert(Codecs.inflate("lz4", l).toSeq == raw.toSeq)
+    assert(Codecs.inflate("lz4", l ++ lz4(raw)).toSeq == (raw ++ raw).toSeq)
+    val s = snappy(raw)
+    assert(Codecs.isSnappy(s) && !Codecs.isSnappy(l))
+    assert(Codecs.inflate("sz", s).toSeq == raw.toSeq)
+    assert(Codecs.inflate("snappy", s).toSeq == raw.toSeq)
+    // routing by inner extension, exactly like .gz
+    val txt = "lz4-wrapped note".getBytes(UTF_8)
+    val d1 = RawFiles.decodeAny("note.txt.lz4", lz4(txt), "")
+    assert(d1.head.spans.head.text == "lz4-wrapped note")
+    val md = "# Sz Head\n\nsnappy body paragraph\n".getBytes(UTF_8)
+    val d2 = RawFiles.decodeAny("post.md.sz", snappy(md), "")
+    assert(d2.head.spans.map(_.text) ==
+      Seq("Sz Head", "snappy body paragraph"))
+    val d3 = RawFiles.decodeAny("note.txt.snappy", snappy(txt), "")
+    assert(d3.head.spans.head.text == "lz4-wrapped note")
+    // corrupt streams drop, never throw
+    assert(Codecs.inflate("lz4", "junk".getBytes(UTF_8)).isEmpty)
+    assert(Codecs.inflate("sz", Array[Byte](1, 2)).isEmpty)
+    assert(RawFiles.decodeAny("x.html.lz4",
+      "junk".getBytes(UTF_8), "").isEmpty)
+  }
+
   test("magics + round trips, concatenated frames, corruption tolerance") {
     val raw = ("payload line one\n" * 40).getBytes(UTF_8)
     val z = zst(raw)
@@ -107,11 +147,11 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
-  test("jsonl shard codecs: zst and xz shards fan out identically to plain") {
-    // same logical shard content across suffix variants 0 (plain BOM),
-    // 3 (zst), 4 (xz) modulo the per-index text differences — so
+  test("jsonl shard codecs: zst/xz/lz4/snappy shards fan out identically to plain") {
+    // same logical shard content across the compressed suffix variants
+    // (zst, xz, lz4, sz) modulo the per-index text differences — so
     // compare each against its OWN generator ground truth
-    Seq(3, 4, 8, 9).foreach { i =>
+    Seq(3, 4, 5, 6, 10, 11, 12, 13).foreach { i =>
       val docs = RawFiles.decodeAny(graft.gen.JsonlGen.fileName(i),
         graft.gen.JsonlGen.fileBytes(i), "")
       val want = graft.gen.JsonlGen.expectedDoc(i)

@@ -45,6 +45,15 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docs("d.png").spans.head.text == null)
     assert(docs("d.png").spans.head.media_ref.endsWith("/d.png"))
 
+    // widened media vocabulary: one by-reference span per suffix family
+    for ((n, k) <- Seq("e.webp" -> "image", "f.tiff" -> "image",
+        "g.svg" -> "image", "h.ogg" -> "audio", "i.opus" -> "audio",
+        "j.mov" -> "video", "k.avi" -> "video")) {
+      val one = RawFiles.decodeAny(n, Array[Byte](9, 9), "")
+      assert(one.map(_.spans.map(s => (s.kind, s.text))) ==
+        Seq(Vector((k, null))), n)
+    }
+
     // the ingested pdf doc extracts identically to the same payload fed
     // directly — source adapter is transparent to the engine
     val got = Extractor.extract(docs("a.pdf"))
