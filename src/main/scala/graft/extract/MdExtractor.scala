@@ -18,7 +18,16 @@ import scala.collection.mutable.ArrayBuffer
   * Input is split into lines on `\n` (a trailing `\r` per line is
   * dropped; a final `\n` TERMINATES the last line rather than opening
   * an empty one — so an unclosed fence in a newline-terminated file
-  * does not pick up a phantom blank line). The item stream:
+  * does not pick up a phantom blank line).
+  *
+  * YAML FRONT MATTER (the Jekyll/Hugo/Pandoc static-site convention):
+  * iff the FIRST line trimmed is exactly `---`, the block through the
+  * next line whose trimmed form is `---` or `...` is metadata
+  * apparatus and DROPS (keys never become corpus text). No closing
+  * line → not front matter, the `---` reads as content (degrade). A
+  * `---` anywhere after line 0 is ordinary content.
+  *
+  * The item stream:
   *
   *  - FENCED CODE: a line whose trimmed form starts with three or more
   *    backticks opens a fence (the info string after the backticks is
@@ -158,8 +167,14 @@ object MdExtractor {
     }
 
     val split = md.split("\n", -1)
-    val lines = (if (split.nonEmpty && split.last.isEmpty) split.init
-                 else split).iterator.map(_.stripSuffix("\r"))
+    val lines0 = (if (split.nonEmpty && split.last.isEmpty) split.init
+                  else split).toVector.map(_.stripSuffix("\r"))
+    // YAML front matter: first line `---` + a closing `---`/`...` line
+    val lines = (if (lines0.nonEmpty && lines0.head.trim == "---") {
+      val close = lines0.indexWhere(
+        l => l.trim == "---" || l.trim == "...", 1)
+      if (close > 0) lines0.drop(close + 1) else lines0
+    } else lines0).iterator
     var fenceLen = 0
     val fence = ArrayBuffer.empty[String]
     def closeFence(): Unit = {

@@ -391,7 +391,13 @@ object MixedGen {
 
   private def makeMd(i: Int): String = {
     val b = mdBlocks(i)
-    s"""# ${b(0)}
+    // Jekyll-style YAML front matter: metadata apparatus, never text
+    s"""---
+       |title: Post $i front-matter title (apparatus)
+       |date: 2026-01-${1 + i % 28}
+       |tags: [web, corpus]
+       |---
+       |# ${b(0)}
        |
        |Intro paragraph of post $i with a [useful link](https://ex${i % 5}.example/p$i) in it
        |soft-wrapped for m${(i * 7) % 883}.

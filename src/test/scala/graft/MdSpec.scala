@@ -25,8 +25,19 @@ class MdSpec extends AnyFunSuite {
     val ref = "(!?)\\[([^\\]]*)\\]\\(\\s*([^)\\s]*)(?:\\s+\"[^\"]*\")?\\s*\\)".r
     // segment the line list into (isFence, lines) groups first
     val split0 = md.split("\n", -1).toVector
-    val lines = (if (split0.nonEmpty && split0.last.isEmpty) split0.init
-                 else split0).map(_.stripSuffix("\r"))
+    val linesAll = (if (split0.nonEmpty && split0.last.isEmpty) split0.init
+                    else split0).map(_.stripSuffix("\r"))
+    // front matter: independent re-derivation of the drop rule
+    val lines =
+      if (linesAll.headOption.exists(_.trim == "---")) {
+        val close = linesAll.zipWithIndex.drop(1).find { case (l, _) =>
+          l.trim == "---" || l.trim == "..."
+        }
+        close match {
+          case Some((_, at)) => linesAll.drop(at + 1)
+          case None          => linesAll
+        }
+      } else linesAll
     final case class Seg(fence: Boolean, lines: Vector[String])
     val segs = Vector.newBuilder[Seg]
     var i = 0
@@ -219,6 +230,24 @@ class MdSpec extends AnyFunSuite {
       Vector(Block("A"), Block("line one line two")))
   }
 
+  test("YAML front matter drops; unclosed or mid-file --- stays content") {
+    // closed front matter: keys never become text
+    assert(MdExtractor.items(
+      "---\ntitle: X\ntags: [a]\n---\nBody text here.\n") ==
+      Vector(Block("Body text here.")))
+    // `...` closes too (the Pandoc form)
+    assert(MdExtractor.items("---\nkey: v\n...\nAfter.\n") ==
+      Vector(Block("After.")))
+    // unclosed: the --- reads as content (degrade, don't eat the doc)
+    assert(MdExtractor.items("---\njust: maybe\nprose line\n") ==
+      Vector(Block("--- just: maybe prose line")))
+    // a --- after line 0 is ordinary content
+    assert(MdExtractor.items("lead\n---\nkey: v\n---\ntail\n") ==
+      Vector(Block("lead --- key: v --- tail")))
+    // front-matter-only file vanishes
+    assert(MdExtractor.items("---\nonly: meta\n---\n").isEmpty)
+  }
+
   // ---------- dual-impl parity ----------
 
   test("line machine == segment/regex twin on random and generator docs") {
@@ -230,7 +259,7 @@ class MdSpec extends AnyFunSuite {
       "with ![alt text](img_0.png) inline", "a [link](http://x.example/q) here",
       "![clip](v.webm) lead", "mixed > not a quote",
       "| c1 | c2 |", "| --- | :-: |", "| v1 | ![t](u.png) v2 |",
-      "| lone", "|-|")
+      "| lone", "|-|", "---", "title: Random Post", "...")
     (0 until 80).foreach { _ =>
       val doc = (0 until 3 + next(18)).map(_ => frags(next(frags.size)))
         .mkString("\n")
