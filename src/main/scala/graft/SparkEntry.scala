@@ -141,7 +141,9 @@ object SparkEntry {
       // paragraphs / lists / fenced code / image refs), EPUB books,
       // XLSX workbooks (used-range TSV sheets), legacy binary Office
       // (.doc piece-table memos, .xls BIFF8 workbooks, .ppt decks with
-      // BLIP-store pictures), and standalone
+      // BLIP-store pictures), ipynb notebooks, generic XML, HF-style
+      // whole-file .json array exports (per-element fan-out docs), and
+      // standalone
       // media files in ONE scratch tree, through the production binaryFile
       // scan → RawFiles classification → Extractor. Output is the
       // north-rule span invariant (kind, text, media_ref, order);
@@ -437,7 +439,7 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-mdtsv")
       (0 until 24).foreach { k =>
-        val i = 21 * k + 9
+        val i = 22 * k + 9
         java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp, graft.gen.MixedGen.fileName(i)),
           graft.gen.MixedGen.fileBytes(i)): Unit
@@ -530,11 +532,16 @@ object SparkEntry {
     }),
     "ex_jsonl" -> ((s, dir) => {
       // corpus-shard re-ingestion, driver-visible: each .jsonl /
-      // .ndjson / .jsonl.gz shard FANS OUT to one document per
-      // retained JSON line (`<file>#L<lineNo>:<id>`) — text under the
-      // Dolma/HF/CCNet key conventions (text|content|raw_content), ids
-      // from id|url|doc_id, malformed/blank/text-less lines dropped,
-      // BOM and CRLF tolerated. Oracle: JsonlGen ground truth.
+      // .ndjson / .jsonl.{gz,zst,xz,lz4,sz} shard FANS OUT to one
+      // document per retained JSON line (`<file>#L<lineNo>:<id>`) —
+      // text under the Dolma/HF/CCNet key conventions
+      // (text|content|raw_content), ids from id|url|doc_id,
+      // malformed/blank/text-less lines dropped, BOM and CRLF
+      // tolerated. Whole-file `.json` joins the family: a single
+      // pretty-printed object is ONE document (the file itself), an
+      // HF-style array export fans out per retained element
+      // (`<file>#r<idx>:<id>`), `.json.gz` routes by inner extension.
+      // Oracle: JsonlGen ground truth.
       import s.implicits._
       val tmp = scratchDir("graft-jsonl")
       graft.gen.JsonlGen.write(tmp, 24)
@@ -767,6 +774,30 @@ object SparkEntry {
       import s.implicits._
       val tmp = scratchDir("graft-doc")
       graft.gen.DocGen.write(tmp, 24)
+      graft.sources.RawFiles.read(s, tmp)
+        .flatMap(d => Extractor.extractRows(d))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("text"),
+          element_at(split(col("media_ref"), "/"), -1).as("media_ref"),
+          col("order").as("ord"))
+        .orderBy("doc_id", "ord")
+    }),
+    "ex_docx" -> ((s, dir) => {
+      // WordprocessingML ingestion with TABLES, driver-visible:
+      // genuine .docx packages through the production binaryFile scan
+      // → RawFiles classification → Extractor — paragraphs as verbatim
+      // "text" spans, each w:tbl as ONE span holding the engine's TSV
+      // table vocabulary (ragged rows padded, multi-paragraph cells
+      // space-joined, nested tables flattened into their host cell,
+      // whitespace-only grids silent), blips as media spans AT TAG
+      // POSITION (before the grid they sit in — it materializes at
+      // </w:tbl>). media_ref reduced to its path-independent tail as
+      // in ex_doc. Oracle: DocxGen ground truth (the generator commits
+      // to cell matrices and paragraph strings first, then renders the
+      // XML the scanner sees).
+      import s.implicits._
+      val tmp = scratchDir("graft-docx")
+      graft.gen.DocxGen.write(tmp, 24)
       graft.sources.RawFiles.read(s, tmp)
         .flatMap(d => Extractor.extractRows(d))
         .toDF()
@@ -1925,7 +1956,7 @@ object SparkEntry {
       // generator ground truth: the pipe-table TSV each md doc carries
       import s.implicits._
       (0 until 24).map { k =>
-        val i = 21 * k + 9
+        val i = 22 * k + 9
         (graft.gen.MixedGen.fileName(i), graft.gen.MixedGen.mdTableTsv(i))
       }.toDF("doc_id", "tsv")
     }),
@@ -2070,6 +2101,15 @@ object SparkEntry {
       // container and piece table by hand, independent of the reader
       import s.implicits._
       graft.gen.DocGen.expected(24)
+        .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
+        .toDF("doc_id", "kind", "text", "media_ref", "ord")
+    }),
+    "ex_docx" -> ((s, dir) => {
+      // generator ground truth — the paragraph strings, table cell
+      // matrices (TSV'd by the generator's own padding), and media
+      // tails DocxGen chose BEFORE rendering any XML
+      import s.implicits._
+      graft.gen.DocxGen.expected(24)
         .map(r => (r.doc_id, r.kind, r.text, r.media_ref, r.ord))
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
@@ -2275,6 +2315,8 @@ object SparkEntry {
       s"SELECT * FROM '$ExpectedToken/ex_charset/*.parquet'",
     "ex_doc" ->
       s"SELECT * FROM '$ExpectedToken/ex_doc/*.parquet'",
+    "ex_docx" ->
+      s"SELECT * FROM '$ExpectedToken/ex_docx/*.parquet'",
     "ex_ppt" ->
       s"SELECT * FROM '$ExpectedToken/ex_ppt/*.parquet'",
     "ex_eml" ->

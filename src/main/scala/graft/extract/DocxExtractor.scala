@@ -48,6 +48,24 @@ import scala.collection.mutable.ArrayBuffer
   *    emits it).
   *  - `<w:tab/>` appends a tab, `<w:br/>` and `<w:cr/>` append a
   *    newline — inside an open paragraph only; closing forms ignored.
+  *  - `<w:tbl>` opens a table (flushing any open paragraph): the grid
+  *    emits at `</w:tbl>` as ONE [[Text]] item holding the engine's
+  *    TSV table vocabulary (tab-joined cells, newline-joined rows,
+  *    ragged rows right-padded with empty cells — the same shape the
+  *    PDF/markdown/HTML/XLSX/PPTX/ODT paths emit). `<w:tr>` closes a
+  *    row at its end tag (kept iff it produced ≥1 cell); `<w:tc>`
+  *    opens a cell, closed at `</w:tc>`. Cell text accumulates from
+  *    the same `w:t`/`w:tab`/`w:br`/`w:cr` machinery; each `</w:p>`
+  *    inside a cell appends a space (multi-paragraph cells space-join,
+  *    the ODT rule), then the whole cell normalizes trim +
+  *    whitespace-run-collapse (tabs and newlines are structural in
+  *    TSV). NESTED tables (a `<w:tbl>` inside a cell) flatten into
+  *    their host cell's text: their row/cell tags are non-structural,
+  *    their character data flows. Character data inside a table but
+  *    outside any cell drops. An all-whitespace grid emits nothing;
+  *    an unclosed table at EOF emits what it accumulated. Blips
+  *    inside a table emit at tag position — i.e. BEFORE the table's
+  *    Text item (the grid materializes at its close).
   *  - `<a:blip ... r:embed="rIdN">` (self-closing or not) resolves rIdN
   *    through the relationship map and emits one [[Media]] item with
   *    ref = the Target verbatim and kind = by Target extension
@@ -123,10 +141,38 @@ object DocxExtractor {
     var inPara = false
     var inT = false
 
+    // table state (the `w:tbl` grid machine — ODT semantics)
+    var tblDepth = 0
+    val rows = ArrayBuffer.empty[Vector[String]]
+    val cells = ArrayBuffer.empty[String]
+    val cell = new StringBuilder
+    var inCell = false
+
     def flush(): Unit = {
       if (inPara && para.exists(!_.isWhitespace))
         out += Text(para.toString)
       para.clear(); inPara = false; inT = false
+    }
+    def appendText(t: String): Unit =
+      if (tblDepth > 0) { if (inCell) { cell.append(t); () } }
+      else { para.append(t); () }
+    def closeCell(): Unit = if (inCell) {
+      cells += cell.toString.trim.replaceAll("\\s+", " ")
+      cell.setLength(0); inCell = false
+    }
+    def closeRow(): Unit = {
+      closeCell()
+      if (cells.nonEmpty) rows += cells.toVector
+      cells.clear()
+    }
+    def closeTable(): Unit = {
+      closeRow()
+      if (rows.nonEmpty) {
+        val width = rows.map(_.length).max
+        val tsv = rows.map(_.padTo(width, "").mkString("\t")).mkString("\n")
+        if (tsv.exists(!_.isWhitespace)) out += Text(tsv)
+      }
+      rows.clear()
     }
 
     var i = 0
@@ -134,20 +180,41 @@ object DocxExtractor {
       val lt = doc.indexOf('<', i)
       if (lt < 0) { i = doc.length }
       else {
-        if (inT && lt > i) para.append(decodeEntities(doc.substring(i, lt)))
+        if (inT && lt > i) appendText(decodeEntities(doc.substring(i, lt)))
         val gt = doc.indexOf('>', lt)
         if (gt < 0) { i = doc.length }
         else {
           val (name, closing, selfClosing) = tagOf(doc, lt, gt)
           name match {
+            case "w:tbl" if !selfClosing =>
+              if (closing) {
+                if (tblDepth == 1) closeTable()
+                tblDepth = math.max(0, tblDepth - 1)
+              } else {
+                if (tblDepth == 0) flush()
+                tblDepth += 1
+              }
+            case "w:tr" if tblDepth == 1 && !selfClosing =>
+              if (closing) closeRow()
+            case "w:tc" if tblDepth == 1 && !selfClosing =>
+              if (closing) closeCell()
+              else { closeCell(); inCell = true }
             case "w:p" =>
-              if (closing) flush()
+              if (tblDepth > 0) {
+                // cell paragraphs join with a space (structural TSV);
+                // the close-side space collapses in cell normalization
+                if (closing && inCell) { cell.append(' '); () }
+                inT = false
+              }
+              else if (closing) flush()
               else if (!selfClosing) { flush(); inPara = true }
             case "w:t" =>
               if (closing || selfClosing) inT = false
-              else if (inPara) inT = true
-            case "w:tab" if inPara && !closing => para.append('\t')
-            case "w:br" | "w:cr" if inPara && !closing => para.append('\n')
+              else if (inPara || (tblDepth > 0 && inCell)) inT = true
+            case "w:tab" if !closing &&
+                (inPara || (tblDepth > 0 && inCell)) => appendText("\t")
+            case "w:br" | "w:cr" if !closing &&
+                (inPara || (tblDepth > 0 && inCell)) => appendText("\n")
             case "a:blip" if !closing =>
               attrOf(doc, lt, gt, "r:embed").flatMap(rels.get).foreach(t =>
                 out += Media(mediaKind(t), t))
@@ -158,6 +225,7 @@ object DocxExtractor {
       }
     }
     flush()
+    if (tblDepth > 0) { tblDepth = 1; closeTable() } // truncated table
     out.toVector
   }
 

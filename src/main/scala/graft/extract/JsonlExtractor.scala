@@ -58,13 +58,52 @@ object JsonlExtractor {
     }.toVector
   }
 
-  /** (id, text) of one retained line, None otherwise. */
-  private[graft] def parseLine(line: String): Option[(String, String)] = {
-    if (line.trim.isEmpty) return None
-    val node =
-      try mapper.readTree(line)
-      catch { case _: Exception => return None }
-    if (node == null || !node.isObject) return None
+  /** Whole-file `.json` records — the single-document / HF-array
+    * sibling of the linewise shard path. The payload parses as ONE
+    * JSON value (UTF-8, BOM stripped):
+    *
+    *  - an OBJECT retained by the same text-key convention yields one
+    *    record at index -1 (the sentinel: one file = one corpus unit,
+    *    not an array element);
+    *  - an ARRAY yields one record per retained object element, at its
+    *    0-based array index (the HF `dataset.json` export shape) —
+    *    non-object / text-less elements drop silently, indexes stay
+    *    positional;
+    *  - anything else (scalars, malformed JSON, text-less objects)
+    *    yields nothing — degrade, never throw.
+    */
+  def valueRecords(bytes: Array[Byte]): Vector[Rec] = {
+    val node = rootOf(bytes).getOrElse(return Vector.empty)
+    if (node.isObject)
+      retained(node).map { case (id, t) => Rec(-1, id, t) }.toVector
+    else if (node.isArray)
+      (0 until node.size).flatMap(k =>
+        Option(node.get(k)).filter(_.isObject).flatMap(retained)
+          .map { case (id, t) => Rec(k, id, t) }).toVector
+    else Vector.empty
+  }
+
+  /** Content magic: a `.json` that is really a Jupyter notebook
+    * (object with a numeric `nbformat` and `cells`/`worksheets`) —
+    * routed to the notebook front end upstream, exactly like the
+    * lying-extension magics elsewhere (CFB-under-.txt, feed-rooted
+    * `.xml`).
+    */
+  def isNotebookJson(bytes: Array[Byte]): Boolean =
+    rootOf(bytes).exists(n => n.isObject && n.has("nbformat") &&
+      (n.has("cells") || n.has("worksheets")))
+
+  private def rootOf(bytes: Array[Byte])
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val s0 = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val s = if (s0.startsWith("\uFEFF")) s0.substring(1) else s0
+    try Option(mapper.readTree(s))
+    catch { case _: Exception => None }
+  }
+
+  private def retained(
+      node: com.fasterxml.jackson.databind.JsonNode)
+      : Option[(String, String)] = {
     val text = TextKeys.iterator
       .map(node.get).find(n => n != null && n.isTextual)
       .map(_.asText).filter(_.nonEmpty)
@@ -74,5 +113,15 @@ object JsonlExtractor {
         .map(_.asText).getOrElse("")
       (id, t)
     }
+  }
+
+  /** (id, text) of one retained line, None otherwise. */
+  private[graft] def parseLine(line: String): Option[(String, String)] = {
+    if (line.trim.isEmpty) return None
+    val node =
+      try mapper.readTree(line)
+      catch { case _: Exception => return None }
+    if (node == null || !node.isObject) return None
+    retained(node)
   }
 }

@@ -16,7 +16,7 @@ package graft.gen
   * [[graft.extract.RealPdf]] / [[graft.extract.HtmlExtractor]] /
   * [[graft.extract.Extractor]].
   *
-  * File kinds by `i % 21`:
+  * File kinds by `i % 22`:
   *   0 → `doc_NNNN.pdf`   Flate text-only (RealPdfBench variant 1);
   *   1 → `doc_NNNN.pdf`   one page of text + two image XObjects
   *                        (raw /DeviceGray samples) painted after the
@@ -43,8 +43,10 @@ package graft.gen
   *                        an embedded image blip inside the second
   *                        paragraph (emits BEFORE that paragraph's
   *                        text, [[graft.extract.DocxExtractor]]
-  *                        tag-position rule), and a dangling r:embed
-  *                        that must stay silent.
+  *                        tag-position rule), a dangling r:embed
+  *                        that must stay silent, and a closing
+  *                        `w:tbl` metrics grid (ONE TSV span in the
+  *                        table vocabulary).
   *   9 → `post_NNNN.md`   markdown post: ATX heading, soft-wrapped
   *                        paragraph with an inline link, a figure image
   *                        (emits at tag position, alt text reads as its
@@ -100,7 +102,13 @@ package graft.gen
   *   20 → `*_NNNN.xml`    generic schema-less XML ([[XmlGen]]): block
   *                        rule over mixed content, CDATA/entities,
   *                        decl-encoding + BOM, apparatus-only husks
-  *                        vanish ([[graft.extract.XmlExtractor]]).
+  *                        vanish ([[graft.extract.XmlExtractor]]);
+  *   21 → `export_NNNN.json` HF-style whole-file JSON array export:
+  *                        retained elements fan out positionally
+  *                        (`<file>#r<idx>:<id>`), junk elements
+  *                        (scalar, text-less object) at pinned
+  *                        indexes drop ([[graft.extract.JsonlExtractor]]
+  *                        `valueRecords`).
   *
   * Text geometry matches [[graft.tools.RealPdfBench.makePdf]] (11 pt
   * font, x=72, leading 14 from y=760): every page's lines cluster into
@@ -116,7 +124,7 @@ object MixedGen {
   final case class GtRow(doc_id: String, kind: String, text: String,
                          media_ref: String, ord: Int)
 
-  def fileName(i: Int): String = (i % 21: @unchecked) match {
+  def fileName(i: Int): String = (i % 22: @unchecked) match {
     case 0 | 1 | 2 => f"doc_$i%04d.pdf"
     case 3         => f"page_$i%04d.html"
     case 4         => f"note_$i%04d.txt"
@@ -136,6 +144,7 @@ object MixedGen {
     case 18        => PptGen.fileName(i)
     case 19        => NbGen.fileName(i)
     case 20        => XmlGen.fileName(i)
+    case 21        => f"export_$i%04d.json"
   }
 
   // ---------- shared text ----------
@@ -307,6 +316,16 @@ object MixedGen {
 
   private def docxImage(i: Int): String = "media/image1.png"
 
+  /** The memo's closing metrics grid — expected TSV form (ground
+    * truth); [[makeDocx]] renders the `w:tbl` XML from the same cells.
+    */
+  private def docxGrid(i: Int): Vector[Vector[String]] = Vector(
+    Vector("metric", "value"),
+    Vector(s"memo $i rows", s"${(i * 13) % 101}"))
+
+  private def docxTsv(i: Int): String =
+    docxGrid(i).map(_.mkString("\t")).mkString("\n")
+
   /** Genuine WordprocessingML zip. Deterministic: fixed entry times,
     * STORED method (no deflate-implementation dependence in the bytes).
     */
@@ -334,7 +353,7 @@ object MixedGen {
         """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"""" +
         """ xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"""" +
         """ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
-        s"<w:body>${bodyParas.mkString}<w:p/></w:body></w:document>"
+        s"<w:body>${bodyParas.mkString}${docxTableXml(i)}<w:p/></w:body></w:document>"
     val relsXml =
       """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
         s"""<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/image" Target="${docxImage(i)}"/>""" +
@@ -349,6 +368,12 @@ object MixedGen {
       "word/_rels/document.xml.rels" -> relsXml.getBytes("UTF-8"),
       s"word/${docxImage(i)}" -> makePng(i))
   }
+
+  private def docxTableXml(i: Int): String =
+    "<w:tbl><w:tblPr/><w:tblGrid/>" + docxGrid(i).map(row =>
+      "<w:tr>" + row.map(c =>
+        s"<w:tc><w:tcPr/><w:p><w:r><w:t>$c</w:t></w:r></w:p></w:tc>")
+        .mkString + "</w:tr>").mkString + "</w:tbl>"
 
   private[graft] def zipStored(entries: (String, Array[Byte])*): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -431,7 +456,7 @@ object MixedGen {
 
   // ---------- public surface ----------
 
-  def fileBytes(i: Int): Array[Byte] = (i % 21: @unchecked) match {
+  def fileBytes(i: Int): Array[Byte] = (i % 22: @unchecked) match {
     case 0 => graft.tools.RealPdfBench.makePdf(i.toLong, 1)
     case 1 => makeImagePdf(i)
     case 2 => makeFormPdf(i)
@@ -454,7 +479,24 @@ object MixedGen {
     case 18 => PptGen.fileBytes(i)
     case 19 => NbGen.fileBytes(i)
     case 20 => XmlGen.fileBytes(i)
+    case 21 => makeJsonExport(i).getBytes("UTF-8")
   }
+
+  // ---------- whole-file JSON export ----------
+
+  private def jsonText(i: Int, k: Int): String =
+    s"Json export $i record $k carries m${(i * (67 + 4 * k)) % 883} onward."
+
+  /** Pretty-printed HF-style array: retained objects at indexes 0 and
+    * 3, a scalar and a text-less object between them (dropped).
+    */
+  private def makeJsonExport(i: Int): String =
+    s"""[
+       |  {"id": "mx-$i-0", "text": "${jsonText(i, 0)}"},
+       |  ${i % 97},
+       |  {"note": "no text key in export $i"},
+       |  {"url": "https://example.org/mx/$i", "content": "${jsonText(i, 1)}"}
+       |]""".stripMargin
 
   def write(dir: String, n: Int): Unit =
     (0 until n).foreach { i =>
@@ -467,7 +509,7 @@ object MixedGen {
     */
   def expected(n: Int): Seq[GtRow] = (0 until n).flatMap { i =>
     val f = fileName(i)
-    (i % 21: @unchecked) match {
+    (i % 22: @unchecked) match {
       case 0 =>
         graft.tools.RealPdfBench.pagesOf(i.toLong, 1).zipWithIndex.map {
           case (ls, k) => GtRow(f, "pdf", joined(ls), null, k)
@@ -512,7 +554,10 @@ object MixedGen {
         (GtRow(f, "text", ps.head, null, 0) +:
           GtRow(f, "image", null, "image1.png", 1) +:
           ps.tail.zipWithIndex.map { case (t, k) =>
-            GtRow(f, "text", t, null, k + 2) })
+            GtRow(f, "text", t, null, k + 2) }) :+
+          // the closing w:tbl grid enters as ONE TSV span (table
+          // vocabulary) after the last paragraph
+          GtRow(f, "text", docxTsv(i), null, ps.length + 1)
       case 9 =>
         // markdown blocks as "text" rows; the figure image emits at tag
         // position — before its own alt-text paragraph block (external
@@ -593,6 +638,13 @@ object MixedGen {
         XmlGen.expectedDoc(i).zipWithIndex.map { case ((_, t), k) =>
           GtRow(f, "text", t, null, k)
         }
+      case 21 =>
+        // whole-file JSON array export: retained elements fan out as
+        // their own documents at their physical array indexes
+        Seq(
+          GtRow(s"$f#r0:mx-$i-0", "text", jsonText(i, 0), null, 0),
+          GtRow(s"$f#r3:https://example.org/mx/$i", "text",
+            jsonText(i, 1), null, 0))
     }
   }
 }

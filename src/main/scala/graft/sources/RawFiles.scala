@@ -65,6 +65,10 @@ import org.apache.spark.sql.functions._
   *   ([[graft.extract.JsonlExtractor]] —
   *   `<relpath>#L<lineNo>:<record-id>`), the corpus-shard
   *   re-ingestion path;
+  *   .json → whole-file JSON: a retained single object IS the doc
+  *   (`<relpath>`), an HF-style array fans out per retained element
+  *   (`<relpath>#r<idx>:<record-id>`); notebook-shaped payloads
+  *   reroute to the ipynb front end by content magic;
   *   other `.gz` / `.zst` / `.xz` / `.bz2` / `.lz4` / `.sz` /
   *   `.snappy` → inflated
   *   ([[graft.extract.Codecs]]) and routed by the inner extension
@@ -103,6 +107,7 @@ object RawFiles {
     "warc" -> "warc", "zip" -> "zip", "tar" -> "tar", "tgz" -> "tar",
     "7z" -> "zip", // archive-dump dispatch; ArchiveExtractor routes by magic
     "jsonl" -> "jsonl", "ndjson" -> "jsonl", "ipynb" -> "ipynb",
+    "json" -> "json",
     "eml" -> "eml", "mbox" -> "mbox",
     "rss" -> "feed", "atom" -> "feed", "xml" -> "xml")
 
@@ -176,6 +181,9 @@ object RawFiles {
              graft.extract.ArchiveExtractor.isSevenZ(bytes))
       archiveDocs(path, relativize(path, root), bytes)
     else if (kind == "jsonl") jsonlDocs(relativize(path, root), bytes)
+    else if (kind == "json" &&
+             !graft.extract.JsonlExtractor.isNotebookJson(bytes))
+      jsonDocs(relativize(path, root), bytes)
     else if (kind == "feed" ||
              (kind == "xml" && graft.extract.FeedExtractor.isFeed(bytes)))
       feedDocs(relativize(path, root), bytes)
@@ -237,6 +245,24 @@ object RawFiles {
       InputDoc(s"$rel#L${r.lineNo}:${r.id}",
         Vector(Span("text", r.text, null, 0)))
     }
+
+  /** Whole-file `.json` documents — the single-object / HF-array
+    * sibling of the jsonl shard path: one retained OBJECT is the file
+    * itself (`<relpath>`, one file = one corpus unit, like every other
+    * front end); an ARRAY fans out one InputDoc per retained element
+    * (`<relpath>#r<idx>:<record-id>`, mirroring jsonl's `#L` ids).
+    * A notebook-shaped `.json` never reaches here — [[docsOf]] routes
+    * it to the ipynb front end by content magic.
+    */
+  private def jsonDocs(rel: String, bytes: Array[Byte]): Seq[InputDoc] = {
+    graft.extract.JsonlExtractor.valueRecords(bytes).map { r =>
+      if (r.lineNo < 0) // the single-object sentinel: the file IS the doc
+        InputDoc(rel, Vector(Span("text", r.text, null, 0)))
+      else
+        InputDoc(s"$rel#r${r.lineNo}:${r.id}",
+          Vector(Span("text", r.text, null, 0)))
+    }
+  }
 
   /** One syndication feed → one InputDoc per retained RSS item /
     * Atom entry (`<relpath>#e<idx>:<guid-or-link>`): title + body
@@ -444,6 +470,7 @@ object RawFiles {
     else if (mime.contains("presentationml")) Some("pptx")
     else if (mime.contains("epub")) Some("epub")
     else if (mime.contains("ipynb")) Some("ipynb")
+    else if (mime.contains("json")) Some("json") // incl. application/json
     else if (mime.startsWith("text/") || mime.isEmpty) Some("text")
     else if (magic) Some("text") // docSpans reroutes by the magic
     else None
@@ -667,6 +694,17 @@ object RawFiles {
           graft.extract.CharsetSniff.decode(bytes, html = false,
             transportCharset))
         .zipWithIndex.map { case (t, k) => Span("text", t, null, k) }
+    } else if (kind == "json") {
+      // whole-file JSON at the SPAN level (archive members, eml/pdf
+      // attachments — the doc-level single/array fan-out lives in
+      // [[jsonDocs]]): notebook-shaped payloads delegate to the ipynb
+      // front end by content magic; otherwise retained records' texts
+      // enter in order (object → one span, HF array → one per element).
+      if (graft.extract.JsonlExtractor.isNotebookJson(bytes))
+        docSpans("ipynb", path, bytes, transportCharset)
+      else
+        graft.extract.JsonlExtractor.valueRecords(bytes).zipWithIndex
+          .map { case (r, k) => Span("text", r.text, null, k) }
     } else if (kind == "ipynb") {
       // Jupyter notebooks decode at the ingest boundary: markdown
       // cells through the MdExtractor semantics (headings, paragraphs,

@@ -61,7 +61,7 @@ object MixedBench {
     val line = f"| mixed-format ingestion | $nDocs files (pdf / " +
       f"image-pdf / form-pdf / html / txt / media / ccitt-scan / " +
       f"jbig2-scan / docx / md / epub / xlsx / pptx / rtf / odt / eml / " +
-      f"doc / xls / ppt / ipynb / xml twenty-firsts → $wantDocs docs) " +
+      f"doc / xls / ppt / ipynb / xml / json twenty-seconds → $wantDocs docs) " +
       f"scanned+classified+extracted in $sec%.1f s = ${nDocs / sec}%.0f " +
       f"docs/s @ local[32]; rows by kind ${byKind.toSeq.sorted.map {
         case (k, v) => s"$k=$v" }.mkString(" ")}; " +

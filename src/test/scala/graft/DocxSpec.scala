@@ -63,6 +63,11 @@ class DocxSpec extends AnyFunSuite {
       s"""<a:blip r:embed="$id"/>""" +
       "</a:graphicData></a:graphic></w:drawing></w:r>"
 
+  def tc(paras: String*): String = s"<w:tc><w:tcPr/>${paras.mkString}</w:tc>"
+  def tr(cells: String*): String = s"<w:tr><w:trPr/>${cells.mkString}</w:tr>"
+  def tbl(rows: String*): String =
+    s"<w:tbl><w:tblPr/><w:tblGrid/>${rows.mkString}</w:tbl>"
+
   // ---------- the DOM twin ----------
 
   /** Spec re-implementation over javax.xml DOM (namespace-aware). */
@@ -120,6 +125,74 @@ class DocxSpec extends AnyFunSuite {
         c = c.getNextSibling
       }
     }
+    // table machinery (the w:tbl spec): cell text flows from the whole
+    // w:tc subtree (nested tables flatten), each w:p close appends a
+    // space, cells normalize trim+collapse; text outside cells drops
+    // but blips anywhere still emit at position.
+    def cellWalk(n: Node, sb: StringBuilder): Unit = {
+      var c = n.getFirstChild
+      while (c != null) {
+        c match {
+          case e: Element => e.getNodeName match {
+            case "w:t" => sb.append(e.getTextContent)
+            case "w:tab" => sb.append('\t')
+            case "w:br" | "w:cr" => sb.append('\n')
+            case "a:blip" => emitBlip(e); cellWalk(e, sb)
+            case "w:p" => cellWalk(e, sb); sb.append(' ')
+            case _ => cellWalk(e, sb)
+          }
+          case _ => ()
+        }
+        c = c.getNextSibling
+      }
+    }
+    def blipOnly(n: Node): Unit = {
+      var c = n.getFirstChild
+      while (c != null) {
+        c match {
+          case e: Element if e.getNodeName == "a:blip" =>
+            emitBlip(e); blipOnly(e)
+          case e: Element => blipOnly(e)
+          case _ => ()
+        }
+        c = c.getNextSibling
+      }
+    }
+    def tableWalk(tbl: Element): Unit = {
+      val rows = Vector.newBuilder[Vector[String]]
+      var any = false
+      var c = tbl.getFirstChild
+      while (c != null) {
+        c match {
+          case tr: Element if tr.getNodeName == "w:tr" =>
+            val cells = Vector.newBuilder[String]
+            var nc = 0
+            var cc = tr.getFirstChild
+            while (cc != null) {
+              cc match {
+                case tc: Element if tc.getNodeName == "w:tc" =>
+                  val sb = new StringBuilder
+                  cellWalk(tc, sb)
+                  cells += sb.toString.trim.replaceAll("\\s+", " ")
+                  nc += 1
+                case e: Element => blipOnly(e)
+                case _ => ()
+              }
+              cc = cc.getNextSibling
+            }
+            if (nc > 0) { rows += cells.result(); any = true }
+          case e: Element => blipOnly(e)
+          case _ => ()
+        }
+        c = c.getNextSibling
+      }
+      if (any) {
+        val rs = rows.result()
+        val width = rs.map(_.length).max
+        val tsv = rs.map(_.padTo(width, "").mkString("\t")).mkString("\n")
+        if (tsv.exists(!_.isWhitespace)) out += Text(tsv)
+      }
+    }
     def walk(n: Node): Unit = {
       var c = n.getFirstChild
       while (c != null) {
@@ -128,6 +201,8 @@ class DocxSpec extends AnyFunSuite {
             val sb = new StringBuilder
             walkPara(e, sb)
             if (sb.exists(!_.isWhitespace)) out += Text(sb.toString)
+          case e: Element if e.getNodeName == "w:tbl" =>
+            tableWalk(e)
           case e: Element if e.getNodeName == "a:blip" =>
             emitBlip(e); walk(e)
           case e: Element => walk(e)
@@ -202,6 +277,56 @@ class DocxSpec extends AnyFunSuite {
         "real text")))
   }
 
+  test("w:tbl → one TSV text item at table position; ragged rows pad") {
+    val b = docx(wrap(
+      p(r("Before the table.")) +
+      tbl(tr(tc(p(r("h1"))), tc(p(r("h2"))), tc(p(r("h3")))),
+          tr(tc(p(r("a"))), tc(p(r("b"))))) +
+      p(r("After the table."))))
+    val want = Vector(
+      Text("Before the table."),
+      Text("h1\th2\th3\na\tb\t"),
+      Text("After the table."))
+    assert(DocxExtractor.items(b) == want)
+    assert(domItems(b) == want)
+  }
+
+  test("cells: multi-paragraph space-join, tab/br collapse, entities; empty grid silent") {
+    val b = docx(wrap(
+      tbl(tr(
+        tc(p(r("first")), p(r("second"))),                   // two paras
+        tc("<w:p><w:r><w:t>x</w:t><w:tab/><w:t>y</w:t><w:br/><w:t>z</w:t></w:r></w:p>"),
+        tc(p(r("caf&#233; &amp; co"))),
+        tc(p(r("   "))))) +                                   // ws-only cell
+      tbl(tr(tc(p(r("  "))), tc(p())))))                      // all-ws grid
+    val want = Vector(Text("first second\tx y z\tcafé & co\t"))
+    assert(DocxExtractor.items(b) == want)
+    assert(domItems(b) == want)
+  }
+
+  test("nested table flattens into host cell; blip in cell precedes the grid; stray text outside cells drops") {
+    val inner = tbl(tr(tc(p(r("n1"))), tc(p(r("n2")))))
+    val b = docx(wrap(
+      tbl("<w:tblPr><w:t>STRAY</w:t></w:tblPr>",
+        tr(tc(p(r("host"), blip("rId1")), inner),
+           tc(p(r("plain")))))),
+      relsOf("rId1" -> "media/fig.png"),
+      media = Seq("media/fig.png" -> Array[Byte](7)))
+    val want = Vector(
+      Media("image", "media/fig.png"),
+      Text("host n1 n2\tplain"))
+    assert(DocxExtractor.items(b) == want)
+    assert(domItems(b) == want)
+  }
+
+  test("unclosed table at EOF emits what it accumulated (scanner degrade)") {
+    val b = docx(wrap(
+      p(r("intro")) +
+      "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>partial</w:t></w:r></w:p></w:tc>"))
+    assert(DocxExtractor.items(b) == Vector(
+      Text("intro"), Text("partial")))
+  }
+
   test("media payload recovery: word-relative and package-absolute targets") {
     val payload = Array.tabulate[Byte](32)(k => (k * 3).toByte)
     val b = docx(wrap(p(blip("rId1"), r("x"))),
@@ -255,7 +380,16 @@ class DocxSpec extends AnyFunSuite {
         }
         p(runs: _*)
       }
-      val b = docx(wrap(paras.mkString),
+      val tables = (0 until next(3)).map { _ =>
+        tbl((0 until 1 + next(3)).map { _ =>
+          tr((0 until 1 + next(4)).map { _ =>
+            tc((0 until next(3)).map(_ =>
+              p(r(words(next(words.size))))): _*)
+          }: _*)
+        }: _*)
+      }
+      val body = (paras ++ tables).mkString
+      val b = docx(wrap(body),
         if (rels.isEmpty) null else relsOf(rels: _*),
         media = rels.map { case (_, t) =>
           t.stripPrefix("word/") -> Array[Byte](1) })
@@ -263,10 +397,25 @@ class DocxSpec extends AnyFunSuite {
     }
     // the MixedGen driver-visible variant, exactly as written to disk
     (0 until 30).foreach { k =>
-      val i = 21 * k + 8
+      val i = 22 * k + 8
       val b = graft.gen.MixedGen.fileBytes(i)
       assert(DocxExtractor.isDocx(b))
       assert(DocxExtractor.items(b) == domItems(b))
+    }
+  }
+
+  test("DocxGen ground truth round-trips through the scanner AND the DOM twin") {
+    (0 until 24).foreach { i =>
+      val b = graft.gen.DocxGen.fileBytes(i)
+      assert(DocxExtractor.isDocx(b))
+      val got = DocxExtractor.items(b).map {
+        case Text(t) => ("text", t, null: String)
+        case Media(k, ref) => (k, null: String, ref.split('/').last)
+      }
+      val want = graft.gen.DocxGen.expectedDoc(i)
+        .map(r => (r.kind, r.text, r.media_ref))
+      assert(got == want, s"variant $i")
+      assert(DocxExtractor.items(b) == domItems(b), s"twin variant $i")
     }
   }
 }

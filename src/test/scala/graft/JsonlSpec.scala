@@ -52,6 +52,45 @@ class JsonlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recs1(3).id == "")
   }
 
+  test("valueRecords: object sentinel, array positional fan-out, junk shapes drop") {
+    import graft.extract.JsonlExtractor.Rec
+    // single object → the -1 sentinel (the file is the doc)
+    assert(JsonlExtractor.valueRecords(
+      "﻿{\n  \"id\": \"a\",\n  \"text\": \"body\"\n}".getBytes("UTF-8"))
+      == Vector(Rec(-1, "a", "body")))
+    // array → retained elements at their physical indexes
+    assert(JsonlExtractor.valueRecords(
+      """[{"text":"t0","id":"x"}, 5, {"no":"key"}, {"text":""},
+         {"content":"t4","url":"u"}]""".getBytes("UTF-8"))
+      == Vector(Rec(0, "x", "t0"), Rec(4, "u", "t4")))
+    // scalars, malformed, text-less objects → nothing
+    assert(JsonlExtractor.valueRecords(""""just a string"""".getBytes).isEmpty)
+    assert(JsonlExtractor.valueRecords("{broken".getBytes).isEmpty)
+    assert(JsonlExtractor.valueRecords("""{"meta":1}""".getBytes).isEmpty)
+    assert(JsonlExtractor.valueRecords(Array[Byte]()).isEmpty)
+  }
+
+  test(".json routing: single doc, array fan-out, .json.gz inner ext, notebook magic") {
+    // generator variants 7/8/9 through the one ingest contract
+    Seq(7, 8, 9, 17, 18, 19).foreach { i =>
+      val docs = RawFiles.decodeAny(JsonlGen.fileName(i),
+        JsonlGen.fileBytes(i), "")
+      val want = JsonlGen.expectedDoc(i)
+      assert(docs.map(_.doc_id) == want.map(_.doc_id), s"json $i")
+      assert(docs.map(_.spans.head.text) == want.map(_.text), s"json $i")
+    }
+    // a notebook saved as `.json` routes to the ipynb front end
+    val nb = graft.gen.NbGen.fileBytes(0)
+    assert(JsonlExtractor.isNotebookJson(nb))
+    val asJson = RawFiles.decodeAny("saved.json", nb, "")
+    val asNb = RawFiles.decodeAny("saved.ipynb", nb, "")
+    assert(asJson.map(_.spans.map(s => (s.kind, s.text))) ==
+      asNb.map(_.spans.map(s => (s.kind, s.text))))
+    assert(asJson.nonEmpty)
+    // a plain object is NOT a notebook
+    assert(!JsonlExtractor.isNotebookJson("""{"text":"x"}""".getBytes))
+  }
+
   test("ingest fan-out: shards (.jsonl/.ndjson/.jsonl.gz) and generic .gz route identically in batch and streaming") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft-jsonlspec")

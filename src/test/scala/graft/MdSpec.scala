@@ -267,7 +267,7 @@ class MdSpec extends AnyFunSuite {
     }
     // the MixedGen driver-visible variant, exactly as written to disk
     (0 until 30).foreach { k =>
-      val i = 21 * k + 9
+      val i = 22 * k + 9
       val md = new String(graft.gen.MixedGen.fileBytes(i), "UTF-8")
       assert(MdExtractor.items(md) == twinItems(md))
       assert(MdExtractor.items(md).nonEmpty)

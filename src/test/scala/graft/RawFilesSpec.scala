@@ -148,7 +148,11 @@ class RawFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(memo.head.text ==
       "Docx memo 8 overview paragraph for the mixed corpus.")
     assert(memo(1).media_ref.endsWith("memo_0008.docx#media/image1.png"))
-    assert(memo.last.text.contains("café") && memo.last.text.contains("\t"))
+    // second-to-last: the entity/tab paragraph; last: the w:tbl grid
+    // as ONE TSV span (table vocabulary)
+    assert(memo(memo.length - 2).text.contains("café") &&
+      memo(memo.length - 2).text.contains("\t"))
+    assert(memo.last.text == "metric\tvalue\nmemo 8 rows\t3")
     assert(memo.map(_.offset) == memo.indices.toVector)
     assert(docs("fake.docx").spans ==
       Vector(Span("text", "just plain bytes", null, 0)))

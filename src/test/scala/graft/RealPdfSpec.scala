@@ -533,7 +533,7 @@ class RealPdfSpec extends AnyFunSuite {
     // image-XObject (incl. inline) and form-recursion variants — these
     // also feed a driver query (ex_mixed)
     (0 until 120).foreach { i =>
-      val b = graft.gen.MixedGen.fileBytes(19 * (i % 17) + 1 + (i % 2))
+      val b = graft.gen.MixedGen.fileBytes(22 * (i % 17) + 1 + (i % 2))
       // file kinds 1 (image pdf) and 2 (form pdf) across varying docs
       (0 until 1 + next(30)).foreach { _ =>
         b(next(b.length)) = next(256).toByte
