@@ -655,11 +655,12 @@ object SparkEntry {
     "dd_cross_format" -> ((s, dir) => {
       // FORMAT-INVARIANT dedup — the engine's thesis in one query:
       // the same article staged as .html (boilerplate-wrapped), .md,
-      // .txt, .eml, generic .xml (DocBook-ish elements), legacy-binary
+      // .txt, .eml, generic .xml (DocBook-ish elements), whole-file
+      // .json (Dolma text key), legacy-binary
       // .doc (CFB piece table) and .ppt (CFB text atoms) extracts into
       // the one span vocabulary, its per-doc text canonicalized
       // (casefold + punct/ws fold), and
-      // the seven renditions collapse into ONE cluster; singleton
+      // the eight renditions collapse into ONE cluster; singleton
       // notes stay alone. Scale shape: the window partitions on
       // xxhash64(canonical) — only (doc_id, 8-byte key) rides the
       // shuffle, never document text (the PageFurniture rule).
@@ -2055,7 +2056,7 @@ object SparkEntry {
         .toDF("doc_id", "kind", "text", "media_ref", "ord")
     }),
     "dd_cross_format" -> ((s, dir) => {
-      // ground truth by construction: the six renditions of each
+      // ground truth by construction: the eight renditions of each
       // article cluster (rep = lexicographic min), solos stay alone
       import s.implicits._
       graft.gen.CrossGen.expected(12, 5)

@@ -47,16 +47,21 @@ import scala.collection.mutable.ArrayBuffer
   *    `<img>` → kind "image"; `<video>`/`<audio>` with a direct src →
   *    their own kind; `<source>` → "video" when inside an open
   *    `<video>` element, else "audio" when inside an open `<audio>`,
-  *    else ignored (video wins on malformed double nesting). The ref is
-  *    the tag's FIRST `src` attribute value (attributes scanned left to
+  *    else ignored (video wins on malformed double nesting). The ref
+  *    follows the LAZY-LOAD FALLBACK CHAIN: the first non-empty of the
+  *    tag's `src`, `data-src`, first-candidate URL of `srcset`, then
+  *    of `data-srcset` (a srcset candidate is the first
+  *    comma-separated entry's leading non-whitespace run — `2x`/`480w`
+  *    descriptors drop; per attribute name the FIRST occurrence wins).
+  *    Attribute grammar: attributes scanned left to
   *    right: name = maximal run of chars not in {whitespace, '=', '/'};
   *    '/' and whitespace skipped between attributes; after optional
   *    `= value` the value is `"…"`/`'…'` (to the matching quote, or the
   *    tag end when unterminated) or a maximal unquoted non-whitespace
   *    run — so `<img src=a.png/>` keeps the trailing slash, as HTML5's
-  *    unquoted-value state does), entity-decoded with the same two-pass
-  *    decode as text. Empty/absent src ⇒ no emission; `data-src` etc.
-  *    never match. Media at boilerplate depth > 0 or inside raw-text
+  *    unquoted-value state does. The selected ref is entity-decoded
+  *    with the same two-pass decode as text. All four empty/absent ⇒
+  *    no emission. Media at boilerplate depth > 0 or inside raw-text
   *    interiors is dropped; link depth is irrelevant. Emission happens
   *    at tag position: a media tag inside a not-yet-flushed block
   *    PRECEDES that block's text in the item sequence (blocks
@@ -162,7 +167,7 @@ object HtmlExtractor {
               }
               if (!closing && boilerDepth == 0 && MediaTags(name)) {
                 val kind = mediaKind(name)
-                if (kind != null) srcOf(html, nameEnd, gt).foreach { raw =>
+                if (kind != null) mediaRefOf(html, nameEnd, gt).foreach { raw =>
                   val ref = decodeEntities(raw)
                   if (ref.nonEmpty) out += Media(kind, ref)
                 }
@@ -343,11 +348,19 @@ object HtmlExtractor {
   /** Tags that can carry a visible media reference. */
   val MediaTags: Set[String] = Set("img", "video", "audio", "source")
 
-  /** First `src` attribute value in html(from..gt), raw (not yet
-    * entity-decoded), per the attribute grammar in the object scaladoc.
-    * None when no src attribute exists; Some("") when present but empty.
+  /** Media ref of a tag per the lazy-load fallback chain (raw, not yet
+    * entity-decoded): first non-empty of `src`, `data-src`,
+    * first-candidate URL of `srcset`, then of `data-srcset` — the
+    * attributes real lazy-loading pages put the payload URL under.
+    * Per name the FIRST occurrence wins; attribute grammar per the
+    * object scaladoc. None when the whole chain is empty/absent.
     */
-  private def srcOf(html: String, from: Int, gt: Int): Option[String] = {
+  private def mediaRefOf(html: String, from: Int, gt: Int)
+      : Option[String] = {
+    var src: String = null
+    var dataSrc: String = null
+    var srcset: String = null
+    var dataSrcset: String = null
     var p = from
     while (p < gt) {
       val c = html.charAt(p)
@@ -377,12 +390,30 @@ object HtmlExtractor {
               value = html.substring(vStart, p)
             }
           }
-          if (name == "src") return Some(value)
+          name match {
+            case "src" if src == null                 => src = value
+            case "data-src" if dataSrc == null        => dataSrc = value
+            case "srcset" if srcset == null           => srcset = value
+            case "data-srcset" if dataSrcset == null  => dataSrcset = value
+            case _                                    => ()
+          }
         }
       }
     }
-    None
+    Seq(src, dataSrc, srcsetCandidate(srcset),
+        srcsetCandidate(dataSrcset))
+      .find(v => v != null && v.nonEmpty)
   }
+
+  /** First candidate URL of a srcset value: the first comma-separated
+    * entry's leading non-whitespace run (its `2x`/`480w` descriptor
+    * drops). Null in, null out; empty-URL entries yield "".
+    */
+  private def srcsetCandidate(srcset: String): String =
+    if (srcset == null) null
+    else srcset.takeWhile(_ != ',')
+      .dropWhile(Character.isWhitespace)
+      .takeWhile(!Character.isWhitespace(_))
 
   private def isSelfClosing(html: String, start: Int, gt: Int): Boolean =
     gt > start && html.charAt(gt - 1) == '/'

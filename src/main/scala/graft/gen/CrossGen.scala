@@ -3,15 +3,16 @@ package graft.gen
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
-/** Cross-format duplicate corpus: each article is written SEVEN ways —
+/** Cross-format duplicate corpus: each article is written EIGHT ways —
   * HTML page (with boilerplate the gate must strip), markdown post,
   * plain-text note, a MIME email, a generic XML document (DocBook-ish
-  * title/para elements), a legacy Word 97–2003 `.doc` (CFB piece
+  * title/para elements), a whole-file `.json` record (the text under
+  * the Dolma `text` key), a legacy Word 97–2003 `.doc` (CFB piece
   * table), and a legacy PowerPoint `.ppt` deck (CFB text atom)
   * — carrying the SAME title and paragraphs. The ground truth for
   * `dd_cross_format`: after extraction into the one span vocabulary
   * and dedup-canonicalization ([[graft.ops.TextOps.canonicalText]]),
-  * the seven renditions of an article collapse into ONE cluster;
+  * the eight renditions of an article collapse into ONE cluster;
   * `solo_*.txt` singletons stay alone. This is the engine's thesis in
   * one query — the interleaved span vocabulary makes corpus dedup
   * format-invariant even across the text/binary container boundary.
@@ -26,7 +27,7 @@ object CrossGen {
     s"A second shared paragraph closes article $a with the same words everywhere."
 
   def formats: Seq[String] =
-    Seq("doc", "eml", "html", "md", "ppt", "txt", "xml")
+    Seq("doc", "eml", "html", "json", "md", "ppt", "txt", "xml")
 
   def fileName(a: Int, fmt: String): String = f"art$a%04d.$fmt"
   def soloName(k: Int): String = f"solo$k%04d.txt"
@@ -68,11 +69,19 @@ object CrossGen {
        |</article>
        |""".stripMargin
 
+  /** One whole-file JSON record: the same text under the Dolma `text`
+    * key (newlines JSON-escaped; the span decodes back to txt(a), so
+    * the canonical identity holds through the .json front end too).
+    */
+  private def json(a: Int): String =
+    s"""{"id": "art$a", "source": "cross", "text": "${title(a)}\\n\\n${para1(a)}\\n\\n${para2(a)}\\n"}"""
+
   def bytes(a: Int, fmt: String): Array[Byte] = fmt match {
     case "html" => html(a).getBytes(UTF_8)
     case "md"   => md(a).getBytes(UTF_8)
     case "txt"  => txt(a).getBytes(UTF_8)
     case "xml"  => xml(a).getBytes(UTF_8)
+    case "json" => json(a).getBytes(UTF_8)
     case "doc"  => DocGen.simpleDocBytes(Seq(title(a), para1(a), para2(a)))
     case "ppt"  => PptGen.simpleDeckBytes(Seq(title(a), para1(a), para2(a)))
     case _      => eml(a).getBytes(UTF_8)

@@ -270,6 +270,7 @@ object MixedGen {
   private[gen] def htmlFig(i: Int): String = s"fig_$i.png?w=320&h=240"
   private[gen] def htmlClip(i: Int): String = s"clip_$i.mp4"
   private[gen] def htmlPod(i: Int): String = s"pod_$i.mp3"
+  private[gen] def htmlLazy(i: Int): String = s"lazy_$i.webp"
 
   private[gen] def makeHtml(i: Int): String = {
     val k = htmlKept(i)
@@ -295,6 +296,7 @@ object MixedGen {
        |<video controls><source src="${htmlClip(i)}" type="video/mp4">
        |</video>
        |<p>$rawSecond</p>
+       |<img data-src="${htmlLazy(i)}" class="lazyload">
        |<audio src="${htmlPod(i)}"></audio>
        |</article>
        |<footer>copyright $i all rights reserved footer</footer>
@@ -527,7 +529,8 @@ object MixedGen {
         GtRow(f, "image", null, s"$f#img0:obj6", 1))
       case 3 =>
         // interleaved text + media, document order: title, first
-        // paragraph, figure img, video source, second paragraph, audio
+        // paragraph, figure img, video source, second paragraph,
+        // lazy-load image (data-src fallback chain), audio
         val k = htmlKept(i)
         Seq(
           GtRow(f, "html", k(0), null, 0),
@@ -535,7 +538,8 @@ object MixedGen {
           GtRow(f, "image", null, htmlFig(i), 2),
           GtRow(f, "video", null, htmlClip(i), 3),
           GtRow(f, "html", k(2), null, 4),
-          GtRow(f, "audio", null, htmlPod(i), 5))
+          GtRow(f, "image", null, htmlLazy(i), 5),
+          GtRow(f, "audio", null, htmlPod(i), 6))
       case 4 => Seq(GtRow(f, "text", makeTxt(i), null, 0))
       case 5 => Seq(GtRow(f, "image", null, f, 0))
       case 6 => Seq(

@@ -175,7 +175,8 @@ object WarcGen {
         GtRow(id, "image", null, MixedGen.htmlFig(i), 2),
         GtRow(id, "video", null, MixedGen.htmlClip(i), 3),
         GtRow(id, "html", k(2), null, 4),
-        GtRow(id, "audio", null, MixedGen.htmlPod(i), 5))
+        GtRow(id, "image", null, MixedGen.htmlLazy(i), 5),
+        GtRow(id, "audio", null, MixedGen.htmlPod(i), 6))
     }
     val pdf = if (!hasPdf(i)) Nil else {
       val id = nextId(pdfUri(i))

@@ -138,37 +138,51 @@ object RefOracle {
 
   // ---------- html ----------
 
-  /** First `src` attribute value in a tag's attribute region — oracle
-    * mechanism: functional string consumption (the extractor walks
-    * indices). Character.isWhitespace throughout, never regex \s.
+  /** Media ref per the lazy-load fallback chain (first non-empty of
+    * src / data-src / srcset first candidate / data-srcset first
+    * candidate; first occurrence per name wins) — oracle mechanism:
+    * functional string consumption into a collected attribute list
+    * (the extractor walks indices into name-slot vars).
+    * Character.isWhitespace throughout, never regex \s.
     */
   private def oracleSrc(attrs0: String): Option[String] = {
+    var attrs = List.empty[(String, String)] // collected in reverse
     var rest = attrs0
     while (rest.nonEmpty) {
       rest = rest.dropWhile(c => Character.isWhitespace(c) || c == '/')
-      if (rest.isEmpty) return None
-      val nm = rest.takeWhile(c =>
-        !Character.isWhitespace(c) && c != '=' && c != '/')
-      if (nm.isEmpty) rest = rest.drop(1) // stray '=': skip
+      if (rest.isEmpty) rest = ""
       else {
-        rest = rest.drop(nm.length).dropWhile(Character.isWhitespace)
-        var v = ""
-        if (rest.startsWith("=")) {
-          rest = rest.drop(1).dropWhile(Character.isWhitespace)
-          if (rest.startsWith("\"") || rest.startsWith("'")) {
-            val e = rest.indexOf(rest.head.toInt, 1)
-            if (e < 0) { v = rest.drop(1); rest = "" }
-            else { v = rest.substring(1, e); rest = rest.substring(e + 1) }
-          } else {
-            val e = rest.indexWhere(Character.isWhitespace)
-            if (e < 0) { v = rest; rest = "" }
-            else { v = rest.substring(0, e); rest = rest.substring(e) }
+        val nm = rest.takeWhile(c =>
+          !Character.isWhitespace(c) && c != '=' && c != '/')
+        if (nm.isEmpty) rest = rest.drop(1) // stray '=': skip
+        else {
+          rest = rest.drop(nm.length).dropWhile(Character.isWhitespace)
+          var v = ""
+          if (rest.startsWith("=")) {
+            rest = rest.drop(1).dropWhile(Character.isWhitespace)
+            if (rest.startsWith("\"") || rest.startsWith("'")) {
+              val e = rest.indexOf(rest.head.toInt, 1)
+              if (e < 0) { v = rest.drop(1); rest = "" }
+              else { v = rest.substring(1, e); rest = rest.substring(e + 1) }
+            } else {
+              val e = rest.indexWhere(Character.isWhitespace)
+              if (e < 0) { v = rest; rest = "" }
+              else { v = rest.substring(0, e); rest = rest.substring(e) }
+            }
           }
+          attrs = (nm.toLowerCase, v) :: attrs
         }
-        if (nm.toLowerCase == "src") return Some(v)
       }
     }
-    None
+    val byName = attrs.reverse.groupBy(_._1) // first occurrence = head
+    def first(n: String): Option[String] = byName.get(n).map(_.head._2)
+    def candidate(ss: String): String = ss.takeWhile(_ != ',')
+      .dropWhile(Character.isWhitespace)
+      .takeWhile(!Character.isWhitespace(_))
+    (first("src").toList ++ first("data-src").toList ++
+      first("srcset").map(candidate).toList ++
+      first("data-srcset").map(candidate).toList)
+      .find(_.nonEmpty)
   }
 
   /** Naive re-implementation of the HtmlExtractor spec via a char walk:

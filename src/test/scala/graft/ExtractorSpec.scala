@@ -227,7 +227,11 @@ class ExtractorSpec extends AnyFunSuite {
       "<audio src=pod.mp3></audio>" +
       "<source src=orphan.bin>" +
       "<img alt=\"src=trap.png\" src=real.png>" +
-      "<img data-src=no.png><img src><img src=\"\">"
+      "<img data-src=lazy.png><img src><img src=\"\">" +
+      "<img srcset=\"small.png 1x, big.png 2x\">" +
+      "<img src=\"\" data-srcset=\" ds.png 480w, x.png\">" +
+      "<img src=win.png srcset=\"lose.png 1x\">" +
+      "<picture><source srcset=pic.png><img src=fb.png></picture>"
     val items = HtmlExtractor.items(html)
     assert(items == Vector(
       HtmlExtractor.Block("First real paragraph long enough to keep around."),
@@ -237,7 +241,15 @@ class ExtractorSpec extends AnyFunSuite {
       HtmlExtractor.Block("Inline split paragraph body text here."),
       HtmlExtractor.Media("video", "clip.mp4"),
       HtmlExtractor.Media("audio", "pod.mp3"),
-      HtmlExtractor.Media("image", "real.png")), items)
+      HtmlExtractor.Media("image", "real.png"),
+      // lazy-load fallback chain: data-src / srcset first candidate /
+      // data-srcset; src wins when non-empty; <source> inside
+      // <picture> stays ignored (the <img> fallback carries the ref)
+      HtmlExtractor.Media("image", "lazy.png"),
+      HtmlExtractor.Media("image", "small.png"),
+      HtmlExtractor.Media("image", "ds.png"),
+      HtmlExtractor.Media("image", "win.png"),
+      HtmlExtractor.Media("image", "fb.png")), items)
     // dual-impl equality over the full extraction path
     val d = InputDoc("m", Vector(Span("html", html, null, 0)))
     assert(Extractor.extract(d).outSpans == RefOracle.extract(d).outSpans)

@@ -1182,7 +1182,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://c.net#frag", "c.net")))
   }
 
-  test("cross-format dedup: html/md/txt/eml/xml/doc/ppt renditions share one canonical text") {
+  test("cross-format dedup: html/md/txt/eml/xml/json/doc/ppt renditions share one canonical text") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cross-spec")
     graft.gen.CrossGen.write(dir.toString, 2, 1)
     val byDoc = graft.sources.RawFiles.read(spark, dir.toString)
@@ -1194,8 +1194,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         val full = rows.sortBy(_.order).map(_.text).mkString("\n")
         id -> full.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
       }
-    // each article's seven renditions — including the two legacy CFB
-    // binaries and the generic-XML document — canonicalize identically…
+    // each article's eight renditions — including the two legacy CFB
+    // binaries, the generic-XML document, and the whole-file .json
+    // record — canonicalize identically…
     (0 until 2).foreach { a =>
       val canons = graft.gen.CrossGen.formats
         .map(f => byDoc(graft.gen.CrossGen.fileName(a, f))).toSet
