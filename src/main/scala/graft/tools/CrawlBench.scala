@@ -67,7 +67,8 @@ object CrawlBench {
 
     val containers = 3L * n
     val line = f"| container fan-out ingestion | $containers containers " +
-      f"(warc/zip/tar/tar.gz/7z/jsonl/ndjson/jsonl.{gz,zst,xz,lz4,sz} thirds) expanded to " +
+      f"(warc/zip/tar/tar.gz/7z/jsonl/ndjson/jsonl.{gz,zst,xz,lz4,sz}/" +
+      f"json/json.gz thirds) expanded to " +
       f"$wantDocs docs + extracted in $sec%.1f s = " +
       f"${containers / sec}%.0f containers/s = ${wantDocs / sec}%.0f " +
       f"docs/s @ local[32]; text-doc recall $textDocs/$wantTextDocs; " +
