@@ -661,9 +661,14 @@ object SparkEntry {
       // the one span vocabulary, its per-doc text canonicalized
       // (casefold + punct/ws fold), and
       // the eight renditions collapse into ONE cluster; singleton
-      // notes stay alone. Scale shape: the window partitions on
-      // xxhash64(canonical) — only (doc_id, 8-byte key) rides the
-      // shuffle, never document text (the PageFurniture rule).
+      // notes stay alone. Scale shape, exactly: the per-doc text
+      // rebuild groups by doc_id, so each document's text crosses ONE
+      // exchange once, as the partial collect_list VALUE (one doc =
+      // one scan task, so the partial agg is already complete
+      // map-side) — the move-the-corpus-once floor any span→document
+      // reassembly pays. The CLUSTERING window then partitions on
+      // xxhash64(canonical): only (doc_id, 8-byte key) rides that
+      // second shuffle, never text (the PageFurniture rule).
       // Oracle: CrossGen ground truth (clusters by construction).
       import s.implicits._
       val tmp = scratchDir("graft-cross")

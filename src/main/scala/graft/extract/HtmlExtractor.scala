@@ -21,6 +21,16 @@ import scala.collection.mutable.ArrayBuffer
   *  - BOILERPLATE containers: nav, header, footer, aside, script, style,
   *    form, noscript — a depth counter; text accumulated at depth > 0
   *    marks its block as boilerplate.
+  *  - NEGATIVE CLASS/ID gate ([[NegClassTags]] × [[NegClassTokens]]):
+  *    an opening, non-self-closing `div`/`section` whose FIRST `class`
+  *    or `id` attribute value (same attribute grammar as media refs)
+  *    contains a junk token — value lowercased, split on runs of
+  *    non-[a-z0-9] chars, tokens matched EXACTLY — raises the same
+  *    boiler depth until its MATCHING close tag, paired by per-name
+  *    open depth (so nested plain `<div>`s inside a comments block
+  *    don't end the gate early; mis-nested markup degrades to the
+  *    pairing this rule defines). Media inside the gate is dropped
+  *    like text, and [[tables]] suppresses grids inside it.
   *  - LINK: `<a>` depth; non-whitespace chars accumulated at link depth
   *    > 0 count as link chars.
   *  - RAW-TEXT elements (HTML5 §13.2.5.1 script/style data states):
@@ -93,6 +103,25 @@ object HtmlExtractor {
     "nav", "header", "footer", "aside", "script", "style", "form",
     "noscript")
 
+  /** Tags the negative class/id gate applies to — the generic
+    * containers CMSes hang non-content off (comment threads, share
+    * bars, cookie banners live in `<div>`/`<section>`, not in the
+    * semantic [[BoilerTags]]). The readability/trafilatura negative-
+    * class heuristic, reduced to an exact-token rule.
+    */
+  val NegClassTags: Set[String] = Set("div", "section")
+
+  /** Junk tokens: a div/section whose `class` or `id` value contains
+    * one of these as an EXACT token (value lowercased, split on runs
+    * of chars outside [a-z0-9] — so `comment-section`, `Comments`,
+    * `social_share` hit, while `commentary` and `badge` do not)
+    * enters the boilerplate gate until its matching close tag.
+    */
+  val NegClassTokens: Set[String] = Set(
+    "comment", "comments", "sidebar", "related", "share", "social",
+    "cookie", "cookies", "advert", "ads", "ad", "promo", "popup",
+    "breadcrumb", "breadcrumbs")
+
   val MinBlockLen = 25
 
   /** Kept text blocks only (media items dropped) — the text view. */
@@ -110,6 +139,11 @@ object HtmlExtractor {
     var linkDepth = 0
     var videoDepth = 0
     var audioDepth = 0
+    // negative-class gate state: per-name open depth + the pending
+    // (name, depth-at-open) pairs whose matching close ends the gate
+    val nameOpen = scala.collection.mutable.Map(
+      "div" -> 0, "section" -> 0)
+    var negStack = List.empty[(String, Int)]
 
     def flush(): Unit = {
       val norm = normalize(buf.toString)
@@ -160,6 +194,28 @@ object HtmlExtractor {
                 flush() // boilerplate containers also delimit blocks
                 if (closing) { if (boilerDepth > 0) boilerDepth -= 1 }
                 else if (!selfClosing) boilerDepth += 1
+              }
+              if (NegClassTags(name)) {
+                // negative class/id gate: a div/section whose class or
+                // id carries a junk token enters the boiler gate until
+                // its MATCHING close (same-name open/close pairing by
+                // per-name depth — nested plain divs don't end it)
+                if (!closing && !selfClosing) {
+                  if (negClassAt(html, nameEnd, gt)) {
+                    negStack = (name, nameOpen(name)) :: negStack
+                    boilerDepth += 1
+                  }
+                  nameOpen(name) += 1
+                } else if (closing) {
+                  if (nameOpen(name) > 0) nameOpen(name) -= 1
+                  negStack match {
+                    case (n2, d) :: rest
+                        if n2 == name && d == nameOpen(name) =>
+                      negStack = rest
+                      if (boilerDepth > 0) boilerDepth -= 1
+                    case _ => ()
+                  }
+                }
               }
               if (name == "a") {
                 if (closing) { if (linkDepth > 0) linkDepth -= 1 }
@@ -260,6 +316,11 @@ object HtmlExtractor {
     var suppressed = 0 // boiler-depth <table> opens awaiting their close
     var boilerDepth = 0
     val TableFamily = Set("table", "tr", "td", "th")
+    // negative class/id gate — same rule as [[items]]: a junk-classed
+    // div/section suppresses tables inside it
+    val nameOpen = scala.collection.mutable.Map(
+      "div" -> 0, "section" -> 0)
+    var negStack = List.empty[(String, Int)]
 
     def closeTable(): Unit = if (stack.nonEmpty) {
       val t = stack.pop()
@@ -282,8 +343,26 @@ object HtmlExtractor {
           val gt = html.indexOf('>', i + 1)
           val parsed = if (gt > i) parseTag(html, i, gt) else None
           parsed match {
-            case Some((name, closing, _)) =>
+            case Some((name, closing, nameEnd)) =>
               val selfClosing = isSelfClosing(html, i, gt)
+              if (NegClassTags(name)) {
+                if (!closing && !selfClosing) {
+                  if (negClassAt(html, nameEnd, gt)) {
+                    negStack = (name, nameOpen(name)) :: negStack
+                    boilerDepth += 1
+                  }
+                  nameOpen(name) += 1
+                } else if (closing) {
+                  if (nameOpen(name) > 0) nameOpen(name) -= 1
+                  negStack match {
+                    case (n2, d) :: rest
+                        if n2 == name && d == nameOpen(name) =>
+                      negStack = rest
+                      if (boilerDepth > 0) boilerDepth -= 1
+                    case _ => ()
+                  }
+                }
+              }
               if (BoilerTags(name)) {
                 if (closing) { if (boilerDepth > 0) boilerDepth -= 1 }
                 else if (!selfClosing) boilerDepth += 1
@@ -403,6 +482,57 @@ object HtmlExtractor {
     Seq(src, dataSrc, srcsetCandidate(srcset),
         srcsetCandidate(dataSrcset))
       .find(v => v != null && v.nonEmpty)
+  }
+
+  /** True iff the tag spanning (from..gt) carries a negative class/id:
+    * the FIRST `class` and `id` attribute values (same grammar as
+    * [[mediaRefOf]]) lowercased and split on runs of non-[a-z0-9]
+    * chars; any resulting token in [[NegClassTokens]] hits.
+    */
+  private def negClassAt(html: String, from: Int, gt: Int): Boolean = {
+    var cls: String = null
+    var id: String = null
+    var p = from
+    while (p < gt && (cls == null || id == null)) {
+      val c = html.charAt(p)
+      if (Character.isWhitespace(c) || c == '/') { p += 1 }
+      else {
+        val nameStart = p
+        while (p < gt && !Character.isWhitespace(html.charAt(p)) &&
+               html.charAt(p) != '=' && html.charAt(p) != '/') p += 1
+        val name = html.substring(nameStart, p)
+          .toLowerCase(java.util.Locale.ROOT)
+        if (p == nameStart) p += 1
+        else {
+          while (p < gt && Character.isWhitespace(html.charAt(p))) p += 1
+          var value = ""
+          if (p < gt && html.charAt(p) == '=') {
+            p += 1
+            while (p < gt && Character.isWhitespace(html.charAt(p))) p += 1
+            if (p < gt && (html.charAt(p) == '"' || html.charAt(p) == '\'')) {
+              val q = html.charAt(p)
+              val end = html.indexOf(q, p + 1)
+              val vEnd = if (end < 0 || end > gt) gt else end
+              value = html.substring(p + 1, vEnd)
+              p = if (vEnd == gt) gt else vEnd + 1
+            } else {
+              val vStart = p
+              while (p < gt && !Character.isWhitespace(html.charAt(p))) p += 1
+              value = html.substring(vStart, p)
+            }
+          }
+          name match {
+            case "class" if cls == null => cls = value
+            case "id" if id == null    => id = value
+            case _                     => ()
+          }
+        }
+      }
+    }
+    def hit(v: String): Boolean = v != null &&
+      v.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").exists(NegClassTokens)
+    hit(cls) || hit(id)
   }
 
   /** First candidate URL of a srcset value: the first comma-separated

@@ -26,7 +26,11 @@ package graft.gen
   *                        inside the form (recursion ground truth);
   *   3 → `page_NNNN.html` title + content paragraphs (kept) around
   *                        nav/footer/link-farm/short-block boilerplate
-  *                        (dropped);
+  *                        (dropped), a lazy-load `data-src` image
+  *                        (kept as media), and a negative-class
+  *                        comments thread whose long paragraphs,
+  *                        nested reply div, and avatar image must ALL
+  *                        drop (the class gate, not the length rule);
   *   4 → `note_NNNN.txt`  plain UTF-8 note (one text span, verbatim);
   *   5 → `img_NNNN.png`   standalone media file (passes by reference —
   *                        the bytes are never read, so a deterministic
@@ -297,6 +301,13 @@ object MixedGen {
        |</video>
        |<p>$rawSecond</p>
        |<img data-src="${htmlLazy(i)}" class="lazyload">
+       |<div class="comments-section" id="comments">
+       |<p>User comment $i long enough that only the negative-class
+       |gate keeps it out of the corpus, not the length rule.</p>
+       |<div><p>A nested reply $i also long enough to pass the length
+       |gate; the inner div must not end the comments block.</p>
+       |<img src="avatar_$i.png"></div>
+       |</div>
        |<audio src="${htmlPod(i)}"></audio>
        |</article>
        |<footer>copyright $i all rights reserved footer</footer>

@@ -145,7 +145,7 @@ object RefOracle {
     * (the extractor walks indices into name-slot vars).
     * Character.isWhitespace throughout, never regex \s.
     */
-  private def oracleSrc(attrs0: String): Option[String] = {
+  private def oracleAttrs(attrs0: String): List[(String, String)] = {
     var attrs = List.empty[(String, String)] // collected in reverse
     var rest = attrs0
     while (rest.nonEmpty) {
@@ -174,7 +174,11 @@ object RefOracle {
         }
       }
     }
-    val byName = attrs.reverse.groupBy(_._1) // first occurrence = head
+    attrs.reverse
+  }
+
+  private def oracleSrc(attrs0: String): Option[String] = {
+    val byName = oracleAttrs(attrs0).groupBy(_._1) // first occ = head
     def first(n: String): Option[String] = byName.get(n).map(_.head._2)
     def candidate(ss: String): String = ss.takeWhile(_ != ',')
       .dropWhile(Character.isWhitespace)
@@ -184,6 +188,21 @@ object RefOracle {
       first("data-srcset").map(candidate).toList)
       .find(_.nonEmpty)
   }
+
+  /** Negative class/id per the HtmlExtractor spec — first class/id
+    * values, lowercased, split on non-[a-z0-9] runs, exact tokens.
+    */
+  private def oracleNegClass(attrs0: String): Boolean = {
+    val byName = oracleAttrs(attrs0).groupBy(_._1)
+    def first(n: String): Option[String] = byName.get(n).map(_.head._2)
+    (first("class").toList ++ first("id").toList).exists(v =>
+      v.toLowerCase.split("[^a-z0-9]+").exists(HtmlNegTokens))
+  }
+
+  private val HtmlNegTokens = Set(
+    "comment", "comments", "sidebar", "related", "share", "social",
+    "cookie", "cookies", "advert", "ads", "ad", "promo", "popup",
+    "breadcrumb", "breadcrumbs")
 
   /** Naive re-implementation of the HtmlExtractor spec via a char walk:
     * Left(kept block text) and Right((media kind, ref)) interleaved in
@@ -196,6 +215,11 @@ object RefOracle {
     var raw = new StringBuilder
     var link = 0; var content = 0; var boiler = false
     var linkD = 0; var boilD = 0; var vidD = 0; var audD = 0
+    // negative class/id gate — oracle mechanism: one LIFO stack of
+    // boiler flags PER tag name (the extractor pairs by per-name open
+    // depth; a per-name LIFO yields the same pairing)
+    var negStacks = Map("div" -> List.empty[Boolean],
+                        "section" -> List.empty[Boolean])
     def flush(): Unit = {
       items = Left(Block(raw.toString, link, content, boiler)) :: items
       raw = new StringBuilder; link = 0; content = 0; boiler = false
@@ -235,6 +259,20 @@ object RefOracle {
             flush()
             if (closing) boilD = math.max(0, boilD - 1)
             else if (!selfClose) boilD += 1
+          }
+          if (nm0 == "div" || nm0 == "section") {
+            if (!closing && !selfClose) {
+              val neg = oracleNegClass(inner.drop(nm0.length))
+              if (neg) boilD += 1
+              negStacks = negStacks.updated(nm0, neg :: negStacks(nm0))
+            } else if (closing) {
+              negStacks(nm0) match {
+                case flag :: rest =>
+                  if (flag) boilD = math.max(0, boilD - 1)
+                  negStacks = negStacks.updated(nm0, rest)
+                case Nil => ()
+              }
+            }
           }
           if (nm0 == "a") {
             if (closing) linkD = math.max(0, linkD - 1)

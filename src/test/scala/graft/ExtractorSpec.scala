@@ -265,6 +265,35 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Extractor.extract(d2).outSpans == RefOracle.extract(d2).outSpans)
   }
 
+  test("negative class/id gate: junk-classed div/section drop, exact-token match, nesting pairs, both impls") {
+    val html =
+      "<p>Article body paragraph long enough to keep around fine.</p>" +
+      "<div class=\"comments\"><p>First comment long enough to otherwise be kept.</p>" +
+      "<div><p>A nested reply inside the thread, also long enough.</p>" +
+      "<img src=th.png></div></div>" +
+      "<div class=\"commentary\"><p>Commentary is content, not a comment thread, kept.</p></div>" +
+      "<section id=\"social-share\"><p>Share buttons row long enough to matter.</p></section>" +
+      "<div class=\"post cookie-banner\"><p>We value your privacy, accept our cookies now.</p></div>" +
+      "<div class=badge><p>Badge classes do not hit the ad token by substring.</p></div>" +
+      "<p>Closing body paragraph long enough to keep as well.</p>"
+    val items = HtmlExtractor.items(html)
+    assert(items == Vector(
+      HtmlExtractor.Block("Article body paragraph long enough to keep around fine."),
+      HtmlExtractor.Block("Commentary is content, not a comment thread, kept."),
+      HtmlExtractor.Block("Badge classes do not hit the ad token by substring."),
+      HtmlExtractor.Block("Closing body paragraph long enough to keep as well.")),
+      items)
+    val d = InputDoc("neg", Vector(Span("html", html, null, 0)))
+    assert(Extractor.extract(d).outSpans == RefOracle.extract(d).outSpans)
+    // mis-nested close still pairs by per-name depth in both impls
+    val messy = "<div class=sidebar><p>junk long enough to be a block</p>" +
+      "</section></div><p>After the sidebar, content long enough kept.</p>"
+    assert(HtmlExtractor.items(messy) == Vector(
+      HtmlExtractor.Block("After the sidebar, content long enough kept.")))
+    val d2 = InputDoc("messy", Vector(Span("html", messy, null, 0)))
+    assert(Extractor.extract(d2).outSpans == RefOracle.extract(d2).outSpans)
+  }
+
   test("html unicode whitespace (U+3000) normalizes identically in both impls") {
     // Character.isWhitespace covers these; regex \s does not — a r02
     // review found the oracle using \s+ and diverging here

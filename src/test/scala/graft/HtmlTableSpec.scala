@@ -16,10 +16,29 @@ class HtmlTableSpec extends AnyFunSuite {
 
   sealed trait Tok
   final case class Tag(name: String, closing: Boolean,
-                       self: Boolean) extends Tok
+                       self: Boolean, attrs: String = "") extends Tok
   final case class Txt(s: String) extends Tok
 
   private val TagRx = "^</?([A-Za-z0-9]+)".r
+
+  // twin mechanism for the negative class/id gate: REGEX attribute
+  // extraction (the production walk is a char scanner)
+  private val ClassIdRx =
+    """(?i)(?:^|[\s/])(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|(\S+))""".r
+
+  def negOf(attrs: String): Boolean = {
+    var cls: Option[String] = None
+    var id: Option[String] = None
+    ClassIdRx.findAllMatchIn(attrs).foreach { m =>
+      val v = Option(m.group(2)).orElse(Option(m.group(3)))
+        .getOrElse(m.group(4))
+      if (m.group(1).equalsIgnoreCase("class")) {
+        if (cls.isEmpty) cls = Some(v)
+      } else if (id.isEmpty) id = Some(v)
+    }
+    (cls.toList ++ id.toList).exists(_.toLowerCase
+      .split("[^a-z0-9]+").exists(HtmlExtractor.NegClassTokens))
+  }
 
   def tokenize(html: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -38,7 +57,9 @@ class HtmlTableSpec extends AnyFunSuite {
             val name = mm.group(1).toLowerCase
             val closing = html.charAt(i + 1) == '/'
             val self = html.charAt(gt - 1) == '/'
-            out += Tag(name, closing, self)
+            val attrStart = i + 1 + (if (closing) 1 else 0) + name.length
+            out += Tag(name, closing, self,
+              if (attrStart < gt) html.substring(attrStart, gt) else "")
             i = gt + 1
             if (!closing && !self &&
                 (name == "script" || name == "style")) {
@@ -89,12 +110,32 @@ class HtmlTableSpec extends AnyFunSuite {
         stack = rest
       case Nil => ()
     }
-    tokenize(html).foreach {
-      case Tag(name, closing, self)
+    var negStacks = Map("div" -> List.empty[Boolean],
+                        "section" -> List.empty[Boolean])
+    tokenize(html).foreach { tok =>
+      tok match { // negative class/id gate pre-step (per-name LIFO)
+        case Tag(nm, closing, self, attrs)
+            if nm == "div" || nm == "section" =>
+          if (!closing && !self) {
+            val neg = negOf(attrs)
+            if (neg) boiler += 1
+            negStacks = negStacks.updated(nm, neg :: negStacks(nm))
+          } else if (closing) {
+            negStacks(nm) match {
+              case flag :: rest =>
+                if (flag) boiler = math.max(0, boiler - 1)
+                negStacks = negStacks.updated(nm, rest)
+              case Nil => ()
+            }
+          }
+        case _ => ()
+      }
+      tok match {
+      case Tag(name, closing, self, _)
           if HtmlExtractor.BoilerTags(name) =>
         if (closing) { if (boiler > 0) boiler -= 1 }
         else if (!self) boiler += 1
-      case Tag("table", closing, _) =>
+      case Tag("table", closing, _, _) =>
         if (!closing) {
           if (boiler > 0) supp += 1
           else {
@@ -103,7 +144,7 @@ class HtmlTableSpec extends AnyFunSuite {
             nextId += 1
           }
         } else if (supp > 0) supp -= 1 else finish()
-      case Tag(name, closing, _)
+      case Tag(name, closing, _, _)
           if supp == 0 && boiler == 0 && stack.nonEmpty =>
         val top = stack.head
         name match {
@@ -125,6 +166,7 @@ class HtmlTableSpec extends AnyFunSuite {
         stack = stack.head.copy(
           cell = stack.head.cell.map(_ + s)) :: stack.tail
       case _ => ()
+      }
     }
     while (stack.nonEmpty) finish()
     done.toVector.sortBy(_._1).map(_._2)
@@ -183,6 +225,17 @@ class HtmlTableSpec extends AnyFunSuite {
 
   // ---------- dual-impl parity ----------
 
+  test("negative-class containers suppress tables inside them") {
+    val html = "<div class=\"related-posts\"><table><tr><td>junk</td>" +
+      "</tr></table></div>" +
+      "<table><tr><td>kept cell</td></tr></table>" +
+      "<section id=promo><table><tr><td>promo grid</td></tr></table>" +
+      "</section>"
+    assert(HtmlExtractor.tables(html) ==
+      Vector(Vector(Vector("kept cell"))))
+    assert(twinTables(html) == HtmlExtractor.tables(html))
+  }
+
   test("char machine == token-fold twin on random and generator docs") {
     var seed = 135791113
     def next(n: Int): Int = { seed = seed * 1103515245 + 12347; math.abs(seed) % n }
@@ -190,7 +243,9 @@ class HtmlTableSpec extends AnyFunSuite {
       "</td>", "<th>", "</th>", "plain text", "x &amp; y", "<br>",
       "<p>", "<footer>", "</footer>", "<caption>cap</caption>",
       "<!-- c -->", "< malformed", "<script>'<td>g</td>'</script>",
-      "  ws  ", "<td a=b>", "<img src=x.png/>")
+      "  ws  ", "<td a=b>", "<img src=x.png/>",
+      "<div class=comments>", "<div>", "</div>",
+      "<section id=\"ads\">", "</section>", "<div class=commentary>")
     (0 until 120).foreach { _ =>
       val doc = (0 until 4 + next(24)).map(_ => frags(next(frags.size)))
         .mkString("")
