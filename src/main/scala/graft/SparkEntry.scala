@@ -1120,10 +1120,15 @@ object SparkEntry {
       // run through the REAL extractor, then the page-association
       // aggregate. Oracle = FurnitureGen's generator ground truth.
       import s.implicits._
+      // persist: detect() reads the chunk set three times (pages-per-doc
+      // agg, recurrence agg, text join-back) — without it the extraction
+      // of the 20 fixture docs re-ran per reference (r06; in production
+      // the input is the already-materialized chunks table)
       val rows = s.createDataset(
           (0 until 20).map(graft.gen.FurnitureGen.doc))
         .flatMap(d => Extractor.extractRows(d)).toDF()
         .where(col("chunk_id").isNotNull)
+        .persist()
       graft.ops.PageFurniture.detect(rows, minPages = 3, minFrac = 0.8)
         .orderBy(col("doc_id"), col("y0").desc)
     }),

@@ -26,10 +26,12 @@ import scala.collection.mutable.ArrayBuffer
   *    or `id` attribute value (same attribute grammar as media refs)
   *    contains a junk token — value lowercased, split on runs of
   *    non-[a-z0-9] chars, tokens matched EXACTLY — raises the same
-  *    boiler depth until its MATCHING close tag, paired by per-name
-  *    open depth (so nested plain `<div>`s inside a comments block
-  *    don't end the gate early; mis-nested markup degrades to the
-  *    pairing this rule defines). Media inside the gate is dropped
+  *    boiler depth until its MATCHING close tag, paired by a per-name
+  *    LIFO stack of flags (every open pushes, every close pops its own
+  *    name's stack — so nested plain `<div>`s inside a comments block
+  *    don't end the gate early, and cross-name mis-nested markup
+  *    degrades to the same pairing in extractor, oracle and test
+  *    twin). Media inside the gate is dropped
   *    like text, and [[tables]] suppresses grids inside it.
   *  - LINK: `<a>` depth; non-whitespace chars accumulated at link depth
   *    > 0 count as link chars.
@@ -139,11 +141,12 @@ object HtmlExtractor {
     var linkDepth = 0
     var videoDepth = 0
     var audioDepth = 0
-    // negative-class gate state: per-name open depth + the pending
-    // (name, depth-at-open) pairs whose matching close ends the gate
-    val nameOpen = scala.collection.mutable.Map(
-      "div" -> 0, "section" -> 0)
-    var negStack = List.empty[(String, Int)]
+    // negative-class gate state: one LIFO stack of boiler flags PER tag
+    // name (same pairing rule as RefOracle.htmlItems — every open pushes
+    // its flag, every close pops its own name's stack, so cross-name
+    // mis-nesting degrades identically in all three implementations)
+    val negStacks = scala.collection.mutable.Map(
+      "div" -> List.empty[Boolean], "section" -> List.empty[Boolean])
 
     def flush(): Unit = {
       val norm = normalize(buf.toString)
@@ -198,22 +201,19 @@ object HtmlExtractor {
               if (NegClassTags(name)) {
                 // negative class/id gate: a div/section whose class or
                 // id carries a junk token enters the boiler gate until
-                // its MATCHING close (same-name open/close pairing by
-                // per-name depth — nested plain divs don't end it)
+                // its MATCHING close (per-name LIFO pairing — nested
+                // plain divs don't end it, and cross-name mis-nesting
+                // degrades the same way in extractor/oracle/twin)
                 if (!closing && !selfClosing) {
-                  if (negClassAt(html, nameEnd, gt)) {
-                    negStack = (name, nameOpen(name)) :: negStack
-                    boilerDepth += 1
-                  }
-                  nameOpen(name) += 1
+                  val neg = negClassAt(html, nameEnd, gt)
+                  if (neg) boilerDepth += 1
+                  negStacks(name) = neg :: negStacks(name)
                 } else if (closing) {
-                  if (nameOpen(name) > 0) nameOpen(name) -= 1
-                  negStack match {
-                    case (n2, d) :: rest
-                        if n2 == name && d == nameOpen(name) =>
-                      negStack = rest
-                      if (boilerDepth > 0) boilerDepth -= 1
-                    case _ => ()
+                  negStacks(name) match {
+                    case flag :: rest =>
+                      if (flag && boilerDepth > 0) boilerDepth -= 1
+                      negStacks(name) = rest
+                    case Nil => ()
                   }
                 }
               }
@@ -316,11 +316,10 @@ object HtmlExtractor {
     var suppressed = 0 // boiler-depth <table> opens awaiting their close
     var boilerDepth = 0
     val TableFamily = Set("table", "tr", "td", "th")
-    // negative class/id gate — same rule as [[items]]: a junk-classed
-    // div/section suppresses tables inside it
-    val nameOpen = scala.collection.mutable.Map(
-      "div" -> 0, "section" -> 0)
-    var negStack = List.empty[(String, Int)]
+    // negative class/id gate — same per-name LIFO rule as [[items]]: a
+    // junk-classed div/section suppresses tables inside it
+    val negStacks = scala.collection.mutable.Map(
+      "div" -> List.empty[Boolean], "section" -> List.empty[Boolean])
 
     def closeTable(): Unit = if (stack.nonEmpty) {
       val t = stack.pop()
@@ -347,19 +346,15 @@ object HtmlExtractor {
               val selfClosing = isSelfClosing(html, i, gt)
               if (NegClassTags(name)) {
                 if (!closing && !selfClosing) {
-                  if (negClassAt(html, nameEnd, gt)) {
-                    negStack = (name, nameOpen(name)) :: negStack
-                    boilerDepth += 1
-                  }
-                  nameOpen(name) += 1
+                  val neg = negClassAt(html, nameEnd, gt)
+                  if (neg) boilerDepth += 1
+                  negStacks(name) = neg :: negStacks(name)
                 } else if (closing) {
-                  if (nameOpen(name) > 0) nameOpen(name) -= 1
-                  negStack match {
-                    case (n2, d) :: rest
-                        if n2 == name && d == nameOpen(name) =>
-                      negStack = rest
-                      if (boilerDepth > 0) boilerDepth -= 1
-                    case _ => ()
+                  negStacks(name) match {
+                    case flag :: rest =>
+                      if (flag && boilerDepth > 0) boilerDepth -= 1
+                      negStacks(name) = rest
+                    case Nil => ()
                   }
                 }
               }

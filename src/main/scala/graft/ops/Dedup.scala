@@ -370,10 +370,22 @@ object Dedup {
 
   // ---------- embedding near-dup ----------
 
-  /** Cosine similarity of two float-array columns (zip_with + aggregate —
-    * codegen'd, no UDF).
+  /** Cosine similarity of two numeric-array columns — the native
+    * codegen'd kernel ([[graft.functions.CosineSim]]); bit-identical to
+    * the composed zip_with/aggregate form it replaced (Spark's
+    * higher-order functions are CodegenFallback — interpreted lambda
+    * evaluation with per-element boxing dominated every similarity
+    * scan; parity incl. the float-product precision of uncast inputs is
+    * pinned in OpsSpec).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecKernels.cosineSim(a, b)
+
+  /** The pre-r06 composed form, kept as the in-engine semantic
+    * reference the native kernel is tested against (OpsSpec parity).
+    * O(dim) interpreted lambda evaluations per row: not a hot path.
+    */
+  private[graft] def cosineComposed(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (s, v) => s + v)
     val na = sqrt(aggregate(transform(a, x => x * x),

@@ -32,11 +32,14 @@ object Search {
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {
     require(terms.nonEmpty, "bm25Scores needs at least one query term")
-    val toks = split(lower(col(textCol)), " ")
-    def tfCol(t: String): Column = size(filter(toks, x => x === lit(t)))
+    // r06: dl + per-term tfs come from ONE native byte-pass
+    // (graft.functions.TermFreqs) instead of a split(lower) plus an
+    // interpreted filter-HOF per term; tokenization/equality semantics
+    // are identical (parity pinned in SearchSpec + the DuckDB twin)
+    val tfdl = graft.functions.TermFreqs.termFreqs(col(textCol), terms)
     val perDoc = df.select(
-      col(idCol) +: size(toks).as("dl") +:
-        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf$i") }: _*)
+      col(idCol) +: element_at(tfdl, 1).as("dl") +:
+        terms.indices.map(i => element_at(tfdl, i + 2).as(s"tf$i")): _*)
     val aggs = count(lit(1)).as("n") +: avg(col("dl")).as("avgdl") +:
       terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))

@@ -17,6 +17,14 @@ object Similarity {
     * Pure Catalyst; identical across runs and partitionings.
     */
   def hyperplaneSketch(vec: Column, nPlanes: Int): Column =
+    graft.functions.VecKernels.hyperplaneSketchCol(vec, nPlanes)
+
+  /** The pre-r06 composed form — the in-engine semantic reference the
+    * native kernel is parity-tested against (OpsSpec); interpreted HOF
+    * evaluation, not a hot path.
+    */
+  private[graft] def hyperplaneSketchComposed(vec: Column,
+                                              nPlanes: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(nPlanes - 1)), p => {
         val dotp = aggregate(
@@ -72,21 +80,35 @@ object Similarity {
     * and referenced twice).
     */
   def int8Scale(vec: Column): Column =
-    greatest(
-      aggregate(transform(vec.cast("array<double>"), x => abs(x)),
-        lit(0.0), (s, x) => greatest(s, x)) / 127.0, lit(1e-30))
+    graft.functions.VecKernels.sq8ScaleCol(vec)
 
   /** Codes for [[int8Scale]]'s scale column — see its scaladoc. */
   def int8Codes(vec: Column, scale: Column): Column =
-    transform(vec.cast("array<double>"), x => greatest(lit(-127),
-      least(lit(127), round(x / scale, 0).cast("int"))))
+    graft.functions.VecKernels.sq8CodesCol(vec, scale)
 
   /** Cosine over int8 code arrays: dot/(|a||b|) computed on the raw
     * integer codes — the per-vector scales cancel, so this equals the
     * cosine of the dequantized vectors exactly. Integer products are
-    * ≤ 127², sums stay exact in double.
+    * ≤ 127², sums stay exact in double. Native codegen'd kernel
+    * ([[graft.functions.CodeCosine]]) — the composed HOF form was the
+    * single-task 0.46 s hot spot of sim_sq8_topk.
     */
-  def codeCosine(a: Column, b: Column): Column = {
+  def codeCosine(a: Column, b: Column): Column =
+    graft.functions.VecKernels.codeCosineCol(a, b)
+
+  /** Pre-r06 composed int8 forms — semantic references for the OpsSpec
+    * parity tests of the native kernels.
+    */
+  private[graft] def int8ScaleComposed(vec: Column): Column =
+    greatest(
+      aggregate(transform(vec.cast("array<double>"), x => abs(x)),
+        lit(0.0), (s, x) => greatest(s, x)) / 127.0, lit(1e-30))
+
+  private[graft] def int8CodesComposed(vec: Column, scale: Column): Column =
+    transform(vec.cast("array<double>"), x => greatest(lit(-127),
+      least(lit(127), round(x / scale, 0).cast("int"))))
+
+  private[graft] def codeCosineComposed(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (s, v) => s + v)
     val na = sqrt(aggregate(transform(a, x => x * x),
@@ -155,7 +177,19 @@ object Similarity {
     * shuffles; `codes` is an m-entry int array.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               books: Array[Array[Array[Double]]]): DataFrame = {
+               books: Array[Array[Array[Double]]]): DataFrame =
+    // native codegen'd kernel (graft.functions.PqEncodeExpr): the
+    // composed form evaluated m·ksub interpreted zip_with/aggregate
+    // lambdas per row; arithmetic (normalize → per-subspace first-min
+    // squared L2) is replicated op-for-op — OpsSpec pins parity against
+    // [[pqEncodeComposed]]
+    df.select(col(idCol),
+      graft.functions.VecKernels.pqCodesCol(col(vecCol), books)
+        .as("codes"))
+
+  /** Pre-r06 composed PQ encode — the OpsSpec parity reference. */
+  private[graft] def pqEncodeComposed(df: DataFrame, idCol: String,
+      vecCol: String, books: Array[Array[Array[Double]]]): DataFrame = {
     val m = books.length
     val dsub = books(0)(0).length
     val normed = df
@@ -198,6 +232,11 @@ object Similarity {
     * load. This is why PQ is the 100 TB read path.
     */
   def pqAdcScore(codes: Column, lut: Array[Array[Double]]): Column =
+    graft.functions.VecKernels.adcScoreCol(codes, lut)
+
+  /** Pre-r06 composed ADC score — the OpsSpec parity reference. */
+  private[graft] def pqAdcScoreComposed(codes: Column,
+                                        lut: Array[Array[Double]]): Column =
     lut.zipWithIndex.map { case (row, j) =>
       element_at(array(row.map(lit(_)): _*),
         element_at(codes, j + 1) + 1)
@@ -403,13 +442,27 @@ object Similarity {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: Array[(Long, Array[Float])]): DataFrame = {
     require(centroids.nonEmpty, "ivfAssign requires at least one centroid")
+    // native codegen'd argmax kernel (graft.functions.BestCell): the
+    // composed form ran nCells interpreted HOF cosines per row; the
+    // kernel replicates the double-product cosine, Double.compare
+    // ordering and first-occurrence (lowest cell id) tie-break exactly
+    // (OpsSpec parity vs [[ivfAssignComposed]])
+    val sorted = centroids.sortBy(_._1)
+    df.select(col(idCol), col(vecCol),
+      graft.functions.VecKernels.bestCellCol(col(vecCol),
+        sorted.map(_._2.map(_.toDouble)), sorted.map(_._1)).as("cell_id"))
+  }
+
+  /** Pre-r06 composed IVF assignment — the OpsSpec parity reference. */
+  private[graft] def ivfAssignComposed(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[(Long, Array[Float])]): DataFrame = {
     val sorted = centroids.sortBy(_._1)
     val centVecs = array(sorted.map { case (_, v) =>
       array(v.map(x => lit(x.toDouble)): _*) }: _*)
     val centIds = array(sorted.map { case (id, _) => lit(id) }: _*)
     df.select(col(idCol), col(vecCol),
         transform(centVecs,
-          c => Dedup.cosine(col(vecCol).cast("array<double>"), c))
+          c => Dedup.cosineComposed(col(vecCol).cast("array<double>"), c))
           .as("sims"))
       .withColumn("cell_id",
         element_at(centIds,

@@ -164,7 +164,15 @@ object TextOps {
     * a fully independent char-walk twin
     * ([[graft.oracle.PlainOracles.canonicalUrlPlain]]).
     */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column): Column =
+    graft.functions.CanonicalUrl.canonicalUrl(url)
+
+  /** Pre-r06 composed five-regexp form — the in-engine reference the
+    * native [[graft.functions.CanonicalUrl]] is parity-tested against
+    * (OpsSpec); the independent oracle twin remains
+    * PlainOracles.canonicalUrlPlain.
+    */
+  private[graft] def canonicalUrlComposed(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val prefix =
       regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)

@@ -84,9 +84,11 @@ import org.apache.spark.sql.functions._
   * UTF-8 validity > windows-1252), so legacy-charset crawl content
   * reads as real text instead of mojibake.
   *
-  * Scale: two binaryFile scans — the text scan reads `content`, the
-  * media scan selects only (path, length) so the bytes are column-pruned
-  * at the source. Listing parallelizes via the Hadoop InMemoryFileIndex.
+  * Scale: ONE binaryFile scan feeding one typed flatMap (the routing
+  * runs in Scala — [[decodeAny]] — so the plan carries no per-suffix
+  * expression trees). Listing parallelizes via the Hadoop
+  * InMemoryFileIndex; to skip media payload bytes entirely on a
+  * media-heavy store, pre-filter with `pathGlobFilter` at the source.
   */
 object RawFiles {
 
@@ -122,14 +124,6 @@ object RawFiles {
     "mp4" -> "video", "mkv" -> "video", "webm" -> "video",
     "avi" -> "video", "mov" -> "video", "m4v" -> "video",
     "mpg" -> "video", "mpeg" -> "video")
-
-  private def ext: Column =
-    lower(element_at(split(col("path"), "\\."), -1))
-
-  private def kindOf(m: Map[String, String]): Column =
-    m.foldLeft(lit(null).cast("string")) { case (acc, (e, k)) =>
-      when(ext === e, k).otherwise(acc)
-    }
 
   /** Path relative to the scan root by plain substring search — NO regex
     * (a user dir with regex metacharacters must not crash or corrupt
@@ -922,39 +916,22 @@ object RawFiles {
   def read(spark: SparkSession, dir: String): Dataset[InputDoc] = {
     import spark.implicits._
     val root = if (dir.endsWith("/")) dir else dir + "/"
-    // ONE DataFrame shared by both branches: its InMemoryFileIndex is
-    // built once, so the text and media selects don't each re-list the
-    // tree (directory listing dominates small-file corpora — measured
-    // 6s for a 5k-file dir on this VM)
-    val scan = spark.read.format("binaryFile")
+    // ONE typed flatMap over ONE binaryFile scan, all suffix routing in
+    // Scala via [[decodeAny]] — the exact dispatch the streaming source
+    // uses, so batch and streaming cannot drift (pinned by the
+    // ingest-routing fuzz suite). The r05 shape was a UNION of a text
+    // branch and a media branch, each with a ~35-branch case-when kind
+    // column: that plan cost ~0.25 s of Catalyst analysis/optimization
+    // PER ACTION (measured, guide §7.3 driver-side work) — more than
+    // the whole scan at bench scale — and scanned the file set twice.
+    // Byte traffic does not regress: a computed-column filter never
+    // pushed into binaryFile, so the old text branch already
+    // materialized every file's content including media files.
+    spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(dir)
-
-    val textKind =
-      when(lower(col("path")).endsWith(".warc.gz"), lit("warc"))
-        .when(lower(col("path")).endsWith(".tar.gz"), lit("tar"))
-        .when(lower(col("path")).endsWith(".gz"), lit("gz"))
-        .when(lower(col("path")).endsWith(".zst"), lit("zst"))
-        .when(lower(col("path")).endsWith(".xz"), lit("xz"))
-        .when(lower(col("path")).endsWith(".bz2"), lit("bz2"))
-        .when(lower(col("path")).endsWith(".lz4"), lit("lz4"))
-        .when(lower(col("path")).endsWith(".sz"), lit("sz"))
-        .when(lower(col("path")).endsWith(".snappy"), lit("snappy"))
-        .otherwise(kindOf(TextExt)) // double suffix: `ext` sees the algo
-    val textDocs = scan
-      .select(col("path"), textKind.as("kind"), col("content"))
-      .where(col("kind").isNotNull)
-      .flatMap { r =>
-        docsOf(r.getString(1), r.getString(0),
-          r.getAs[Array[Byte]]("content"), root)
-      }
-
-    val mediaDocs = scan
-      .select(col("path"), kindOf(MediaExt).as("kind"))
-      .where(col("kind").isNotNull)
-      .map(r => InputDoc(relativize(r.getString(0), root),
-        Vector(Span(r.getString(1), null, r.getString(0), 0))))
-
-    textDocs.union(mediaDocs)
+      .select(col("path"), col("content"))
+      .flatMap(r => decodeAny(r.getString(0),
+        r.getAs[Array[Byte]]("content"), root))
   }
 
   /** Spans-table ingestion from self-describing formats: the engine's

@@ -292,6 +292,16 @@ class ExtractorSpec extends AnyFunSuite {
       HtmlExtractor.Block("After the sidebar, content long enough kept.")))
     val d2 = InputDoc("messy", Vector(Span("html", messy, null, 0)))
     assert(Extractor.extract(d2).outSpans == RefOracle.extract(d2).outSpans)
+    // cross-name mis-nesting (ADVICE r05): both gates must release via
+    // the per-name LIFO, so the trailing content survives in all impls
+    val crossNest = "<div class=comments><section id=ads>" +
+      "<p>buried junk long enough to form a block</p></div></section>" +
+      "<p>Kept after cross-name mis-nested junk containers close.</p>"
+    assert(HtmlExtractor.items(crossNest) == Vector(
+      HtmlExtractor.Block(
+        "Kept after cross-name mis-nested junk containers close.")))
+    val d3 = InputDoc("crossnest", Vector(Span("html", crossNest, null, 0)))
+    assert(Extractor.extract(d3).outSpans == RefOracle.extract(d3).outSpans)
   }
 
   test("html unicode whitespace (U+3000) normalizes identically in both impls") {

@@ -234,6 +234,14 @@ class HtmlTableSpec extends AnyFunSuite {
     assert(HtmlExtractor.tables(html) ==
       Vector(Vector(Vector("kept cell"))))
     assert(twinTables(html) == HtmlExtractor.tables(html))
+    // cross-name mis-nesting (ADVICE r05): both junk gates release via
+    // the per-name LIFO, so the trailing table is visible again
+    val crossNest = "<div class=comments><section id=ads>" +
+      "<table><tr><td>buried</td></tr></table></div></section>" +
+      "<table><tr><td>kept after misnest</td></tr></table>"
+    assert(HtmlExtractor.tables(crossNest) ==
+      Vector(Vector(Vector("kept after misnest"))))
+    assert(twinTables(crossNest) == HtmlExtractor.tables(crossNest))
   }
 
   test("char machine == token-fold twin on random and generator docs") {

@@ -445,6 +445,104 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
   }
 
+  test("native vector kernels == composed forms bit-exact (and codegen'd)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import spark.implicits._
+    def bits(df: DataFrame): Array[java.lang.Long] = df.collect().map(r =>
+      if (r.isNullAt(0)) null
+      else java.lang.Long.valueOf(
+        java.lang.Double.doubleToLongBits(r.getDouble(0))))
+    // an edge corpus of NON-degenerate vectors (under ANSI mode the
+    // composed form's division THROWS on a zero norm, so zero vectors
+    // are not comparable — and no driver data path produces one; the
+    // native kernel's NaN there is asserted separately below)
+    val edge = Seq(
+      (1L, Seq(1e-20f, -1e-20f, 1e20f, -1e20f)),
+      (2L, Seq(1.0f, -2.5f, 3.5f, -0.5f)),
+      (4L, Seq(-1.0f, 2.0f, -3.0f, 4.0f))).toDF("id", "v")
+    val ea = edge.select(col("id").as("ia"), col("v").as("va"))
+    val eb = edge.select(col("id").as("ib"), col("v").as("vb"))
+    val ej = ea.crossJoin(eb)
+    // cosine, uncast float×float (float-product precision) and cast path
+    assert(bits(ej.select(Dedup.cosine(col("va"), col("vb"))))
+      .sameElements(bits(ej.select(
+        Dedup.cosineComposed(col("va"), col("vb"))))), "float cosine")
+    assert(bits(ej.select(Dedup.cosine(col("va").cast("array<double>"),
+        col("vb").cast("array<double>"))))
+      .sameElements(bits(ej.select(Dedup.cosineComposed(
+        col("va").cast("array<double>"), col("vb").cast("array<double>"))))),
+      "double cosine")
+    // degenerate inputs, native semantics pinned directly: zero norm →
+    // NaN (never an error), length mismatch → null (zip_with padding)
+    val degen = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 2.0f), Seq(0.5f))).toDF("x", "y")
+      .select(Dedup.cosine(col("x"), col("y"))).collect()
+    assert(degen(0).getDouble(0).isNaN, "zero-norm cosine must be NaN")
+    assert(degen(1).isNullAt(0), "length-mismatch cosine must be null")
+    val a40 = e.limit(40).select(col("vec_id").as("ia"),
+      col("embedding").as("va"))
+    val b40 = e.limit(40).select(col("vec_id").as("ib"),
+      col("embedding").as("vb"))
+    val j = a40.crossJoin(b40)
+    assert(bits(j.select(Dedup.cosine(col("va"), col("vb"))))
+      .sameElements(bits(j.select(
+        Dedup.cosineComposed(col("va"), col("vb"))))), "emb cosine")
+    // SQ8 scale / codes / code cosine
+    val sc = e.select(col("vec_id"), col("embedding"),
+      Similarity.int8Scale(col("embedding")).as("s"))
+    val scC = e.select(col("vec_id"), col("embedding"),
+      Similarity.int8ScaleComposed(col("embedding")).as("s"))
+    assert(bits(sc.select(col("s"))).sameElements(bits(scC.select(col("s")))),
+      "sq8 scale")
+    val codes = sc.select(col("vec_id").as("ia"),
+      Similarity.int8Codes(col("embedding"), col("s")).as("ca"))
+    val codesC = scC.select(col("vec_id").as("ib"),
+      Similarity.int8CodesComposed(col("embedding"), col("s")).as("cb"))
+    assert(codes.collect().map(_.getSeq[Int](1)).toSeq ==
+      codesC.collect().map(_.getSeq[Int](1)).toSeq, "sq8 codes")
+    val cj = codes.limit(30).crossJoin(codesC.limit(30))
+    assert(bits(cj.select(Similarity.codeCosine(col("ca"), col("cb"))))
+      .sameElements(bits(cj.select(
+        Similarity.codeCosineComposed(col("ca"), col("cb"))))),
+      "code cosine")
+    // hyperplane sketch (two plane counts, incl. > 8)
+    for (p <- Seq(6, 17)) {
+      val n = e.select(Similarity.hyperplaneSketch(col("embedding"), p))
+        .collect().map(_.getLong(0))
+      val c = e.select(
+          Similarity.hyperplaneSketchComposed(col("embedding"), p))
+        .collect().map(_.getLong(0))
+      assert(n.sameElements(c), s"hyperplane sketch nPlanes=$p")
+    }
+    // IVF assignment (argmax + tie-break) vs composed
+    val cents = e.orderBy(col("vec_id").asc).limit(8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val asg = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      .select("vec_id", "cell_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val asgC = Similarity.ivfAssignComposed(e, "vec_id", "embedding", cents)
+      .select("vec_id", "cell_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(asg.sameElements(asgC), "ivf assign")
+    // PQ encode + ADC score vs composed
+    val books = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+      m = 8, ksub = 16, sampleN = 100, iters = 2)
+    val pq = Similarity.pqEncode(e, "vec_id", "embedding", books)
+    val pqC = Similarity.pqEncodeComposed(e, "vec_id", "embedding", books)
+    assert(pq.collect().map(_.getSeq[Int](1)).toSeq ==
+      pqC.collect().map(_.getSeq[Int](1)).toSeq, "pq codes")
+    val q = e.limit(1).collect()(0).getSeq[Float](1).toArray
+    val lut = Similarity.pqQueryLut(q, books)
+    assert(bits(pq.select(Similarity.pqAdcScore(col("codes"), lut)))
+      .sameElements(bits(pqC.select(
+        Similarity.pqAdcScoreComposed(col("codes"), lut)))), "adc score")
+    // all kernels stay inside whole-stage codegen
+    val plan = e.select(Dedup.cosine(col("embedding"), col("embedding")),
+        Similarity.int8Scale(col("embedding")),
+        Similarity.hyperplaneSketch(col("embedding"), 6))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
   test("native MinHashSig expression == composed formulation (and codegen'd)") {
     val d = docsDf.select("doc_id", "text").limit(200)
     def sigs(c: org.apache.spark.sql.Column): Array[Seq[Long]] =
@@ -1243,5 +1341,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.oracle.PlainOracles.canonicalUrlPlain)
     assert(sparkSide == plainSide,
       sparkSide.zip(plainSide).filter(p => p._1 != p._2).mkString("\n"))
+    // r06 native expression == the pre-r06 composed five-regexp form,
+    // on the pins and the adversarial set (and codegen'd)
+    val composedSide = adversarial.toDF("url")
+      .select(TextOps.canonicalUrlComposed(col("url")))
+      .as[String].collect().toSeq
+    assert(sparkSide == composedSide,
+      sparkSide.zip(composedSide).filter(p => p._1 != p._2).mkString("\n"))
+    // codegen check against a parquet-backed source (a local Seq folds
+    // to a LocalTableScan with no codegen stage at all)
+    val plan = docsDf
+      .select(TextOps.canonicalUrl(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
   }
 }

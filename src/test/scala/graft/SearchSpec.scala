@@ -45,6 +45,37 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.toSet.size > 10)
   }
 
+  test("native TermFreqs == split(lower)/filter composed tokenization") {
+    import spark.implicits._
+    val terms = Seq("hash", "naïve", "a")
+    val edge = Seq("", " ", "  a ", "Hash hash HASH", "a  a a",
+      "NAÏVE naïve x", "中文 hash 中文", "a-hash hash- hash").toDF("text")
+    val toks = split(lower(col("text")), " ")
+    val composed = edge.select(
+      size(toks) +: terms.map(t =>
+        size(filter(toks, x => x === lit(t)))): _*).collect()
+      .map(_.toSeq.map(_.asInstanceOf[Int]))
+    val native = edge.select(
+      graft.functions.TermFreqs.termFreqs(col("text"), terms)).collect()
+      .map(_.getSeq[Int](0))
+    assert(native.map(_.toSeq).toSeq == composed.map(_.toSeq).toSeq)
+    // parquet-backed corpus too, and codegen'd
+    val d = docs.limit(300)
+    val cn = d.select(graft.functions.TermFreqs
+        .termFreqs(col("text"), Seq("hash", "join"))).collect()
+      .map(_.getSeq[Int](0))
+    val cc = d.select(
+      size(split(lower(col("text")), " ")) +: Seq("hash", "join").map(t =>
+        size(filter(split(lower(col("text")), " "),
+          x => x === lit(t)))): _*).collect()
+      .map(_.toSeq.map(_.asInstanceOf[Int]))
+    assert(cn.map(_.toSeq).toSeq == cc.map(_.toSeq).toSeq)
+    val plan = d.select(graft.functions.TermFreqs
+        .termFreqs(col("text"), Seq("x")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
   test("bm25TopK plans TakeOrderedAndProject (no global sort)") {
     val plan = Search.bm25TopK(docs, "doc_id", "text", Seq("hash"), 10)
       .queryExecution.executedPlan.toString
