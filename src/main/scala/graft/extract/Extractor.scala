@@ -49,12 +49,28 @@ object Extractor {
       }
     }
 
-    // chunk numbering: 1-based over all boxes sorted by chunkIdOrder
+    // chunk numbering: 1-based over all boxes sorted by chunkIdOrder —
+    // comparator-based stable sort (identical comparisons to the old
+    // (page, x0, y0, y1, text) Tuple5 sortBy, minus its per-box tuple
+    // and boxed-Double allocation; r06 hot-path trim)
     val boxEmits = emits.iterator.zipWithIndex.filter(_._1.box != null).toArray
     val chunkN = new java.util.HashMap[Int, Int] // emit index -> n
-    boxEmits.sortBy { case (e, _) =>
-      val b = e.box; (b.page, b.x0, b.y0, b.y1, b.text)
-    }.iterator.zipWithIndex.foreach { case ((_, ei), i) =>
+    java.util.Arrays.sort(boxEmits,
+      new java.util.Comparator[(Emit, Int)] {
+        override def compare(a: (Emit, Int), b: (Emit, Int)): Int = {
+          val ba = a._1.box; val bb = b._1.box
+          val cp = Integer.compare(ba.page, bb.page)
+          if (cp != 0) return cp
+          val cx = java.lang.Double.compare(ba.x0, bb.x0)
+          if (cx != 0) return cx
+          val cy0 = java.lang.Double.compare(ba.y0, bb.y0)
+          if (cy0 != 0) return cy0
+          val cy1 = java.lang.Double.compare(ba.y1, bb.y1)
+          if (cy1 != 0) return cy1
+          ba.text.compareTo(bb.text)
+        }
+      })
+    boxEmits.iterator.zipWithIndex.foreach { case ((_, ei), i) =>
       chunkN.put(ei, i + 1)
     }
 

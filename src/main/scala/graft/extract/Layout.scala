@@ -162,6 +162,62 @@ object Layout {
     uf
   }
 
+  /** (x0, y0, text) run ordering — identical comparisons to the tuple
+    * `sortBy` key it replaced (Double.compare == Ordering.Double
+    * .TotalOrdering on each component, String.compareTo last), without
+    * the per-element Tuple3/boxed-Double allocation (r06: boxesOf was
+    * 64% of single-thread extraction CPU, dominated by sort/groupBy
+    * allocation on the many-tiny-pages corpus shape).
+    */
+  private val RunCmp = new java.util.Comparator[Run] {
+    override def compare(a: Run, b: Run): Int = {
+      val cx = java.lang.Double.compare(a.x0, b.x0)
+      if (cx != 0) return cx
+      val cy = java.lang.Double.compare(a.y0, b.y0)
+      if (cy != 0) return cy
+      a.text.compareTo(b.text)
+    }
+  }
+
+  /** (-y1, x0, text) line ordering — same semantics as the tuple key. */
+  private val LineCmp = new java.util.Comparator[Line] {
+    override def compare(a: Line, b: Line): Int = {
+      val cy = java.lang.Double.compare(-a.y1, -b.y1)
+      if (cy != 0) return cy
+      val cx = java.lang.Double.compare(a.x0, b.x0)
+      if (cx != 0) return cx
+      a.text.compareTo(b.text)
+    }
+  }
+
+  /** Member indices per component, components enumerated by ascending
+    * root (the union rule keeps the minimum member as root, so this is
+    * ascending-minimum order — deterministic, unlike the hash-keyed
+    * `groupBy(find).values` it replaced; the component SETS and every
+    * downstream sort are unchanged), members within a component in
+    * ascending index order (what `(0 until n).groupBy` produced).
+    */
+  private def components(uf: UF, n: Int): Array[Array[Int]] = {
+    val size = new Array[Int](n)
+    var i = 0
+    while (i < n) { size(uf.find(i)) += 1; i += 1 }
+    val out = new Array[Array[Int]](n)
+    i = 0
+    while (i < n) {
+      if (size(i) > 0) out(i) = new Array[Int](size(i))
+      i += 1
+    }
+    val fill = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val r = uf.find(i)
+      out(r)(fill(r)) = i
+      fill(r) += 1
+      i += 1
+    }
+    out.filter(_ != null)
+  }
+
   /** Cluster one tokenized page into text boxes (unordered — callers
     * apply ExtractionSpec.readingOrder / chunkIdOrder).
     */
@@ -169,7 +225,8 @@ object Layout {
     val runs = page.runs
     if (runs.isEmpty) return Vector.empty
     // --- lines ---
-    val sortedRuns = runs.sortBy(r => (r.x0, r.y0, r.text)).toArray
+    val sortedRuns = runs.toArray
+    java.util.Arrays.sort(sortedRuns, RunCmp) // TimSort, like sortBy
     val n = sortedRuns.length
     val rx0 = sortedRuns.map(_.x0); val ry0 = sortedRuns.map(_.y0)
     val rx1 = sortedRuns.map(_.x1); val ry1 = sortedRuns.map(_.y1)
@@ -182,14 +239,24 @@ object Layout {
     }
     val uf = cluster(n, rx0, ry0, rx1, ry1,
       i => 1.5 * (ry1(i) - ry0(i)), _ => 0.0, runJoin)
-    val lineGroups = (0 until n).groupBy(uf.find).values
-    val lines: Array[Line] = lineGroups.map { idxs =>
-      val rs = idxs.map(sortedRuns(_)).sortBy(r => (r.x0, r.y0, r.text))
+    val lines: Array[Line] = components(uf, n).map { idxs =>
+      val rs = idxs.map(sortedRuns(_))
+      java.util.Arrays.sort(rs, RunCmp) // stable: equal keys keep order
+      var x0 = rs(0).x0; var y0 = rs(0).y0
+      var x1 = rs(0).x1; var y1 = rs(0).y1
       val sb = new java.lang.StringBuilder
-      rs.foreach(r => sb.append(r.text))
-      Line(rs.map(_.x0).min, rs.map(_.y0).min,
-           rs.map(_.x1).max, rs.map(_.y1).max, sb.toString)
-    }.toArray
+      var k = 0
+      while (k < rs.length) {
+        val r = rs(k)
+        if (r.x0 < x0) x0 = r.x0
+        if (r.y0 < y0) y0 = r.y0
+        if (r.x1 > x1) x1 = r.x1
+        if (r.y1 > y1) y1 = r.y1
+        sb.append(r.text)
+        k += 1
+      }
+      Line(x0, y0, x1, y1, sb.toString)
+    }
     // --- boxes ---
     val m = lines.length
     val lx0 = lines.map(_.x0); val ly0 = lines.map(_.y0)
@@ -203,13 +270,23 @@ object Layout {
     val uf2 = cluster(m, lx0, ly0, lx1, ly1,
       _ => 0.0, i => 0.5 * (ly1(i) - ly0(i)), lineJoin)
     val out = new ArrayBuffer[TextBox]
-    (0 until m).groupBy(uf2.find).values.foreach { idxs =>
-      val ls = idxs.map(lines(_)).sortBy(l => (-l.y1, l.x0, l.text))
+    components(uf2, m).foreach { idxs =>
+      val ls = idxs.map(lines(_))
+      java.util.Arrays.sort(ls, LineCmp)
+      var x0 = ls(0).x0; var y0 = ls(0).y0
+      var x1 = ls(0).x1; var y1 = ls(0).y1
       val sb = new java.lang.StringBuilder
-      ls.foreach { l => sb.append(l.text).append('\n') }
-      out += TextBox(page.page,
-        ls.map(_.x0).min, ls.map(_.y0).min,
-        ls.map(_.x1).max, ls.map(_.y1).max,
+      var k = 0
+      while (k < ls.length) {
+        val l = ls(k)
+        if (l.x0 < x0) x0 = l.x0
+        if (l.y0 < y0) y0 = l.y0
+        if (l.x1 > x1) x1 = l.x1
+        if (l.y1 > y1) y1 = l.y1
+        sb.append(l.text).append('\n')
+        k += 1
+      }
+      out += TextBox(page.page, x0, y0, x1, y1,
         page.width, page.height, sb.toString)
     }
     out.toVector

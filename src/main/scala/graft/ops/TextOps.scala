@@ -76,10 +76,20 @@ object TextOps {
     val toks = df.select(
       filter(split(col(textCol), " "), w => length(w) > 0).as("ws"))
     val unigrams = toks.select(explode(col("ws")).as("w"))
-    val total = unigrams.count()
-    val vocab = unigrams.groupBy("w").count()
-      .orderBy(col("count").desc, col("w").asc).limit(maxVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // ONE pass for total + vocab (r06): rollup(w) emits the per-word
+    // counts AND the () grand-total row in the same partial-aggregated
+    // job; the total row's count >= every word's count, so it is always
+    // the first row of the (count desc, w asc nulls-first) top-k — the
+    // old separate unigrams.count() job re-scanned and re-exploded the
+    // sample for one number
+    val vocabAndTotal = unigrams.rollup("w").count()
+      .orderBy(col("count").desc, col("w").asc_nulls_first)
+      .limit(maxVocab + 1)
+      .collect()
+    val total = vocabAndTotal.find(_.isNullAt(0)).map(_.getLong(1))
+      .getOrElse(0L)
+    val vocab = vocabAndTotal.iterator.filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getLong(1))).toMap
     val bigrams = toks
       .where(size(col("ws")) >= 2)
       .select(explode(zip_with(
