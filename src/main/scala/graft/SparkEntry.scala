@@ -1315,11 +1315,18 @@ object SparkEntry {
       // encode is a zero-shuffle codegen'd argmin scan. Twin: fully
       // independent PlainOracles PQ (own normalize/k-means/encode/ADC).
       val e = t(s, dir, "embeddings")
-      val books = graft.ops.Similarity.trainPqCodebooks(
+      // codebook training and the query-vector fetch are independent
+      // bounded jobs — overlap them (guide §2.6), results unchanged
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val booksF = Future(graft.ops.Similarity.trainPqCodebooks(
         e, "vec_id", "embedding", m = 8, ksub = 16,
-        sampleN = 200, iters = 3)
-      val q = e.where(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0).toArray
+        sampleN = 200, iters = 3))
+      val qF = Future(e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray)
+      val books = Await.result(booksF, Duration.Inf)
+      val q = Await.result(qF, Duration.Inf)
       val lut = graft.ops.Similarity.pqQueryLut(q, books)
       graft.ops.Similarity.pqEncode(e, "vec_id", "embedding", books)
         .select(col("vec_id"),

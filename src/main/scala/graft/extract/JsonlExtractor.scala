@@ -72,8 +72,11 @@ object JsonlExtractor {
     *  - anything else (scalars, malformed JSON, text-less objects)
     *    yields nothing — degrade, never throw.
     */
-  def valueRecords(bytes: Array[Byte]): Vector[Rec] = {
-    val node = rootOf(bytes).getOrElse(return Vector.empty)
+  def valueRecords(bytes: Array[Byte]): Vector[Rec] =
+    rootOf(bytes).map(recordsOf).getOrElse(Vector.empty)
+
+  private def recordsOf(
+      node: com.fasterxml.jackson.databind.JsonNode): Vector[Rec] = {
     if (node.isObject)
       retained(node).map { case (id, t) => Rec(-1, id, t) }.toVector
     else if (node.isArray)
@@ -84,14 +87,35 @@ object JsonlExtractor {
   }
 
   /** Content magic: a `.json` that is really a Jupyter notebook
-    * (object with a numeric `nbformat` and `cells`/`worksheets`) —
-    * routed to the notebook front end upstream, exactly like the
-    * lying-extension magics elsewhere (CFB-under-.txt, feed-rooted
-    * `.xml`).
+    * (object with a NUMERIC `nbformat` and an ARRAY
+    * `cells`/`worksheets` — ADVICE r05: key presence alone misrouted
+    * corpus objects that merely carry those keys) — routed to the
+    * notebook front end upstream, exactly like the lying-extension
+    * magics elsewhere (CFB-under-.txt, feed-rooted `.xml`).
     */
   def isNotebookJson(bytes: Array[Byte]): Boolean =
-    rootOf(bytes).exists(n => n.isObject && n.has("nbformat") &&
-      (n.has("cells") || n.has("worksheets")))
+    rootOf(bytes).exists(isNotebookNode)
+
+  private def isNotebookNode(
+      n: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    def arr(key: String): Boolean = {
+      val v = n.get(key); v != null && v.isArray
+    }
+    n.isObject && n.get("nbformat") != null &&
+      n.get("nbformat").isNumber && (arr("cells") || arr("worksheets"))
+  }
+
+  /** One-parse route for a whole-file `.json` payload (ADVICE r05: the
+    * ingest path previously Jackson-parsed every payload twice —
+    * notebook magic, then records): Left(()) = notebook-shaped (send
+    * to the ipynb front end), Right = the retained [[valueRecords]].
+    */
+  def routeJson(bytes: Array[Byte]): Either[Unit, Vector[Rec]] =
+    rootOf(bytes) match {
+      case Some(n) if isNotebookNode(n) => Left(())
+      case Some(n) => Right(recordsOf(n))
+      case None => Right(Vector.empty)
+    }
 
   private def rootOf(bytes: Array[Byte])
       : Option[com.fasterxml.jackson.databind.JsonNode] = {

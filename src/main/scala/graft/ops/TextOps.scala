@@ -82,23 +82,35 @@ object TextOps {
     // the first row of the (count desc, w asc nulls-first) top-k — the
     // old separate unigrams.count() job re-scanned and re-exploded the
     // sample for one number
-    val vocabAndTotal = unigrams.rollup("w").count()
-      .orderBy(col("count").desc, col("w").asc_nulls_first)
-      .limit(maxVocab + 1)
-      .collect()
-    val total = vocabAndTotal.find(_.isNullAt(0)).map(_.getLong(1))
-      .getOrElse(0L)
-    val vocab = vocabAndTotal.iterator.filter(!_.isNullAt(0))
-      .map(r => (r.getString(0), r.getLong(1))).toMap
-    val bigrams = toks
-      .where(size(col("ws")) >= 2)
-      .select(explode(zip_with(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("g"))
-      .groupBy("g").count()
-      .orderBy(col("count").desc, col("g").asc).limit(maxBigrams)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the unigram and bigram top-k aggregates are independent bounded
+    // jobs — overlap them (guide §2.6); results unchanged
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val vocabF = Future {
+      val vocabAndTotal = unigrams.rollup("w").count()
+        .orderBy(col("count").desc, col("w").asc_nulls_first)
+        .limit(maxVocab + 1)
+        .collect()
+      val total = vocabAndTotal.find(_.isNullAt(0)).map(_.getLong(1))
+        .getOrElse(0L)
+      val vocab = vocabAndTotal.iterator.filter(!_.isNullAt(0))
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      (vocab, total)
+    }
+    val bigramsF = Future {
+      toks
+        .where(size(col("ws")) >= 2)
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+        .groupBy("g").count()
+        .orderBy(col("count").desc, col("g").asc).limit(maxBigrams)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    val (vocab, total) = Await.result(vocabF, Duration.Inf)
+    val bigrams = Await.result(bigramsF, Duration.Inf)
     graft.functions.NgramLm(vocab, bigrams, total)
   }
 

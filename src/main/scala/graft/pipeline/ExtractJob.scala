@@ -180,8 +180,11 @@ object ExtractJob {
     // BOUNDED (VERDICT r04 #3): a row count first (column-pruned — for
     // parquet it is row-group metadata, no payload read), then the cost
     // agg either exact (input ≤ skewSampleRows — test corpora, resumes
-    // of small groups) or over a seeded random sample of ~that many
-    // rows, with the total scaled back up by 1/fraction. A lone monster
+    // of small groups) or over a deterministic every-k-th-partition
+    // subset of ~that many rows (r06: the old `sample(f)` still READ
+    // every payload and discarded 1-f of rows; unpulled partition
+    // iterators never open their files), the total scaled back up by
+    // the observed fraction. A lone monster
     // doc can evade a sample; the miss cost is one straggler task on
     // the NARROW path, strictly cheaper than the full-payload shuffle a
     // false "on" would buy at 10^12 docs. In an Iceberg deployment the
@@ -194,19 +197,41 @@ object ExtractJob {
       case "off" => false
       case _ =>
         val nRows = withGroup.count()
-        val (s, scaleUp) =
-          if (nRows <= cfg.skewSampleRows)
-            (withGroup.agg(max("_cost"), sum("_cost")).collect()(0), 1.0)
-          else {
-            val f = cfg.skewSampleRows.toDouble / nRows
-            (withGroup.sample(withReplacement = false, f, seed = 42L)
-               .agg(max("_cost"), sum("_cost")).collect()(0), 1.0 / f)
+        if (nRows <= cfg.skewSampleRows) {
+          val s = withGroup.agg(max("_cost"), sum("_cost")).collect()(0)
+          !s.isNullAt(0) && {
+            val mx = s.getLong(0)
+            val total = s.getLong(1)
+            val fairShare = math.max(total / math.max(nPart, 1), 1L)
+            mx >= cfg.bigDocBytes || mx >= fairShare / 4
           }
-        !s.isNullAt(0) && {
-          val mx = s.getLong(0)
-          val total = (s.getLong(1) * scaleUp).toLong
-          val fairShare = math.max(total / math.max(nPart, 1), 1L)
-          mx >= cfg.bigDocBytes || mx >= fairShare / 4
+        } else {
+          // r06: deterministic PARTITION-SUBSET sample instead of the
+          // row-fraction sample(f) — sample() still READ every row's
+          // spans payload to evaluate _cost and then discarded 1-f of
+          // them; keeping every k-th input partition and never pulling
+          // the other iterators skips their payload read entirely
+          // (FileScanRDD opens files lazily on first pull), so the
+          // stats pass touches ~skewSampleRows rows of I/O, not all of
+          // them. Same miss model as before (a lone monster can evade
+          // any sample; the miss cost is one straggler on the NARROW
+          // path), and the decision thresholds are unchanged —
+          // ExtractJobSpec pins both outcomes.
+          val k = math.max(1,
+            math.ceil(nRows.toDouble / cfg.skewSampleRows).toInt)
+          val (mx, tot, cnt) = withGroup.select(col("_cost")).rdd
+            .mapPartitionsWithIndex { (i, it) =>
+              if (i % k == 0) it.map(_.getLong(0)) else Iterator.empty
+            }
+            .aggregate((0L, 0L, 0L))(
+              { case ((m, t, c), v) => (math.max(m, v), t + v, c + 1) },
+              { case ((m1, t1, c1), (m2, t2, c2)) =>
+                (math.max(m1, m2), t1 + t2, c1 + c2) })
+          cnt > 0 && {
+            val total = (tot * (nRows.toDouble / cnt)).toLong
+            val fairShare = math.max(total / math.max(nPart, 1), 1L)
+            mx >= cfg.bigDocBytes || mx >= fairShare / 4
+          }
         }
     })
 

@@ -175,9 +175,17 @@ object RawFiles {
              graft.extract.ArchiveExtractor.isSevenZ(bytes))
       archiveDocs(path, relativize(path, root), bytes)
     else if (kind == "jsonl") jsonlDocs(relativize(path, root), bytes)
-    else if (kind == "json" &&
-             !graft.extract.JsonlExtractor.isNotebookJson(bytes))
-      jsonDocs(relativize(path, root), bytes)
+    else if (kind == "json")
+      // ONE Jackson parse routes notebook-vs-plain AND yields the
+      // records (ADVICE r05: the old isNotebookJson-then-valueRecords
+      // pair parsed every payload twice, and a notebook three times)
+      graft.extract.JsonlExtractor.routeJson(bytes) match {
+        case Right(recs) => jsonDocs(relativize(path, root), recs)
+        case Left(_) =>
+          val spans = docSpans("ipynb", path, bytes)
+          if (spans.isEmpty) Nil
+          else Seq(InputDoc(relativize(path, root), spans))
+      }
     else if (kind == "feed" ||
              (kind == "xml" && graft.extract.FeedExtractor.isFeed(bytes)))
       feedDocs(relativize(path, root), bytes)
@@ -248,8 +256,9 @@ object RawFiles {
     * A notebook-shaped `.json` never reaches here — [[docsOf]] routes
     * it to the ipynb front end by content magic.
     */
-  private def jsonDocs(rel: String, bytes: Array[Byte]): Seq[InputDoc] = {
-    graft.extract.JsonlExtractor.valueRecords(bytes).map { r =>
+  private def jsonDocs(rel: String,
+      recs: Seq[graft.extract.JsonlExtractor.Rec]): Seq[InputDoc] = {
+    recs.map { r =>
       if (r.lineNo < 0) // the single-object sentinel: the file IS the doc
         InputDoc(rel, Vector(Span("text", r.text, null, 0)))
       else
@@ -694,11 +703,11 @@ object RawFiles {
       // [[jsonDocs]]): notebook-shaped payloads delegate to the ipynb
       // front end by content magic; otherwise retained records' texts
       // enter in order (object → one span, HF array → one per element).
-      if (graft.extract.JsonlExtractor.isNotebookJson(bytes))
-        docSpans("ipynb", path, bytes, transportCharset)
-      else
-        graft.extract.JsonlExtractor.valueRecords(bytes).zipWithIndex
+      graft.extract.JsonlExtractor.routeJson(bytes) match {
+        case Left(_) => docSpans("ipynb", path, bytes, transportCharset)
+        case Right(recs) => recs.zipWithIndex
           .map { case (r, k) => Span("text", r.text, null, k) }
+      }
     } else if (kind == "ipynb") {
       // Jupyter notebooks decode at the ingest boundary: markdown
       // cells through the MdExtractor semantics (headings, paragraphs,

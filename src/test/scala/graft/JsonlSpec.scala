@@ -89,6 +89,14 @@ class JsonlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asJson.nonEmpty)
     // a plain object is NOT a notebook
     assert(!JsonlExtractor.isNotebookJson("""{"text":"x"}""".getBytes))
+    // ADVICE r05: the magic requires NUMERIC nbformat + ARRAY cells —
+    // a corpus object merely carrying the keys must not misroute
+    assert(!JsonlExtractor.isNotebookJson(
+      """{"nbformat":"4","cells":[],"text":"x"}""".getBytes))
+    assert(!JsonlExtractor.isNotebookJson(
+      """{"nbformat":4,"cells":"oops","text":"x"}""".getBytes))
+    assert(JsonlExtractor.isNotebookJson(
+      """{"nbformat":4,"cells":[]}""".getBytes))
   }
 
   test("ingest fan-out: shards (.jsonl/.ndjson/.jsonl.gz) and generic .gz route identically in batch and streaming") {
