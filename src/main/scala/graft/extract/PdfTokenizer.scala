@@ -70,9 +70,9 @@ object PdfTokenizer {
       val j = payload.indexOf('\n', i)
       val end = if (j < 0) n else j
       if (end > i) {
-        val line = payload.substring(i, end)
-        if (line.startsWith("PG ")) {
-          val parts = line.split(' ')
+        if (payload.startsWith("PG ", i) && i + 3 <= end) {
+          // rare op (one per page): the substring+split path stays
+          val parts = payload.substring(i, end).split(' ')
           val w = if (parts.length > 1) parseD(parts(1)) else Double.NaN
           val h = if (parts.length > 2) parseD(parts(2)) else Double.NaN
           pageNo += 1
@@ -80,15 +80,31 @@ object PdfTokenizer {
           val ph = if (h.isNaN || h <= 0) ExtractionSpec.DefaultPageHeight else h
           cur = Page(pageNo, pw, ph, new ArrayBuffer[Run])
           pages += cur
-        } else if (line.startsWith("TX ")) {
-          // TX x y w h text — fields separated by EXACTLY one space; text
-          // is the remainder of the line (may itself contain spaces).
-          val parts = line.split(" ", 6)
-          if (parts.length == 6) {
-            val x = parseD(parts(1)); val y = parseD(parts(2))
-            val w = parseD(parts(3)); val h = parseD(parts(4))
+        } else if (payload.startsWith("TX ", i) && i + 3 <= end) {
+          // TX x y w h text — fields separated by EXACTLY one space;
+          // text is the remainder of the line (may itself contain
+          // spaces). r06 hot path: manual field-boundary scan instead
+          // of substring + split(" ", 6), byte-identical acceptance
+          // (the line needs >= 5 single-space separators; empty or
+          // non-numeric coordinate fields parse to NaN and skip, like
+          // the old parts array did).
+          def nextSpace(from: Int): Int = {
+            var k = from
+            while (k < end && payload.charAt(k) != ' ') k += 1
+            if (k < end) k else -1
+          }
+          val f1 = i + 3 // field after "TX "
+          val s2 = nextSpace(f1)
+          val s3 = if (s2 < 0) -1 else nextSpace(s2 + 1)
+          val s4 = if (s3 < 0) -1 else nextSpace(s3 + 1)
+          val s5 = if (s4 < 0) -1 else nextSpace(s4 + 1)
+          if (s5 >= 0) {
+            val x = parseD(payload.substring(f1, s2))
+            val y = parseD(payload.substring(s2 + 1, s3))
+            val w = parseD(payload.substring(s3 + 1, s4))
+            val h = parseD(payload.substring(s4 + 1, s5))
             if (!(x.isNaN || y.isNaN || w.isNaN || h.isNaN)) {
-              val text = unescape(parts(5))
+              val text = unescape(payload.substring(s5 + 1, end))
               if (text.nonEmpty) {
                 if (cur == null) openDefaultPage()
                 val w2 = math.max(w, 0.0); val h2 = math.max(h, 0.0)

@@ -248,7 +248,14 @@ object TextOps {
   /** Language-ID n-gram/stopword heuristic. Deterministic cascade;
     * exact SQL twin via CASE + regexp.
     */
-  def langIdGuess(text: Column): Column = {
+  def langIdGuess(text: Column): Column =
+    graft.functions.LangGuess.langGuess(text)
+
+  /** Pre-r06 composed rlike/contains cascade — the in-engine reference
+    * the native [[graft.functions.LangGuess]] is parity-tested against
+    * (OpsSpec); the DuckDB twin runs the same cascade in SQL.
+    */
+  private[graft] def langIdGuessComposed(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
       .when(text.rlike("[\\u3040-\\u30ff]"), "ja")

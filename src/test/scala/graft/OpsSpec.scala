@@ -445,6 +445,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
   }
 
+  test("native LangGuess == composed rlike/contains cascade (and codegen'd)") {
+    import spark.implicits._
+    val edge = Seq("", " ", "plain english words here",
+      "ひらがな text first 中文 later", // ja chars first, zh must still win
+      "русский текст", "カタカナ only", "中文",
+      "see el gato and los perros", "der und ist", "le les une",
+      "EL GATO uppercase", "commentary el", "nel mezzo", // token bounds
+      "mixed der text with una palabra", // es checked before de
+      "\u4e00", "\u9fff", "\u3040", "\u30ff", "\u0400", "\u04ff",
+      "\u4dff\u3039", "\ud83d\ude00 emoji only").toDF("text")
+    for (src <- Seq(edge, docsDf.select("text").limit(300))) {
+      val a = src.select(TextOps.langIdGuess(col("text")))
+        .collect().map(_.getString(0))
+      val b = src.select(TextOps.langIdGuessComposed(col("text")))
+        .collect().map(_.getString(0))
+      assert(a.sameElements(b), a.zip(b).filter(p => p._1 != p._2)
+        .mkString(","))
+    }
+    val plan = docsDf.select(TextOps.langIdGuess(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
   test("native vector kernels == composed forms bit-exact (and codegen'd)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     import spark.implicits._
