@@ -1316,17 +1316,13 @@ object SparkEntry {
       // independent PlainOracles PQ (own normalize/k-means/encode/ADC).
       val e = t(s, dir, "embeddings")
       // codebook training and the query-vector fetch are independent
-      // bounded jobs — overlap them (guide §2.6), results unchanged
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val booksF = Future(graft.ops.Similarity.trainPqCodebooks(
-        e, "vec_id", "embedding", m = 8, ksub = 16,
-        sampleN = 200, iters = 3))
-      val qF = Future(e.where(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0).toArray)
-      val books = Await.result(booksF, Duration.Inf)
-      val q = Await.result(qF, Duration.Inf)
+      // bounded jobs — overlap them (graft.ops.Par), results unchanged
+      val (books, q) = graft.ops.Par.overlap(
+        graft.ops.Similarity.trainPqCodebooks(
+          e, "vec_id", "embedding", m = 8, ksub = 16,
+          sampleN = 200, iters = 3),
+        e.where(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray)
       val lut = graft.ops.Similarity.pqQueryLut(q, books)
       graft.ops.Similarity.pqEncode(e, "vec_id", "embedding", books)
         .select(col("vec_id"),

@@ -146,11 +146,22 @@ object VecKernels {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  @inline private def anyNull(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** Random-hyperplane sign sketch — same hash-derived planes and
     * ascending accumulation as the composed
-    * [[graft.ops.Similarity.hyperplaneSketch]].
+    * [[graft.ops.Similarity.hyperplaneSketch]]. A null element nulls
+    * every plane's dot product in the composed form, which the
+    * `when(dotp > 0)` guard turns into bit 0 — so the whole sketch
+    * degenerates to 0L; replicated here.
     */
   def hyperplaneSketch(v: ArrayData, isF: Boolean, nPlanes: Int): Long = {
+    if (anyNull(v)) return 0L
     val n = v.numElements()
     var acc = 0L
     var p = 0
@@ -172,9 +183,16 @@ object VecKernels {
   /** Nearest-centroid id by cosine (double products — the composed form
     * casts the vector to array<double>): first occurrence of the max
     * under Double.compare, i.e. `array_position(sims, array_max(sims))`.
+    * A null element nulls every composed sim; the composed positional
+    * lookup's behavior there was UNDEFINED in Spark 4.1.2 (element_at
+    * with a runtime-null index reads a garbage value slot — measured
+    * first-element through the constant-fold path, last-element
+    * through codegen). The kernel pins the defined answer: NULL cell
+    * id (boxed return, expression is nullable).
     */
   def bestCell(v: ArrayData, isF: Boolean, cents: Array[Array[Double]],
-               ids: Array[Long]): Long = {
+               ids: Array[Long]): java.lang.Long = {
+    if (anyNull(v)) return null
     val n = v.numElements()
     var bestIdx = 0
     var best = 0.0
@@ -194,20 +212,29 @@ object VecKernels {
       }
       c += 1
     }
-    ids(bestIdx)
+    java.lang.Long.valueOf(ids(bestIdx))
   }
 
   /** PQ encode: unit-normalize (zero stays zero), per subspace the
     * first-min squared-L2 codeword — `array_position(dists,
-    * array_min(dists)) - 1` with Double.compare ordering.
+    * array_min(dists)) - 1` with Double.compare ordering. A null
+    * element nulls the composed l2Norm, whose `when(norm > 0)` guard
+    * then zeroes EVERY normalized component — the codes become the
+    * per-subspace minimum-norm codewords; replicated via the same
+    * all-zero normalization.
     */
   def pqCodes(v: ArrayData, isF: Boolean,
               books: Array[Array[Array[Double]]]): ArrayData = {
     val n = v.numElements()
+    val hasNull = anyNull(v)
     var ss = 0.0
     var i = 0
-    while (i < n) { val x = elem(v, i, isF); ss += x * x; i += 1 }
-    val norm = math.sqrt(ss)
+    if (!hasNull) {
+      while (i < n) { val x = elem(v, i, isF); ss += x * x; i += 1 }
+    }
+    // hasNull: norm behaves as the composed null norm -> every nv
+    // component takes the otherwise(0.0) branch below (norm > 0 false)
+    val norm = if (hasNull) 0.0 else math.sqrt(ss)
     val m = books.length
     val dsub = books(0)(0).length
     val out = new Array[Int](m)
@@ -222,8 +249,8 @@ object VecKernels {
         var d = 0.0
         var k = 0
         while (k < dsub) {
-          val x0 = elem(v, j * dsub + k, isF)
-          val x = if (norm > 0) x0 / norm else 0.0
+          // null slots are never read: norm > 0 implies no nulls
+          val x = if (norm > 0) elem(v, j * dsub + k, isF) / norm else 0.0
           val diff = x - cw(k)
           d += diff * diff
           k += 1
@@ -410,6 +437,7 @@ case class HyperplaneSketchExpr(child: Expression, nPlanes: Int)
 case class BestCell(child: Expression, cents: Array[Array[Double]],
                     ids: Array[Long]) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_best_cell"
   override def checkInputDataTypes(): TypeCheckResult =
     VecKernels.vecTypeCheck(child, prettyName)
@@ -420,8 +448,12 @@ case class BestCell(child: Expression, cents: Array[Array[Double]],
                                    ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
     val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VecKernels.bestCell($c, $isF, $centsRef, $idsRef)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Long r = graft.functions.VecKernels.bestCell(
+      |  $c, $isF, $centsRef, $idsRef);
+      |if (r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = r.longValue(); }
+      |""".stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression)
       : BestCell = copy(child = newChild)

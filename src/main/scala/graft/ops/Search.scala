@@ -103,19 +103,12 @@ object Search {
   def hybridTopK(lexical: DataFrame, lexIdCol: String, lexScoreCol: String,
                  vector: DataFrame, vecIdCol: String, vecScoreCol: String,
                  k: Int, m: Int = 100, kRrf: Int = 60): DataFrame = {
-    // the two candidate heads are independent bounded jobs — submit
-    // them concurrently so the second's tasks backfill the first's tail
-    // (guide §2.6 overlap-independent-jobs; deterministic results, the
-    // scheduler only changes wall-clock)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val lrF = Future(topRanks(lexical, lexIdCol, lexScoreCol, m)
-      .withColumnRenamed("rank", "rank_lex"))
-    val vrF = Future(topRanks(vector, vecIdCol, vecScoreCol, m)
-      .withColumnRenamed("rank", "rank_vec"))
-    val lr = Await.result(lrF, Duration.Inf)
-    val vr = Await.result(vrF, Duration.Inf)
+    // the two candidate heads are independent bounded jobs ([[Par]])
+    val (lr, vr) = Par.overlap(
+      topRanks(lexical, lexIdCol, lexScoreCol, m)
+        .withColumnRenamed("rank", "rank_lex"),
+      topRanks(vector, vecIdCol, vecScoreCol, m)
+        .withColumnRenamed("rank", "rank_vec"))
     lr.join(vr, Seq("id"), "full_outer")
       .select(col("id"),
         (coalesce(lit(1.0) / (lit(kRrf) + col("rank_lex")), lit(0.0)) +

@@ -83,22 +83,19 @@ object TextOps {
     // old separate unigrams.count() job re-scanned and re-exploded the
     // sample for one number
     // the unigram and bigram top-k aggregates are independent bounded
-    // jobs — overlap them (guide §2.6); results unchanged
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val vocabF = Future {
-      val vocabAndTotal = unigrams.rollup("w").count()
-        .orderBy(col("count").desc, col("w").asc_nulls_first)
-        .limit(maxVocab + 1)
-        .collect()
-      val total = vocabAndTotal.find(_.isNullAt(0)).map(_.getLong(1))
-        .getOrElse(0L)
-      val vocab = vocabAndTotal.iterator.filter(!_.isNullAt(0))
-        .map(r => (r.getString(0), r.getLong(1))).toMap
-      (vocab, total)
-    }
-    val bigramsF = Future {
+    // jobs — overlap them ([[Par]]); results unchanged
+    val ((vocab, total), bigrams) = Par.overlap(
+      {
+        val vocabAndTotal = unigrams.rollup("w").count()
+          .orderBy(col("count").desc, col("w").asc_nulls_first)
+          .limit(maxVocab + 1)
+          .collect()
+        val tot = vocabAndTotal.find(_.isNullAt(0)).map(_.getLong(1))
+          .getOrElse(0L)
+        val voc = vocabAndTotal.iterator.filter(!_.isNullAt(0))
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        (voc, tot)
+      },
       toks
         .where(size(col("ws")) >= 2)
         .select(explode(zip_with(
@@ -107,10 +104,7 @@ object TextOps {
           (a, b) => concat(a, lit(" "), b))).as("g"))
         .groupBy("g").count()
         .orderBy(col("count").desc, col("g").asc).limit(maxBigrams)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    }
-    val (vocab, total) = Await.result(vocabF, Duration.Inf)
-    val bigrams = Await.result(bigramsF, Duration.Inf)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
     graft.functions.NgramLm(vocab, bigrams, total)
   }
 

@@ -219,18 +219,38 @@ object ExtractJob {
           // ExtractJobSpec pins both outcomes.
           val k = math.max(1,
             math.ceil(nRows.toDouble / cfg.skewSampleRows).toInt)
-          val (mx, tot, cnt) = withGroup.select(col("_cost")).rdd
-            .mapPartitionsWithIndex { (i, it) =>
-              if (i % k == 0) it.map(_.getLong(0)) else Iterator.empty
+          val costs = withGroup.select(col("_cost")).rdd
+          val srcN = costs.getNumPartitions
+          if (k >= srcN) {
+            // too few input partitions to subset meaningfully (k >= n
+            // would keep only partition 0 and extrapolate from it —
+            // review r06): read everything exactly, which is what the
+            // pre-r06 sample(f) path paid in I/O anyway
+            val s = withGroup.agg(max("_cost"), sum("_cost")).collect()(0)
+            !s.isNullAt(0) && {
+              val mx = s.getLong(0)
+              val total = s.getLong(1)
+              val fairShare = math.max(total / math.max(nPart, 1), 1L)
+              mx >= cfg.bigDocBytes || mx >= fairShare / 4
             }
-            .aggregate((0L, 0L, 0L))(
-              { case ((m, t, c), v) => (math.max(m, v), t + v, c + 1) },
-              { case ((m1, t1, c1), (m2, t2, c2)) =>
-                (math.max(m1, m2), t1 + t2, c1 + c2) })
-          cnt > 0 && {
-            val total = (tot * (nRows.toDouble / cnt)).toLong
-            val fairShare = math.max(total / math.max(nPart, 1), 1L)
-            mx >= cfg.bigDocBytes || mx >= fairShare / 4
+          } else {
+            // PartitionPruningRDD: launch ONLY the kept partitions'
+            // tasks (the mapPartitionsWithIndex formulation still
+            // dispatched one no-op task per skipped partition — 51
+            // empty task launches on the 64-partition bench corpus)
+            val kept = org.apache.spark.rdd.PartitionPruningRDD.create(
+              costs, i => i % k == 0)
+            val (mx, tot, cnt) = kept
+              .map(_.getLong(0))
+              .aggregate((0L, 0L, 0L))(
+                { case ((m, t, c), v) => (math.max(m, v), t + v, c + 1) },
+                { case ((m1, t1, c1), (m2, t2, c2)) =>
+                  (math.max(m1, m2), t1 + t2, c1 + c2) })
+            cnt > 0 && {
+              val total = (tot * (nRows.toDouble / cnt)).toLong
+              val fairShare = math.max(total / math.max(nPart, 1), 1L)
+              mx >= cfg.bigDocBytes || mx >= fairShare / 4
+            }
           }
         }
     })

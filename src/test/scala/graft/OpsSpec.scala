@@ -558,6 +558,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bits(pq.select(Similarity.pqAdcScore(col("codes"), lut)))
       .sameElements(bits(pqC.select(
         Similarity.pqAdcScoreComposed(col("codes"), lut)))), "adc score")
+    // null-ELEMENT arrays (r06 review): sketch degenerates to 0L,
+    // cell id to null, PQ codes to the min-norm codewords — exactly
+    // what the composed forms produce
+    val nullElem = Seq((9L, Seq(Option(1.0f), Option.empty[Float],
+      Option(2.0f), Option(0.5f)))).toDF("id", "v")
+    assert(nullElem.select(Similarity.hyperplaneSketch(col("v"), 6))
+      .collect()(0).getLong(0) ==
+      nullElem.select(Similarity.hyperplaneSketchComposed(col("v"), 6))
+        .collect()(0).getLong(0), "null-elem sketch")
+    val smallCents = Array((0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)))
+    // the COMPOSED form's null-element cell id is undefined in Spark
+    // 4.1.2 (element_at with a runtime-null index reads a garbage
+    // value slot: measured ids(0) through the constant-fold path and
+    // ids(last) through codegen) — the native kernel pins the DEFINED
+    // answer instead: null cell for a null-element vector
+    val nat = Similarity.ivfAssign(nullElem, "id", "v", smallCents)
+      .select("cell_id").collect()(0)
+    assert(nat.isNullAt(0), "null-elem cell id must be null")
+    val smallBooks = Array(
+      Array(Array(0.3, 0.4), Array(0.1, 0.2)),
+      Array(Array(0.5, 0.5), Array(0.0, 0.1)))
+    assert(Similarity.pqEncode(nullElem, "id", "v", smallBooks)
+      .select("codes").collect()(0).getSeq[Int](0) ==
+      Similarity.pqEncodeComposed(nullElem, "id", "v", smallBooks)
+        .select("codes").collect()(0).getSeq[Int](0), "null-elem pq")
     // all kernels stay inside whole-stage codegen
     val plan = e.select(Dedup.cosine(col("embedding"), col("embedding")),
         Similarity.int8Scale(col("embedding")),
