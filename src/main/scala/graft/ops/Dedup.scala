@@ -59,9 +59,13 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(graft.functions.ShingleHashes
           .shingleHashes(col(textCol), w))).as("sh"))
-      .persist() // lazy is safe here: both uses (freq agg map side, join
-                 // probe side) are sequential stages of the ONE eager
-                 // checkpoint job below — fill then hit, no cross-job race
+      .persist()
+    // force the cache ONCE before the freq-filter join: AQE materializes
+    // that join's two side stages (freq-agg chain, probe exchange)
+    // CONCURRENTLY when it does not broadcast, so a lazy persist lets
+    // both race to compute the same uncached shingle explode — the pass
+    // would run twice per invocation (see minhashLshPairs)
+    sh.count()
     // The filtered set is read three times below (sizes + both self-join
     // sides). r03's lazy-persist-everywhere variant let those reads race
     // on recomputing the freq-filter join under AQE (the one genuine
@@ -111,7 +115,8 @@ object Dedup {
         posexplode(graft.functions.ShingleHashes
           .shingleHashes(col(textCol), w)))
       .select(col("id"), col("pos"), col("col").as("sh"))
-      .persist() // lazy reuse point for the frequency agg + join back
+      .persist() // reuse point for the frequency agg + join back
+    wnd.count() // force the cache once pre-join — see minhashLshPairs
     val dup = wnd.groupBy("sh")
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
@@ -261,14 +266,23 @@ object Dedup {
         minhashSignature(col(textCol), w, k).as("sig"))
       .where(col("sig").isNotNull)
       .persist() // signatures computed once: band join + 2 attaches
-                 // (lazy — r02's eager localCheckpoint added a fixed
-                 // extra pass the regression watch flagged)
     val banded = sigDf.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      .persist() // both sides of the self-join reuse it (lazy)
+      .persist() // both sides of the self-join reuse it
+    // force the cache ONCE before the self-join: a lazy persist is
+    // populated by whichever evaluation comes first, and AQE
+    // materializes the join's two side stages CONCURRENTLY — both
+    // sides race to compute the same uncached plan and the whole
+    // signature pass runs twice per invocation ("Block rdd_N already
+    // exists" / "Asked to cache already cached data" in the logs —
+    // measured as two ~equal duplicate jobs per persisted stage in
+    // every dd_* bench row). One count() materializes banded AND, as
+    // its input, sigDf, in a single linear pass; the join sides then
+    // only read the cache. Strictly fewer passes at any scale.
+    banded.count()
     val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -358,7 +372,8 @@ object Dedup {
     val banded = fpDf.select(col(idCol).as("id"), col(fpCol).as("fp"))
       .select(col("id"), col("fp"), posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      .persist() // both sides of the self-join reuse it (lazy)
+      .persist() // both sides of the self-join reuse it
+    banded.count() // force the cache once pre-join — see minhashLshPairs
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -419,7 +434,8 @@ object Dedup {
     val sketch = Similarity.hyperplaneSketch(col(vecCol), nPlanes)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
                       sketch.as("bucket"))
-      .persist() // sketch computed once, not once per join side (lazy)
+      .persist() // sketch computed once, not once per join side
+    b.count() // force the cache once pre-join — see minhashLshPairs
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -444,7 +460,8 @@ object Dedup {
     val sketch = Similarity.hyperplaneSketch(col(vecCol), nPlanes)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
                       sketch.as("bucket"))
-      .persist() // sketch computed once, reused by both join sides (lazy)
+      .persist() // sketch computed once, reused by both join sides
+    b.count() // force the cache once pre-join — see minhashLshPairs
     val probes = b.select(col("id"), col("v"),
       explode(transform(sequence(lit(0), lit(nPlanes)), p =>
         when(p === 0, col("bucket"))

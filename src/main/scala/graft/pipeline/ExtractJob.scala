@@ -50,7 +50,7 @@ object ExtractJob {
     partitions: Int = 0,           // 0 = 4 x defaultParallelism
     bigDocBytes: Long = 1L << 20,  // cost-proxy threshold for skew isolation
     salting: String = "auto",      // "on" | "off" | "auto" (sampled decision)
-    skewSampleRows: Long = 100000L, // auto decision reads ≤ this many costs
+    skewSampleParts: Int = 8,      // auto decision reads ≤ ~2x this many input partitions
     io: graft.sources.TableIO = null) { // default: HadoopTableIO(outDir)
     def tableIO: graft.sources.TableIO =
       if (io != null) io else graft.sources.HadoopTableIO(outDir)
@@ -177,81 +177,63 @@ object ExtractJob {
     // partition's fair share (one doc ≥ 25% of a partition, or over the
     // absolute big-doc threshold). The expensive part of the stats pass
     // is _cost itself (octet_length over every span payload), so it is
-    // BOUNDED (VERDICT r04 #3): a row count first (column-pruned — for
-    // parquet it is row-group metadata, no payload read), then the cost
-    // agg either exact (input ≤ skewSampleRows — test corpora, resumes
-    // of small groups) or over a deterministic every-k-th-partition
-    // subset of ~that many rows (r06: the old `sample(f)` still READ
-    // every payload and discarded 1-f of rows; unpulled partition
-    // iterators never open their files), the total scaled back up by
-    // the observed fraction. A lone monster
-    // doc can evade a sample; the miss cost is one straggler task on
-    // the NARROW path, strictly cheaper than the full-payload shuffle a
-    // false "on" would buy at 10^12 docs. In an Iceberg deployment the
-    // exact max/sum come free from table column stats instead. Skipped
-    // entirely when every group is already committed — a no-op resume
-    // must not pay any input scan (report.salted is then false).
+    // BOUNDED (VERDICT r04 #3) in PARTITION units — a scan partition is
+    // byte-bounded by the split config (maxPartitionBytes), so touching
+    // ≤ ~2x skewSampleParts evenly-spaced partitions bounds decision
+    // I/O in bytes with NO separate row-count job (r06 second pass: the
+    // previous row-bounded design spent a count() job + a 13-partition
+    // sample job ≈ 0.6 s of every run — ~17% of the whole bench job —
+    // and the sample job's wall time was a fixed cost that did not
+    // scale with cores, dragging measured scaling efficiency). The
+    // total is scaled back up by the kept-partition fraction. A lone
+    // monster doc can evade a sample; the miss cost is one straggler
+    // task on the NARROW path, strictly cheaper than the full-payload
+    // shuffle a false "on" would buy at 10^12 docs. In an Iceberg
+    // deployment the exact max/sum come free from table column stats
+    // instead. Skipped entirely when every group is already committed —
+    // a no-op resume must not pay any input scan (report.salted is then
+    // false).
+    // one narrow projection serves both the decision sample and the
+    // partition-count probes (partition count is projection-invariant);
+    // planning it once avoids a second full-plan-to-RDD conversion
+    lazy val costsRdd = withGroup.select(col("_cost")).rdd
+    lazy val srcParts = costsRdd.getNumPartitions
+    def skewDecision(mx: Long, total: Long): Boolean = {
+      val fairShare = math.max(total / math.max(nPart, 1), 1L)
+      mx >= cfg.bigDocBytes || mx >= fairShare / 4
+    }
     val anyToRun = (0 until cfg.groups).exists(g => !committed.contains(g))
     val useSalt = anyToRun && (cfg.salting match {
       case "on"  => true
       case "off" => false
       case _ =>
-        val nRows = withGroup.count()
-        if (nRows <= cfg.skewSampleRows) {
+        val p = math.max(1, cfg.skewSampleParts)
+        val k = srcParts / p // evenly-spaced stride; 0 handled below
+        if (k <= 1) {
+          // few input partitions (test corpora, resumes of small
+          // groups): one exact aggregate — reads everything, which is
+          // bounded by the input being small in the only cases that
+          // land here
           val s = withGroup.agg(max("_cost"), sum("_cost")).collect()(0)
-          !s.isNullAt(0) && {
-            val mx = s.getLong(0)
-            val total = s.getLong(1)
-            val fairShare = math.max(total / math.max(nPart, 1), 1L)
-            mx >= cfg.bigDocBytes || mx >= fairShare / 4
-          }
+          !s.isNullAt(0) && skewDecision(s.getLong(0), s.getLong(1))
         } else {
-          // r06: deterministic PARTITION-SUBSET sample instead of the
-          // row-fraction sample(f) — sample() still READ every row's
-          // spans payload to evaluate _cost and then discarded 1-f of
-          // them; keeping every k-th input partition and never pulling
-          // the other iterators skips their payload read entirely
-          // (FileScanRDD opens files lazily on first pull), so the
-          // stats pass touches ~skewSampleRows rows of I/O, not all of
-          // them. Same miss model as before (a lone monster can evade
-          // any sample; the miss cost is one straggler on the NARROW
-          // path), and the decision thresholds are unchanged —
-          // ExtractJobSpec pins both outcomes.
-          val k = math.max(1,
-            math.ceil(nRows.toDouble / cfg.skewSampleRows).toInt)
-          val costs = withGroup.select(col("_cost")).rdd
-          val srcN = costs.getNumPartitions
-          if (k >= srcN) {
-            // too few input partitions to subset meaningfully (k >= n
-            // would keep only partition 0 and extrapolate from it —
-            // review r06): read everything exactly, which is what the
-            // pre-r06 sample(f) path paid in I/O anyway
-            val s = withGroup.agg(max("_cost"), sum("_cost")).collect()(0)
-            !s.isNullAt(0) && {
-              val mx = s.getLong(0)
-              val total = s.getLong(1)
-              val fairShare = math.max(total / math.max(nPart, 1), 1L)
-              mx >= cfg.bigDocBytes || mx >= fairShare / 4
-            }
-          } else {
-            // PartitionPruningRDD: launch ONLY the kept partitions'
-            // tasks (the mapPartitionsWithIndex formulation still
-            // dispatched one no-op task per skipped partition — 51
-            // empty task launches on the 64-partition bench corpus)
-            val kept = org.apache.spark.rdd.PartitionPruningRDD.create(
-              costs, i => i % k == 0)
-            val (mx, tot, cnt) = kept
-              .map(_.getLong(0))
-              .aggregate((0L, 0L, 0L))(
-                { case ((m, t, c), v) => (math.max(m, v), t + v, c + 1) },
-                { case ((m1, t1, c1), (m2, t2, c2)) =>
-                  (math.max(m1, m2), t1 + t2, c1 + c2) })
-            cnt > 0 && {
-              val total = (tot * (nRows.toDouble / cnt)).toLong
-              val fairShare = math.max(total / math.max(nPart, 1), 1L)
-              mx >= cfg.bigDocBytes || mx >= fairShare / 4
-            }
-          }
+          // PartitionPruningRDD: launch ONLY the kept partitions'
+          // tasks (a mapPartitionsWithIndex formulation would still
+          // dispatch one no-op task per skipped partition); unpulled
+          // partition iterators never open their files (FileScanRDD
+          // opens lazily on first pull), so the skipped partitions'
+          // payloads are never read
+          val keptN = (srcParts + k - 1) / k // |{i : i % k == 0}|
+          val kept = org.apache.spark.rdd.PartitionPruningRDD.create(
+            costsRdd, i => i % k == 0)
+          val (mx, tot, cnt) = kept
+            .map(_.getLong(0))
+            .aggregate((0L, 0L, 0L))(
+              { case ((m, t, c), v) => (math.max(m, v), t + v, c + 1) },
+              { case ((m1, t1, c1), (m2, t2, c2)) =>
+                (math.max(m1, m2), t1 + t2, c1 + c2) })
+          cnt > 0 &&
+            skewDecision(mx, (tot * (srcParts.toDouble / keptN)).toLong)
         }
     })
 
@@ -262,7 +244,6 @@ object ExtractJob {
     // relative to the configured parallelism, merge with a NARROW
     // coalesce (no shuffle; skewed inputs take the salted repartition
     // path instead, which the auto decision already detects).
-    val srcParts = withGroup.rdd.getNumPartitions
     val mergeDown = !useSalt && srcParts > nPart * 4
 
     (0 until cfg.groups).foreach { g =>

@@ -283,21 +283,25 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("salting decision from a bounded sample when input exceeds the cap") {
     import spark.implicits._
-    // 300 docs > skewSampleRows=50 → the sampled path decides. Uniform
-    // corpus: OFF (the scaled-up total keeps fair-share relative skew
-    // honest); every-3rd-doc-big corpus: ON (a seeded 50-row sample
-    // contains big docs with certainty at these proportions).
-    val uniform = CorpusGen.dataset(spark, 300, 7L)
+    // 12 input partitions > skewSampleParts=2 → the stride-sampled path
+    // decides from every-6th partition (2 kept). Uniform corpus: OFF
+    // (the partition-fraction-scaled total keeps fair-share relative
+    // skew honest); every-3rd-doc-big corpus: ON (round-robin
+    // repartition spreads the big docs densely, so every kept
+    // partition contains them with certainty at these proportions).
+    val uniform = CorpusGen.dataset(spark, 300, 7L).repartition(12)
+      .as[core.InputDoc]
     val repA = ExtractJob.run(spark, uniform,
       ExtractJob.Config(tmpDir("sampA"), "pa", groups = 1, partitions = 8,
-        skewSampleRows = 50))
+        skewSampleParts = 2))
     assert(!repA.salted, "uniform corpus must not salt under sampling")
     val skewed = spark.createDataset((0 until 300).map(i =>
       core.InputDoc(f"s$i%04d", Vector(core.Span("text",
         (if (i % 3 == 0) "x" * 65536 else "y" * 100), null, 0)))))
+      .repartition(12).as[core.InputDoc]
     val repB = ExtractJob.run(spark, skewed,
       ExtractJob.Config(tmpDir("sampB"), "pb", groups = 1, partitions = 8,
-        bigDocBytes = 32768, skewSampleRows = 50))
+        bigDocBytes = 32768, skewSampleParts = 2))
     assert(repB.salted, "sampled stats must detect the big-doc corpus")
   }
 
