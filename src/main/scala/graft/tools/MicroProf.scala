@@ -28,6 +28,19 @@ object MicroProf {
       s"bytes=${pdfTexts.map(_.length.toLong).sum}; " +
       s"html spans=${htmlTexts.length} " +
       s"bytes=${htmlTexts.map(_.length.toLong).sum}")
+    // page-shape histogram: how many runs a page typically has decides
+    // whether a tiny-page fast path in Layout.boxesOf pays
+    val h = new Array[Long](12)
+    var pages = 0L; var runsN = 0L
+    pdfTexts.foreach { t =>
+      graft.extract.PdfTokenizer.tokenize(t, 1).foreach { p =>
+        pages += 1; runsN += p.runs.length
+        h(math.min(p.runs.length, 11)) += 1
+      }
+    }
+    println(f"[mp] pages=$pages runs=$runsN avg=${runsN.toDouble / pages}%.1f" +
+      " runs/page hist(11=11+): " +
+      h.zipWithIndex.map { case (c, i) => s"$i:$c" }.mkString(" "))
     tm("full extractRows")(docs.iterator.map(d =>
       graft.extract.Extractor.extractRows(d).size).sum)
     tm("pdf tokenize only")(pdfTexts.iterator.map(t =>
