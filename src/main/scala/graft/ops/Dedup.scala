@@ -75,6 +75,10 @@ object Dedup {
       sh.groupBy("sh").agg(count(lit(1)).as("f"))
         .where(col("f") <= maxShingleFreq).select("sh"), Seq("sh"))
       .localCheckpoint()
+    // sh is dead once `filtered` is eagerly checkpointed — everything
+    // below reads `filtered` only; dropping the cache keeps repeated
+    // invocations from accumulating dead shingle blocks
+    sh.unpersist()
     // sizes over the SAME filtered shingle universe as the common counts —
     // otherwise the Jaccard denominator includes shingles the numerator
     // can never match once stop-shingle filtering engages (ADVICE r01)
@@ -252,6 +256,13 @@ object Dedup {
     * bands of k/bands rows; docs sharing any band hash are candidates.
     * Emits distinct candidate pairs (id_a < id_b) with their estimated
     * Jaccard (fraction of equal signature positions).
+    *
+    * NOT a pure plan builder (r06): the banded frame is eagerly
+    * materialized (one job) at CALL time so the self-join's two side
+    * stages read the cache instead of racing to compute it — callers
+    * that only want the plan (explain/plan dumps) pay the signature
+    * pass. The same holds for every pairs- and windows-producing op
+    * below that self-joins a persisted frame.
     *
     * Shuffle shape: the band self-join moves only (id, band, band-hash)
     * rows — 24 bytes x bands per doc; the k-long signatures shuffle ONCE

@@ -193,6 +193,19 @@ object ExtractJob {
     // instead. Skipped entirely when every group is already committed —
     // a no-op resume must not pay any input scan (report.salted is then
     // false).
+    // BEHAVIOR DELTA vs the pre-r06.2 row-bounded design (deliberate):
+    // inputs of ≤100k rows spread over many partitions (e.g. a
+    // file-per-doc binaryFile source) used to get an EXACT decision at
+    // the cost of a full extra payload pass per run; they now get the
+    // same bounded sample as everything else. A missed monster costs
+    // one straggler task on the narrow path (after mergeDown it may
+    // share that task with its coalesce neighbors); the removed full
+    // pre-pass was the strictly larger cost at every corpus size. The
+    // partition-fraction total extrapolation can also drift when
+    // bytes-per-partition vary — the 4x fair-share margin and the
+    // absolute bigDocBytes threshold absorb that; both miss directions
+    // degrade to known, bounded shapes (a straggler, or one
+    // payload-shuffle that wasn't needed).
     // one narrow projection serves both the decision sample and the
     // partition-count probes (partition count is projection-invariant);
     // planning it once avoids a second full-plan-to-RDD conversion
@@ -211,9 +224,11 @@ object ExtractJob {
         val k = srcParts / p // evenly-spaced stride; 0 handled below
         if (k <= 1) {
           // few input partitions (test corpora, resumes of small
-          // groups): one exact aggregate — reads everything, which is
-          // bounded by the input being small in the only cases that
-          // land here
+          // groups): one exact aggregate over everything. NOTE this is
+          // a PARTITION-count gate, not a row bound — a caller can
+          // shuffle a huge input into few partitions and land here
+          // paying a full payload pass (exactly what the pre-r06
+          // k>=srcN fallback paid too)
           val s = withGroup.agg(max("_cost"), sum("_cost")).collect()(0)
           !s.isNullAt(0) && skewDecision(s.getLong(0), s.getLong(1))
         } else {

@@ -38,9 +38,10 @@ object MicroProf {
         h(math.min(p.runs.length, 11)) += 1
       }
     }
-    println(f"[mp] pages=$pages runs=$runsN avg=${runsN.toDouble / pages}%.1f" +
-      " runs/page hist(11=11+): " +
-      h.zipWithIndex.map { case (c, i) => s"$i:$c" }.mkString(" "))
+    if (pages > 0)
+      println(f"[mp] pages=$pages runs=$runsN avg=${runsN.toDouble / pages}%.1f" +
+        " runs/page hist(11=11+): " +
+        h.zipWithIndex.map { case (c, i) => s"$i:$c" }.mkString(" "))
     tm("full extractRows")(docs.iterator.map(d =>
       graft.extract.Extractor.extractRows(d).size).sum)
     tm("pdf tokenize only")(pdfTexts.iterator.map(t =>

@@ -29,15 +29,15 @@ object ProbeScaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    def dirMb(d: String): Long = {
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(sz).sum else f.length
+      sz(new java.io.File(d)) / (1 << 20)
+    }
     val dir = java.nio.file.Files.createTempDirectory("probe-in").toString
     graft.gen.CorpusGen.dataset(spark, nDocs, 42L)
       .repartition(64).write.mode("overwrite").parquet(dir)
-    val duMb = {
-      def sz(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles.map(sz).sum else f.length
-      sz(new java.io.File(dir)) / (1 << 20)
-    }
-    println(s"[ps] input: $nDocs docs, $duMb MiB, " +
+    println(s"[ps] input: $nDocs docs, ${dirMb(dir)} MiB, " +
       s"${spark.read.parquet(dir).rdd.getNumPartitions} scan partitions")
     val docs = spark.read.parquet(dir).as[InputDoc]
     def tm(tag: String, reps: Int = 3)(f: => Any): Unit = {
@@ -71,11 +71,6 @@ object ProbeScaling {
       docs.mapPartitions(it => it.flatMap(graft.extract.Extractor.extractRows))
         .write.mode("overwrite").parquet(s"$outP/${System.nanoTime()}")
     }
-    def dirMb(d: String): Long = {
-      def sz(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles.map(sz).sum else f.length
-      sz(new java.io.File(d)) / (1 << 20)
-    }
     val extracted = docs.mapPartitions(it =>
       it.flatMap(graft.extract.Extractor.extractRows))
     Seq("3" -> "zstd-l3(default)", "1" -> "zstd-l1", "2" -> "zstd-l2")
@@ -95,11 +90,32 @@ object ProbeScaling {
     }
     println(s"[ps] c$cores write snappy size=${dirMb(dSnap)} MiB")
     val outF = java.nio.file.Files.createTempDirectory("probe-full").toString
+    // job-timeline listener: job wall times AND the driver-side gaps
+    // between them (planning, commit, manifest, metrics)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t00 = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          events.add(f"jobStart ${js.jobId} @${(System.nanoTime() - t00.get) / 1e9}%.3f")
+          ()
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          events.add(f"jobEnd   ${je.jobId} @${(System.nanoTime() - t00.get) / 1e9}%.3f")
+          ()
+        }
+      })
     tm("full ExtractJob") {
+      events.clear(); t00.set(System.nanoTime())
       graft.pipeline.ExtractJob.run(spark, docs,
         graft.pipeline.ExtractJob.Config(s"$outF/${System.nanoTime()}",
           runId = "p", groups = 1, partitions = 64))
+      events.add(f"runEnd @${(System.nanoTime() - t00.get) / 1e9}%.3f")
     }
+    Thread.sleep(300)
+    events.forEach(e => println(s"[ps]   $e"))
     spark.stop()
   }
 }
