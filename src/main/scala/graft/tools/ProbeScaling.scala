@@ -89,6 +89,12 @@ object ProbeScaling {
         .option("compression", "snappy").parquet(dSnap)
     }
     println(s"[ps] c$cores write snappy size=${dirMb(dSnap)} MiB")
+    val dNoDict = s"$outP/nodict"
+    tm("write zstd no-dictionary") {
+      extracted.write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false").parquet(dNoDict)
+    }
+    println(s"[ps] c$cores write zstd no-dictionary size=${dirMb(dNoDict)} MiB")
     val outF = java.nio.file.Files.createTempDirectory("probe-full").toString
     // job-timeline listener: job wall times AND the driver-side gaps
     // between them (planning, commit, manifest, metrics)
